@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.{EdgeBuilder, Transcripts}
+
+/** Per-(sfDir, symmetric) LinkGraph cache so the driver's query map can
+ * share one build (the reference likewise loads once and runs many
+ * compute() passes, e.g. pagerank.cpp:144-147). */
+object Graphs {
+  private val cache =
+    scala.collection.concurrent.TrieMap[(String, Boolean), LinkGraph]()
+
+  def shufflePartitions(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+  def transcripts(spark: SparkSession, sfDir: String): DataFrame =
+    Transcripts.fromEvents(spark, sfDir)
+
+  def get(spark: SparkSession, sfDir: String, symmetric: Boolean): LinkGraph =
+    cache.getOrElseUpdate((sfDir, symmetric), {
+      val keyEdges = EdgeBuilder.keyEdges(transcripts(spark, sfDir))
+      LinkGraph.fromKeyEdges(keyEdges, symmetric, shufflePartitions(spark))
+    })
+}

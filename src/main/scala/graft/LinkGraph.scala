@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.sources.VertexDict
+
+/**
+ * The engine's graph container — the Spark-first analogue of the
+ * reference's `Graph<EdgeData>` with its dual CSR/CSC layouts
+ * (/root/reference/core/graph.hpp:119-124, built :925-1240).
+ *
+ * Gemini materializes the edge set twice, clustered by dst (CSR, push
+ * side) and by src (CSC, pull side), so that neither direction of a
+ * superstep ever re-shuffles edges. The relational equivalent:
+ *
+ *  - [[edgesBySrc]] — `(src, dst, weight)` hash-partitioned by `src`,
+ *    sorted within partitions. Every gather step joins vertex state
+ *    to this table on `src`; since state is hash-partitioned by `id`
+ *    with the same partition count, the join is co-partitioned and
+ *    the (large) edge side NEVER moves. Only the partially-aggregated
+ *    messages shuffle — exactly Gemini's mirror-side combining
+ *    (core/graph.hpp:1747-1799).
+ *  - [[edgesByDst]] — the same rows clustered by `dst`, for
+ *    reverse-direction gathers (e.g. betweenness backward phase =
+ *    `transpose()`, core/graph.hpp:758-768). For symmetric graphs it
+ *    is a zero-cost column-swapped VIEW of `edgesBySrc`, mirroring
+ *    Gemini's `incoming_* = outgoing_*` aliasing
+ *    (core/graph.hpp:732-737).
+ *
+ * At cluster scale the two persists become two bucketed/sorted table
+ * writes (`bucketBy(n,"src")` / `("dst")`); the in-memory persist here
+ * is the local[] stand-in with identical partitioning semantics.
+ */
+final case class LinkGraph(
+    spark: SparkSession,
+    vertices: DataFrame, // (id: long, key: string)
+    edgesBySrc: DataFrame, // (src, dst, weight) clustered by src
+    edgesByDst: DataFrame, // (src, dst, weight) clustered by dst
+    degrees: DataFrame, // (id, out_degree, in_degree) clustered by id
+    numVertices: Long,
+    numEdges: Long,
+    numPartitions: Int,
+    symmetric: Boolean) {
+
+  /** Reverse every edge in O(1) — the reference's `transpose()`
+   * (core/graph.hpp:758-768): swap the two clustered layouts. */
+  def transpose: LinkGraph = copy(
+    edgesBySrc = edgesByDst.select(
+      col("dst").as("src"), col("src").as("dst"), col("weight")),
+    edgesByDst = edgesBySrc.select(
+      col("dst").as("src"), col("src").as("dst"), col("weight")),
+    degrees = degrees.select(
+      col("id"), col("in_degree").as("out_degree"), col("out_degree").as("in_degree")))
+
+  def unpersist(): Unit = {
+    vertices.unpersist(); edgesBySrc.unpersist(); degrees.unpersist()
+    if (!symmetric) edgesByDst.unpersist()
+  }
+}
+
+object LinkGraph {
+
+  /**
+   * Build from a string-keyed edge table. Pipeline ≈ the reference
+   * loaders (`load_directed` core/graph.hpp:771-1338,
+   * `load_undirected_from_directed` :349-756): id-encode endpoints,
+   * optionally symmetrize (union with swapped endpoints, :572-587),
+   * dedup + drop self-loops, count degrees, persist dual layouts.
+   */
+  def fromKeyEdges(
+      keyEdges: DataFrame,
+      symmetric: Boolean,
+      numPartitions: Int): LinkGraph = {
+    val spark = keyEdges.sparkSession
+    val dict = VertexDict.build(keyEdges, numPartitions)
+      .repartition(numPartitions, col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val srcDict = dict.select(col("key").as("src_key"), col("id").as("src"))
+    val dstDict = dict.select(col("key").as("dst_key"), col("id").as("dst"))
+    val e0 = keyEdges
+      .join(srcDict, "src_key")
+      .join(dstDict, "dst_key")
+      .select(col("src"), col("dst"), col("weight").cast("double").as("weight"))
+    val e1 =
+      if (symmetric)
+        e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      else e0
+    val edges = e1
+      .where(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(min(col("weight")).as("weight"))
+
+    val edgesBySrc = edges
+      .repartition(numPartitions, col("src"))
+      .sortWithinPartitions("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val numEdges = edgesBySrc.count()
+
+    // Symmetric: the src-clustered rows, column-swapped, ARE the
+    // dst-clustered layout (edge set is its own transpose).
+    val edgesByDst =
+      if (symmetric)
+        edgesBySrc.select(col("dst").as("src"), col("src").as("dst"), col("weight"))
+          .select(col("src"), col("dst"), col("weight"))
+      else
+        edges.repartition(numPartitions, col("dst"))
+          .sortWithinPartitions("dst", "src")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val outD = edgesBySrc.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("out_degree"))
+    val inD = edgesBySrc.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("in_degree"))
+    val degrees = dict.select(col("id"))
+      .join(outD, Seq("id"), "left")
+      .join(inD, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .repartition(numPartitions, col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val numVertices = dict.count()
+    degrees.count() // materialize
+
+    LinkGraph(spark, dict, edgesBySrc, edgesByDst, degrees,
+      numVertices, numEdges, numPartitions, symmetric)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * The engine's dataflow core — the Spark-first re-expression of the
+ * reference's `process_edges` (core/graph.hpp:1491-1866) with its
+ * adaptive sparse(push)/dense(pull) dual mode.
+ *
+ * One superstep = "every active vertex signals along its out-edges;
+ * messages to the same dst are combined; dst state is updated".
+ * Relationally: `state ⋈ edgesBySrc on src → groupBy(dst).agg(combine)`.
+ * The four reference lambdas collapse into: the signal expression
+ * (what each src emits), the combiner (Gemini's atomic
+ * `write_add`/`write_min`, core/atomic.hpp:24-51 → `sum`/`min`), and
+ * the caller-side state merge.
+ *
+ * Mode adaptivity (core/graph.hpp:1501-1508, re-evaluated every
+ * superstep): sparse iff the frontier's out-edge mass < |E|/20.
+ *  - SPARSE/push → the (small) active state is BROADCAST to the
+ *    co-partitioned edge table: zero shuffle of edges, zero shuffle
+ *    of messages until the final combine.
+ *  - DENSE/pull → co-partitioned shuffle-free join (state is
+ *    hash-partitioned by id = edgesBySrc's src partitioning), partial
+ *    aggregation before the message exchange = Gemini's mirror-side
+ *    combining (core/graph.hpp:1747-1799).
+ *
+ * The broadcast is additionally gated by an absolute row cap so a
+ * mid-algorithm frontier explosion can never OOM the driver — the
+ * shuffle join is the always-safe fallback (SURVEY.md §7.4.5).
+ */
+object Superstep {
+
+  /** Same constant as the reference: sparse iff active out-edges < |E|/20
+   * (core/graph.hpp:1508). */
+  val denseThresholdFraction = 20L
+
+  /** Hard cap on rows we are willing to broadcast in push mode. */
+  val broadcastRowCap = 4000000L
+
+  /** Out-edge mass of a frontier = Σ out_degree over active ids —
+   * the statistic Gemini computes with process_vertices before every
+   * superstep (core/graph.hpp:1502-1507). */
+  def frontierEdgeMass(graph: LinkGraph, frontierState: DataFrame): Long = {
+    val r = frontierState.select(col("id"))
+      .join(graph.degrees, "id")
+      .agg(coalesce(sum(col("out_degree")), lit(0L)))
+      .first()
+    r.getLong(0)
+  }
+
+  /**
+   * One gather step: join `activeState(id, <cols>)` to out-edges and
+   * combine per destination.
+   *
+   * @param activeState state rows of ACTIVE vertices only (id + payload)
+   * @param signal      expression over the joined row (state cols +
+   *                    `weight`) producing the message value
+   * @param combine     aggregate over `col("msg")`, e.g. `sum(...)`,
+   *                    `min(...)`
+   * @param activeEdges out-edge mass of the frontier (precomputed by
+   *                    the caller, which usually needs it anyway)
+   * @return (id, msg) — combined message per destination, clustered by id
+   */
+  def gather(
+      graph: LinkGraph,
+      activeState: DataFrame,
+      signal: Column,
+      combine: Column => Column,
+      activeEdges: Long,
+      activeCount: Long): DataFrame = {
+    val sparse = activeEdges < graph.numEdges / denseThresholdFraction &&
+      activeCount < broadcastRowCap
+    val src = activeState.withColumnRenamed("id", "src")
+    val joined =
+      if (sparse)
+        graph.edgesBySrc.join(broadcast(src), "src")
+      else
+        graph.edgesBySrc.join(src.repartition(graph.numPartitions, col("src")), "src")
+    joined
+      .select(col("dst").as("id"), signal.as("msg"))
+      .groupBy(col("id"))
+      .agg(combine(col("msg")).as("msg"))
+  }
+}

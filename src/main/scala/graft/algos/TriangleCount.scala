@@ -1,0 +1,55 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.LinkGraph
+
+/**
+ * Exact triangle counting on the undirected, deduped, self-loop-free
+ * graph (north-rule algorithm; no reference toolkit — SURVEY.md §2.4
+ * A7).
+ *
+ * Degree-ordered orientation: each undirected edge {u,v} is kept once,
+ * directed from the endpoint with smaller `(degree, id)` to the
+ * larger. Every triangle then has exactly one wedge
+ * `a→b, b→c  (a<b<c in degree order)` closed by `a→c`, so
+ *
+ *   triangles = |(oriented ⋈ oriented on b)  left_semi  oriented|
+ *
+ * The orientation bounds the wedge join by Σ d_min(e) — the classic
+ * cure for hub skew: a hub of degree D contributes O(D) oriented
+ * OUT-edges only towards higher-degree vertices, not O(D²) wedges.
+ * Residual skew is handled by AQE skew-join splitting (enabled in the
+ * session) — mirroring the reference's work-stealing + chunk tuning
+ * (core/graph.hpp:1340-1403).
+ */
+object TriangleCount {
+
+  /** Oriented edge list (a, b) with (deg,id)-order a < b. */
+  def orient(graph: LinkGraph): DataFrame = {
+    require(graph.symmetric, "triangle counting expects a symmetrized graph")
+    val deg = graph.degrees.select(col("id"), col("out_degree").as("d"))
+    // symmetric graph: every undirected edge appears as both (u,v) and
+    // (v,u); keeping only rows where src precedes dst in (deg, id)
+    // order retains exactly one orientation per undirected edge.
+    graph.edgesBySrc
+      .join(deg.withColumnRenamed("id", "src").withColumnRenamed("d", "sd"), "src")
+      .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("d", "dd"), "dst")
+      .where(col("sd") < col("dd") ||
+        (col("sd") === col("dd") && col("src") < col("dst")))
+      .select(col("src").as("a"), col("dst").as("b"))
+  }
+
+  def count(graph: LinkGraph): Long = {
+    val o = orient(graph).persist()
+    try {
+      val wedges = o.as("e1").join(
+        o.select(col("a").as("b"), col("b").as("c")).as("e2"), "b")
+      val closed = wedges.join(
+        o.select(col("a"), col("b").as("c")),
+        Seq("a", "c"), "left_semi")
+      closed.count()
+    } finally { o.unpersist() }
+  }
+}

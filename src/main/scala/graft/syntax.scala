@@ -1,0 +1,11 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Engine-internal syntax. `df.graftCut` materializes + truncates
+ * lineage between supersteps (see org.apache.spark.sql.GraftLineage). */
+object syntax {
+  implicit final class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
+    def graftCut: DataFrame = org.apache.spark.sql.GraftLineage.cut(df)
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.algos._
+
+/** Golden tests on toy graphs with closed-form answers (FIXTURES.md §3)
+ * plus allclose-1e-6 against the single-node Oracle. */
+class AlgoSpec extends SparkSpec {
+
+  // FIXTURES.md: classic small PageRank digraph incl. a dangling vertex
+  val wikiEdges: Seq[(Int, Int)] = Seq(
+    (1, 2), (2, 1), (3, 0), (3, 1), (4, 1), (4, 3), (5, 1), (5, 4),
+    (6, 1), (6, 4), (7, 1), (7, 4), (8, 1), (8, 4), (9, 4), (10, 4))
+  val wikiN = 11
+
+  val path5 = Seq((0, 1), (1, 2), (2, 3), (3, 4))
+  val cycle4 = Seq((0, 1), (1, 2), (2, 3), (3, 0))
+  val twoCliques: Seq[(Int, Int)] =
+    (for { a <- 0 until 4; b <- 0 until 4 if a < b } yield (a, b)) ++
+      (for { a <- 4 until 8; b <- 4 until 8 if a < b } yield (a, b))
+
+  def assertAllClose(actual: Map[Int, Any], expected: Array[Double], tol: Double = 1e-6): Unit = {
+    assert(actual.size == expected.length)
+    actual.foreach { case (i, v) =>
+      val d = math.abs(v.asInstanceOf[Double] - expected(i))
+      assert(d <= tol, s"vertex $i: got $v expected ${expected(i)} (|diff|=$d)")
+    }
+  }
+
+  test("PageRank fixed-iteration parity with oracle on wiki digraph (allclose 1e-6)") {
+    val g = graphOf(wikiEdges, symmetric = false)
+    for (iters <- Seq(1, 3, 10)) {
+      val r = PageRank.run(g, iterations = iters)
+      assertAllClose(byIndex(g, r.ranks, "rank"), Oracle.pagerank(wikiN, wikiEdges, iters))
+    }
+  }
+
+  test("PageRank convergence mode matches oracle at the same iteration count") {
+    val g = graphOf(wikiEdges, symmetric = false)
+    val r = PageRank.run(g, iterations = 0, maxIterations = 100, tol = 1e-6)
+    val oracleIters = Oracle.pagerankItersToConverge(wikiN, wikiEdges, 1e-6)
+    assert(r.iterations == oracleIters)
+    assertAllClose(byIndex(g, r.ranks, "rank"), Oracle.pagerank(wikiN, wikiEdges, r.iterations))
+  }
+
+  test("PageRank on cycle4 is uniform 1.0") {
+    val g = graphOf(cycle4, symmetric = false)
+    val r = PageRank.run(g, iterations = 0, maxIterations = 100, tol = 1e-9)
+    byIndex(g, r.ranks, "rank").values.foreach(v =>
+      assert(math.abs(v.asInstanceOf[Double] - 1.0) < 1e-6))
+  }
+
+  test("CC HashMin exact labels on twoCliques + isolated pair") {
+    val edges = twoCliques ++ Seq((8, 9))
+    val g = graphOf(edges, symmetric = true)
+    val r = ConnectedComponents.run(g)
+    val expected = Oracle.ccLabels(10, edges)
+    val got = byIndex(g, r.labels, "lbl")
+    val idx = indexOf(g)
+    got.foreach { case (i, lblId) =>
+      assert(idx(lblId.asInstanceOf[Long]) == expected(i), s"vertex $i")
+    }
+    assert(ConnectedComponents.componentCount(r.labels) == 3)
+  }
+
+  test("LP fixpoint equals CC labels (undirected)") {
+    val edges = twoCliques ++ path5.map { case (a, b) => (a + 10, b + 10) }
+    val g = graphOf(edges, symmetric = true)
+    val cc = ConnectedComponents.run(g).labels.withColumnRenamed("lbl", "cc")
+    val lp = LabelPropagation.run(g).labels.withColumnRenamed("lbl", "lp")
+    assert(cc.join(lp, "id").where(col("cc") =!= col("lp")).count() == 0)
+  }
+
+  test("Triangle count: twoCliques=8, cycle4=0, path5=0") {
+    assert(TriangleCount.count(graphOf(twoCliques, symmetric = true)) ==
+      Oracle.triangles(8, twoCliques))
+    assert(Oracle.triangles(8, twoCliques) == 8L)
+    assert(TriangleCount.count(graphOf(cycle4, symmetric = true)) == 0L)
+    assert(TriangleCount.count(graphOf(path5, symmetric = true)) == 0L)
+  }
+
+  test("BFS levels on path5 (directed) and star (symmetric)") {
+    val g = graphOf(path5, symmetric = false)
+    val idx = indexOf(g)
+    val rootId = idx.collectFirst { case (id, 0) => id }.get
+    val r = Bfs.run(g, rootId)
+    val got = byIndex(g, r.tree, "level")
+    val expected = Oracle.bfsLevels(5, path5, 0)
+    (0 until 5).foreach(i => assert(got(i) == expected(i), s"vertex $i"))
+
+    val star = (1 to 8).map(i => (0, i))
+    val gs = graphOf(star, symmetric = true)
+    val idxS = indexOf(gs)
+    val rootS = idxS.collectFirst { case (id, 3) => id }.get
+    val rs = Bfs.run(gs, rootS)
+    val gotS = byIndex(gs, rs.tree, "level")
+    assert(gotS(3) == 0 && gotS(0) == 1)
+    (1 to 8).filter(_ != 3).foreach(i => assert(gotS(i) == 2, s"leaf $i"))
+  }
+
+  test("SSSP weightedDiamond exact distances") {
+    val wedges = Seq((0, 1), (0, 2), (1, 3), (2, 3))
+    val weights = Map((0, 1) -> 1.0, (0, 2) -> 4.0, (1, 3) -> 1.0, (2, 3) -> 1.0)
+    val g = graphOf(wedges, symmetric = false, weights)
+    val idx = indexOf(g)
+    val rootId = idx.collectFirst { case (id, 0) => id }.get
+    val r = Sssp.run(g, rootId)
+    val got = byIndex(g, r.distances, "dist")
+    val expected = Oracle.sssp(4, wedges.map { case (a, b) => (a, b, weights((a, b))) }, 0)
+    (0 until 4).foreach(i =>
+      assert(math.abs(got(i).asInstanceOf[Double] - expected(i)) < 1e-9, s"vertex $i"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.algos.{ConnectedComponents, PageRank}
+
+/** Checkpoint write→read round-trip, lineage metadata, and
+ * kill-and-resume equality (SURVEY.md §5.5). */
+class CheckpointSpec extends SparkSpec {
+
+  def tmpDir(): String =
+    Files.createTempDirectory("graft-ckpt").toString
+
+  val edges: Seq[(Int, Int)] = Seq(
+    (0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0), (2, 6), (6, 7),
+    (8, 9), (9, 10), (10, 8))
+
+  test("checkpoint round-trip is exact and carries lineage") {
+    val g = graphOf(edges, symmetric = false)
+    val ck = Checkpoint(tmpDir())
+    val state = g.degrees.select(col("id"), col("out_degree").cast("double").as("v"))
+    ck.save(state, 3, 42L)
+    assert(ck.latestIteration().contains(3))
+    val back = ck.load(spark, 3)
+    assert(back.exceptAll(state).count() == 0 && state.exceptAll(back).count() == 0)
+    val lineage = ck.lineage(3)
+    assert(lineage.contains("\"iteration\":3"))
+    assert(lineage.contains("\"active_count\":42"))
+    assert(lineage.contains("partition_hashes"))
+  }
+
+  test("PageRank: interrupted at iteration k, resumed run equals uninterrupted run") {
+    val g = graphOf(edges, symmetric = false)
+    val full = PageRank.run(g, iterations = 8)
+    val dir = tmpDir()
+    val ck = Checkpoint(dir)
+    // "kill" after 4 supersteps (save every 2, so iter=4 is on disk)
+    PageRank.run(g, iterations = 4, ckpt = Some(ck), ckptEvery = 2)
+    assert(ck.latestIteration().contains(4))
+    val resumed = PageRank.run(g, iterations = 8, ckpt = Some(ck), ckptEvery = 2, resume = true)
+    val a = byIndex(g, full.ranks, "rank")
+    val b = byIndex(g, resumed.ranks, "rank")
+    assert(a.keySet == b.keySet)
+    a.foreach { case (i, v) =>
+      assert(math.abs(v.asInstanceOf[Double] - b(i).asInstanceOf[Double]) < 1e-12, s"vertex $i")
+    }
+  }
+
+  test("CC: resume from checkpoint converges to identical labels") {
+    val g = graphOf(edges, symmetric = true)
+    val full = ConnectedComponents.run(g)
+    val dir = tmpDir()
+    val ck = Checkpoint(dir)
+    ConnectedComponents.run(g, ckpt = Some(ck), ckptEvery = 1, maxIterations = 2)
+    assert(ck.latestIteration().nonEmpty)
+    val resumed = ConnectedComponents.run(g, ckpt = Some(ck), resume = true)
+    val a = full.labels.withColumnRenamed("lbl", "a")
+    val b = resumed.labels.withColumnRenamed("lbl", "b")
+    assert(a.join(b, "id").where(col("a") =!= col("b")).count() == 0)
+  }
+}

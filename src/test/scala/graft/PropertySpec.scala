@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.algos.{ConnectedComponents, PageRank}
+
+/** Property-based tests (SURVEY.md §5.4) on seeded random graphs. */
+class PropertySpec extends SparkSpec {
+
+  def check(p: Prop, n: Int = 5): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  val graphGen: Gen[Seq[(Int, Int)]] = for {
+    n <- Gen.choose(4, 16)
+    m <- Gen.choose(n, 3 * n)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1) if a != b
+    } yield (a, b))
+  } yield edges.distinct
+
+  test("push-plan ≡ pull-plan: the two gather modes compute identical supersteps") {
+    // The key Gemini property (pagerank.cpp:53-74 push≡pull): a
+    // sparse/broadcast gather and a dense/co-partitioned gather over
+    // the same frontier must combine to identical messages.
+    check(Prop.forAll(graphGen) { edges =>
+      edges.nonEmpty ==> {
+        val g = graphOf(edges, symmetric = false)
+        val state = g.degrees.select(col("id"), (col("id") * 7 + 1).cast("double").as("v"))
+        def run(forcedMass: Long) = Superstep.gather(
+          g, state, signal = col("v"), combine = min,
+          activeEdges = forcedMass, activeCount = g.numVertices)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+        val push = run(0L) // below threshold → broadcast/push
+        val pull = run(Long.MaxValue) // above → co-partitioned/pull
+        val same = push == pull
+        g.unpersist()
+        same
+      }
+    })
+  }
+
+  test("PageRank mass conservation: pr_sum == |V| on graphs without dangling vertices") {
+    // Reference reports pr_sum ≈ |V| at the damping fixpoint
+    // (pagerank.cpp:107-112); exact conservation holds when every
+    // vertex has out-degree ≥ 1 (no sink loses mass).
+    val cyclePlus = Seq((0, 1), (1, 2), (2, 3), (3, 0), (1, 3), (3, 1))
+    val g = graphOf(cyclePlus, symmetric = false)
+    val r = PageRank.run(g, iterations = 0, maxIterations = 200, tol = 1e-10)
+    val sum = r.ranks.agg(org.apache.spark.sql.functions.sum(col("rank"))).first().getDouble(0)
+    assert(math.abs(sum - g.numVertices) < 1e-6)
+  }
+
+  test("CC label of every vertex is the min index in its component (random graphs)") {
+    check(Prop.forAll(graphGen) { edges =>
+      edges.nonEmpty ==> {
+        val n = edges.flatMap(e => Seq(e._1, e._2)).max + 1
+        val g = graphOf(edges, symmetric = true)
+        val expected = Oracle.ccLabels(n, edges)
+        val idx = indexOf(g)
+        val got = byIndex(g, ConnectedComponents.run(g).labels, "lbl")
+        val ok = got.forall { case (i, lblId) =>
+          idx(lblId.asInstanceOf[Long]) == expected(i) }
+        g.unpersist()
+        ok
+      }
+    })
+  }
+
+  test("relabeling invariance: permuting vertex ids permutes PageRank results") {
+    val edges = Seq((0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (0, 5))
+    val perm = Map(0 -> 3, 1 -> 5, 2 -> 0, 3 -> 4, 4 -> 1, 5 -> 2)
+    val g1 = graphOf(edges, symmetric = false)
+    val g2 = graphOf(edges.map { case (a, b) => (perm(a), perm(b)) }, symmetric = false)
+    val r1 = byIndex(g1, PageRank.run(g1, iterations = 7).ranks, "rank")
+    val r2 = byIndex(g2, PageRank.run(g2, iterations = 7).ranks, "rank")
+    perm.foreach { case (orig, remapped) =>
+      assert(math.abs(r1(orig).asInstanceOf[Double] - r2(remapped).asInstanceOf[Double]) < 1e-12)
+    }
+  }
+}
