@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
+
+/** Driver-contract entries for the training-data pipeline operators
+ * (dedup / similarity / text analysis / multimodal) over the
+ * `documents` and `embeddings` tables. Split from SparkEntry only for
+ * file size; SparkEntry merges both maps. */
+object PipelineEntry {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(Dedup.docs(s, dir))),
+    "q_minhash" -> ((s, dir) => Dedup.minhashPairs(Dedup.docs(s, dir))),
+    "q_simhash" -> ((s, dir) => Dedup.simhash(Dedup.docs(s, dir))),
+    "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Dedup.docs(s, dir), maxDist = 8)),
+    "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Dedup.docs(s, dir))),
+    "q_ann_cosine" -> ((s, dir) => Similarity.cosineTopK(Similarity.embeddings(s, dir))),
+    "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(Similarity.embeddings(s, dir))),
+    "q_langid" -> ((s, dir) =>
+      TextStats.langId(Dedup.docs(s, dir))
+        .select(col("doc_id"), col("pred_lang"), col("stop_hits").cast("long").as("stop_hits"))),
+    "q_quality" -> ((s, dir) =>
+      TextStats.quality(Dedup.docs(s, dir)).select(
+        col("doc_id"),
+        col("n_chars_computed").cast("long").as("n_chars_computed"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("mean_tok_len_e4"), col("punct_ratio_e4"),
+        col("stop_ratio_e4"), col("distinct_ratio_e4"))),
+    "q_tokens" -> ((s, dir) =>
+      TextStats.tokenCounts(Dedup.docs(s, dir)).select(
+        col("doc_id"),
+        col("ws_tokens").cast("long").as("ws_tokens"),
+        col("word_tokens").cast("long").as("word_tokens"),
+        col("distinct_tokens").cast("long").as("distinct_tokens"))),
+    "q_fingerprint" -> ((s, dir) => TextStats.fingerprint(Dedup.docs(s, dir))),
+    "q_media" -> ((s, dir) => {
+      val m = Multimodal.mediaTable(s, dir)
+      Multimodal.decode(m)
+        .join(Multimodal.features(m), "media_id")
+        .select(
+          col("media_id"), col("kind"), col("meta.nbytes").as("nbytes"),
+          col("width"), col("height"), col("duration_s"),
+          size(col("features")).cast("long").as("feature_dim"))
+    })
+  )
+
+  // ---- DuckDB oracle SQL ----------------------------------------
+
+  /** doc tokenization + 3-gram shingles, identical to Dedup.shingles. */
+  private val docPrefix: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, concat(tok, ' ', t1, ' ', t2) AS shingle FROM (
+      |    SELECT doc_id, tok,
+      |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+      |           lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+      |    FROM tok) x WHERE t2 IS NOT NULL
+      |)""".stripMargin
+
+  private val minhashSql: String = {
+    val mhs = (0 until 12).map(i => s"min(md5(concat('$i:', shingle))) AS mh$i").mkString(",\n    ")
+    val bandJoin = (0 until 4).map { b =>
+      val lc = (b * 3 until (b + 1) * 3).map(i => s"l.mh$i").mkString(", ")
+      val rc = (b * 3 until (b + 1) * 3).map(i => s"r.mh$i").mkString(", ")
+      s"""SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |    FROM sig l JOIN sig r
+         |    ON concat_ws('|', $lc) = concat_ws('|', $rc) AND l.doc_id < r.doc_id""".stripMargin
+    }.mkString("\n    UNION ALL\n    ")
+    docPrefix +
+      s""", sig AS (
+         |  SELECT doc_id,
+         |    $mhs
+         |  FROM sh GROUP BY doc_id
+         |), cand AS (
+         |  SELECT DISTINCT doc_a, doc_b FROM (
+         |    $bandJoin
+         |  ) u
+         |), szs AS (
+         |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+         |), inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i.doc_a, i.doc_b,
+         |       cast(round(i.i * 10000.0 / (sa.sz + sb.sz - i.i)) AS bigint) AS jaccard_e4
+         |FROM inter i
+         |JOIN szs sa ON sa.doc_id = i.doc_a
+         |JOIN szs sb ON sb.doc_id = i.doc_b
+         |WHERE i.i * 1.0 / (sa.sz + sb.sz - i.i) >= 0.5""".stripMargin
+  }
+
+  private val ngramJaccardSql: String = docPrefix +
+    """, szs AS (
+      |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM sh a
+      |  JOIN documents da ON da.doc_id = a.doc_id
+      |  JOIN documents db ON db.source = da.source
+      |  JOIN sh b ON b.doc_id = db.doc_id AND b.shingle = a.shingle
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT i.doc_a, i.doc_b,
+      |       cast(round(i.i * 10000.0 / (sa.sz + sb.sz - i.i)) AS bigint) AS jaccard_e4
+      |FROM inter i
+      |JOIN szs sa ON sa.doc_id = i.doc_a
+      |JOIN szs sb ON sb.doc_id = i.doc_b""".stripMargin
+
+  private val annCosineSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, cast(unnest(embedding) AS double) AS x,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), norms AS (
+      |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1
+      |), dots AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, sum(a.x*b.x) AS d
+      |  FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id
+      |  GROUP BY 1, 2
+      |), sims AS (
+      |  SELECT d.vec_id, d.nbr_id,
+      |         cast(round(d.d / (na.nrm * nb.nrm) * 10000) AS bigint) AS sim_e4
+      |  FROM dots d
+      |  JOIN norms na ON na.vec_id = d.vec_id
+      |  JOIN norms nb ON nb.vec_id = d.nbr_id
+      |)
+      |SELECT vec_id, nbr_id, sim_e4, cast(rank AS bigint) AS rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_e4 DESC, nbr_id) AS rank
+      |  FROM sims) r
+      |WHERE rank <= 5""".stripMargin
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  private val langidSql: String = {
+    val cases = Seq("en", "de", "fr", "es").map(l =>
+      s"sum(CASE WHEN tok IN ${inList(TextStats.stopwords(l))} THEN 1 ELSE 0 END) AS s_$l")
+      .mkString(",\n    ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+       |), sc AS (
+       |  SELECT doc_id,
+       |    $cases
+       |  FROM tok GROUP BY 1
+       |), g AS (
+       |  SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM sc
+       |)
+       |SELECT doc_id,
+       |       CASE WHEN best = 0 THEN 'und'
+       |            WHEN s_en = best THEN 'en'
+       |            WHEN s_de = best THEN 'de'
+       |            WHEN s_fr = best THEN 'fr'
+       |            ELSE 'es' END AS pred_lang,
+       |       cast(best AS bigint) AS stop_hits
+       |FROM g""".stripMargin
+  }
+
+  private val qualitySql: String = {
+    val en = inList(TextStats.stopwords("en"))
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |         length(text) AS nc,
+       |         len(string_split(text, ' ')) AS nt,
+       |         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+       |         len(list_filter(string_split(lower(text), ' '), t -> t IN $en)) AS stops,
+       |         len(list_distinct(string_split(lower(text), ' '))) AS dt
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |       cast(nc AS bigint) AS n_chars_computed,
+       |       cast(nt AS bigint) AS n_tokens,
+       |       cast(round(nc * 1.0 / nt * 10000) AS bigint) AS mean_tok_len_e4,
+       |       cast(round(punct * 1.0 / nc * 10000) AS bigint) AS punct_ratio_e4,
+       |       cast(round(stops * 1.0 / nt * 10000) AS bigint) AS stop_ratio_e4,
+       |       cast(round(dt * 1.0 / nt * 10000) AS bigint) AS distinct_ratio_e4
+       |FROM b""".stripMargin
+  }
+
+  private val tokensSql: String =
+    """SELECT doc_id,
+      |       cast(len(string_split(text, ' ')) AS bigint) AS ws_tokens,
+      |       cast(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS bigint) AS word_tokens,
+      |       cast(len(list_distinct(string_split(lower(text), ' '))) AS bigint) AS distinct_tokens
+      |FROM documents""".stripMargin
+
+  private val fingerprintSql: String = docPrefix +
+    """, h AS (
+      |  SELECT doc_id, md5(shingle) AS h FROM sh
+      |), r AS (
+      |  SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM h
+      |)
+      |SELECT doc_id, string_agg(h, ',' ORDER BY h) AS fingerprint
+      |FROM r WHERE rn <= 3 GROUP BY doc_id""".stripMargin
+
+  /** q_simhash / q_simhash_pairs / q_ann_lsh / q_media are rows-only:
+   * xxhash64 (simhash, media stubs) has no DuckDB equivalent, and the
+   * LSH bucket sign depends on float-summation order at proj≈0 which
+   * is not stable across engines; their exactness is covered by Scala
+   * unit tests instead. */
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keeper_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_minhash" -> minhashSql,
+    "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_ann_cosine" -> annCosineSql,
+    "q_langid" -> langidSql,
+    "q_quality" -> qualitySql,
+    "q_tokens" -> tokensSql,
+    "q_fingerprint" -> fingerprintSql)
+}

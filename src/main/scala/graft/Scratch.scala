@@ -1,10 +1,11 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-import graft.sources.{EdgeBuilder, Transcripts, VertexDict}
+import graft.sources.{EdgeBuilder, Transcripts}
 
-/** Dev-only profiling scratchpad. */
+/** Dev-only profiling / plan-inspection scratchpad. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -14,18 +15,19 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def t[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      System.err.println(f"[t] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    val tr = t("transcripts.count")(Transcripts.fromEvents(spark, sfDir).count())
-    val ke = Transcripts.fromEvents(spark, sfDir)
-    val keyEdges = EdgeBuilder.keyEdges(ke)
-    t("keyEdges.count")(keyEdges.count())
-    val dict = t("dict.build")(VertexDict.build(keyEdges, 8))
-    t("dict.count")(dict.count())
-    t("linkgraph")(LinkGraph.fromKeyEdges(keyEdges, symmetric = false, 8))
-    t("linkgraph-sym")(LinkGraph.fromKeyEdges(keyEdges, symmetric = true, 8))
+    val g = LinkGraph.fromKeyEdges(
+      EdgeBuilder.keyEdges(Transcripts.fromEvents(spark, sfDir)), symmetric = false, 8)
+
+    // one PageRank gather step: is the edge side exchange-free?
+    val degs = g.degrees.select(col("id"), col("out_degree"))
+    val curr = org.apache.spark.sql.GraftLineage.cut(
+      degs.select(col("id"),
+        when(col("out_degree") > 0, lit(1.0) / col("out_degree")).otherwise(1.0).as("v")))
+    val sums = Superstep.gather(g, curr, col("v"), sum, g.numEdges, g.numVertices)
+    val step = degs.join(sums, Seq("id"), "left")
+      .select(col("id"), (lit(0.15) + lit(0.85) * coalesce(col("msg"), lit(0.0))).as("raw"))
+    System.err.println("==== PageRank superstep plan ====")
+    step.explain("formatted")
     spark.stop()
   }
 }

@@ -36,7 +36,10 @@ object SparkEntry {
   }
 
   /** One per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graphQueries ++ PipelineEntry.queries
+
+  private def graphQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sources / builders (S1-S3 analogues) ----
     "q_transcripts" -> ((s, dir) =>
       Transcripts.fromEvents(s, dir)
@@ -80,6 +83,12 @@ object SparkEntry {
       val root = rootId(g)
       Sssp.run(g, root).distances.join(g.vertices, "id")
         .select(col("key"), round(col("dist") * 1000).cast("long").as("dist_e3"))
+    }),
+    "q_bc" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = false)
+      val root = rootId(g)
+      Betweenness.run(g, root).bc.join(g.vertices, "id")
+        .select(col("key"), round(col("bc") * 1000).cast("long").as("bc_e3"))
     })
   )
 
@@ -195,5 +204,5 @@ object SparkEntry {
         |)
         |SELECT count(*) AS n_triangles
         |FROM ud e1 JOIN ud e2 ON e2.a = e1.b JOIN ud e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin)
-  )
+  ) ++ PipelineEntry.oracleSql
 }

@@ -69,7 +69,8 @@ object Superstep {
       signal: Column,
       combine: Column => Column,
       activeEdges: Long,
-      activeCount: Long): DataFrame = {
+      activeCount: Long,
+      saltBuckets: Int = 0): DataFrame = {
     val sparse = activeEdges < graph.numEdges / denseThresholdFraction &&
       activeCount < broadcastRowCap
     val src = activeState.withColumnRenamed("id", "src")
@@ -78,9 +79,36 @@ object Superstep {
         graph.edgesBySrc.join(broadcast(src), "src")
       else
         graph.edgesBySrc.join(src.repartition(graph.numPartitions, col("src")), "src")
-    joined
-      .select(col("dst").as("id"), signal.as("msg"))
-      .groupBy(col("id"))
-      .agg(combine(col("msg")).as("msg"))
+    val msgs = joined.select(col("dst").as("id"), signal.as("msg"), col("src"))
+    if (saltBuckets > 1) {
+      // Explicit two-level salted aggregation for hub destinations
+      // (north rule; Gemini's analogue is chunk tuning + work stealing,
+      // core/graph.hpp:1340-1403): combine per (dst, salt) first so no
+      // single reducer owns a hub's full in-degree, then combine the
+      // ≤saltBuckets partials. Requires an associative combiner (sum/
+      // min/max — all of ours). Map-side partial aggregation gives the
+      // same effect implicitly; the salt makes the REDUCE side skew-
+      // free too, which matters when a hub's combined input exceeds
+      // one task even after partials.
+      msgs
+        .groupBy(col("id"), pmod(xxhash64(col("src")), lit(saltBuckets.toLong)).as("salt"))
+        .agg(combine(col("msg")).as("msg"))
+        .groupBy(col("id"))
+        .agg(combine(col("msg")).as("msg"))
+    } else {
+      msgs
+        .drop("src")
+        .groupBy(col("id"))
+        .agg(combine(col("msg")).as("msg"))
+    }
+  }
+
+  /** Salt-bucket heuristic: salt when the worst hub's in-degree is both
+   * skewed (≫ mean) and large in absolute terms. */
+  def autoSaltBuckets(graph: LinkGraph): Int = {
+    val r = graph.degrees.agg(max(col("in_degree")), avg(col("in_degree"))).first()
+    val maxIn = r.getLong(0)
+    val avgIn = r.getDouble(1)
+    if (maxIn > 1000000L && maxIn > 50 * avgIn) 16 else 0
   }
 }

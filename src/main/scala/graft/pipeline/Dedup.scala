@@ -1,0 +1,177 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication operators for large-scale training-data
+ * pipelines, over the `documents(doc_id, text, lang, source, n_chars)`
+ * table. No counterpart in the reference (a pure graph engine) — these
+ * are the data-curation capabilities a 100 TB corpus pipeline needs.
+ *
+ * Scale design notes:
+ *  - everything is hash-partitioned groupBy/join (no global sorts);
+ *  - MinHash-LSH candidate generation is the linear-cost path (band
+ *    bucket join) and the quadratic exact-Jaccard verify runs only on
+ *    candidates, never all pairs;
+ *  - hashes are md5 strings so the DuckDB oracle can reproduce them
+ *    bit-for-bit (`md5` agrees across engines; the "min" of a MinHash
+ *    is plain string min).
+ */
+object Dedup {
+
+  def docs(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Exact dedup: one group per distinct text (md5-keyed), keeper =
+   * min doc_id. Hash-groupBy — the cheapest dedup at any scale. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
+
+  /** (doc_id, pos, tok) — documents are single-space tokenized. */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+
+  /** Distinct word n-gram shingles per doc (default 3-grams). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val withNext = (1 until n).foldLeft(tokens(docs)) { (df, i) =>
+      df.withColumn(s"t$i", lead(col("tok"), i).over(w))
+    }
+    val parts = col("tok") +: (1 until n).map(i => col(s"t$i"))
+    withNext
+      .where(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signature: `numHashes` independent hash functions
+   * realized as md5 over a seed-prefixed shingle; the signature
+   * component is the string-min. */
+  def minhashSignature(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * MinHash + LSH near-duplicate pairs:
+   * shingle → minhash → band buckets → bucket join (candidates) →
+   * exact-Jaccard verify ≥ threshold.
+   *
+   * @return (doc_a, doc_b, jaccard_e4) with doc_a < doc_b
+   */
+  def minhashPairs(
+      docs: DataFrame,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      shingleN: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val sh = shingles(docs, shingleN).persist()
+    val sig = minhashSignature(sh, numHashes)
+    val bandCols: Seq[Column] = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      md5(concat_ws("|", cols: _*)).as(s"band$b")
+    }
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+    // bucket join per band; union the candidate pairs, dedup
+    val candidates = (0 until bands).map { b =>
+      val l = banded.select(col("doc_id").as("doc_a"), col(s"band$b").as("bh"))
+      val r = banded.select(col("doc_id").as("doc_b"), col(s"band$b").as("bh"))
+      l.join(r, "bh").where(col("doc_a") < col("doc_b")).select(col("doc_a"), col("doc_b"))
+    }.reduce(_ unionByName _).distinct()
+    // exact Jaccard verify on candidates only
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
+    sh.unpersist()
+    out
+  }
+
+  /**
+   * 64-bit SimHash per document: token hashed with xxhash64, each bit
+   * votes ±1, the sign vector packs back into a Long. Near-dup check =
+   * Hamming distance on the signature (see [[simhashPairs]]).
+   * xxhash64 has no DuckDB equivalent → rows-only driver check; exact
+   * correctness is covered by the Scala unit test.
+   */
+  def simhash(docs: DataFrame): DataFrame = {
+    val t = tokens(docs)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("w"))
+      .select(col("doc_id"), col("w"), xxhash64(col("tok")).as("h"))
+    val bits = t.select(
+      col("doc_id"), col("w"), explode(sequence(lit(0), lit(63))).as("bit"),
+      col("h"))
+      .withColumn("vote",
+        when(expr("shiftright(h, cast(bit as int))").bitwiseAND(1) === 1, col("w"))
+          .otherwise(-col("w")))
+    bits.groupBy(col("doc_id"), col("bit")).agg(sum(col("vote")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, cast(bit as int))")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist. Candidate
+   * generation: block on 16-bit signature quarters (a pair within
+   * distance ≤ 3 must agree on ≥1 of 4 quarters) — linear bucket join,
+   * never all-pairs. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sig = simhash(docs).persist()
+    val quarters = (0 until 4).map(q =>
+      sig.select(
+        col("doc_id"), col("simhash"),
+        lit(q).as("q"),
+        shiftright(col("simhash"), q * 16).bitwiseAND(0xffffL).as("qk")))
+      .reduce(_ unionByName _)
+    val cand = quarters.as("l")
+      .join(quarters.as("r"), Seq("q", "qk"))
+      .where(col("l.doc_id") < col("r.doc_id"))
+      .select(
+        col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.simhash").as("sa"), col("r.simhash").as("sb"))
+      .distinct()
+    val out = cand
+      .withColumn("dist", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .where(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+    out
+  }
+
+  /** Exact pairwise word-n-gram Jaccard within a blocking key (same
+   * `source`) — the quadratic baseline, bounded by block size. */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    val sh = shingles(docs, n)
+    val blocked = docs.select(col("doc_id"), col("source"))
+    val a = sh.join(blocked, "doc_id")
+      .select(col("doc_id").as("doc_a"), col("source"), col("shingle"))
+    val b = sh.join(blocked, "doc_id")
+      .select(col("doc_id").as("doc_b"), col("source"), col("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = a.join(b, Seq("source", "shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
+      .where(col("jaccard") > minJaccard)
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
+  }
+}

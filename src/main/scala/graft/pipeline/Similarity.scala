@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (`embeddings(vec_id, embedding: array<float>, label)`).
+ *
+ *  - [[cosineTopK]]: brute-force cosine top-k — the exactness
+ *    baseline. All-pairs join; O(N²·d). Correct at any scale but only
+ *    affordable for moderate N (or as the per-bucket kernel below).
+ *  - [[lshTopK]]: random-hyperplane LSH — the scale path. Vectors
+ *    hash to a sign-pattern bucket (hyperplane coefficients are a
+ *    deterministic arithmetic PRNG, reproducible in plain SQL, no
+ *    engine-specific hash), and the quadratic kernel runs per bucket.
+ *    Linear candidate generation, tunable recall via `planes`.
+ *
+ * All dot products run through `zip_with` + `aggregate` on DOUBLE —
+ * codegen'd column expressions, no UDFs — and similarities are
+ * exported as `sim_e4` scaled integers so the DuckDB oracle compare
+ * is exact-integer (floats straddling a rounding boundary differ
+ * across engines in the last bits).
+ */
+object Similarity {
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** (vec_id, v: array<double>, norm) */
+  def prepared(emb: DataFrame): DataFrame =
+    emb.select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  /** Brute-force cosine top-k per query vector. Deterministic output:
+   * ranking on (sim_e4 desc, nbr_id asc) so rounding-boundary float
+   * noise cannot reorder results across engines/runs. */
+  def cosineTopK(emb: DataFrame, k: Int = 5): DataFrame = {
+    val p = prepared(emb).persist()
+    val a = p.select(col("vec_id"), col("v"), col("norm"))
+    val b = p.select(col("vec_id").as("nbr_id"), col("v").as("w"), col("norm").as("nrm2"))
+    val sims = a.join(b, col("vec_id") =!= col("nbr_id"))
+      .select(
+        col("vec_id"), col("nbr_id"),
+        round(dot(col("v"), col("w")) / (col("norm") * col("nrm2")) * 10000)
+          .cast("long").as("sim_e4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim_e4").desc, col("nbr_id").asc)
+    val out = sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("sim_e4"), col("rank"))
+    out
+  }
+
+  /** LSH-bucketed cosine top-k: the 100 TB-scale variant. Buckets via
+   * `planes` random hyperplanes, brute-force kernel within buckets.
+   * Note `sequence(0, size-1)` supplies dimension indices for the
+   * projection — still pure column expressions. */
+  def lshTopK(emb: DataFrame, planes: Int = 6, k: Int = 5): DataFrame = {
+    val p = prepared(emb)
+      .withColumn(
+        "bucket", {
+          val signs: Seq[Column] = (0 until planes).map { pl =>
+            val proj = aggregate(
+              zip_with(
+                col("v"),
+                transform(col("v"), (_, i) => i.cast("long")),
+                (x, i) => x * when(
+                  pmod(i * lit(2654435761L) + lit(pl * 40503L), lit(1000003L)) % 2 === 0,
+                  lit(1.0)).otherwise(lit(-1.0))),
+              lit(0.0), (acc, x) => acc + x)
+            when(proj >= 0, lit("1")).otherwise(lit("0"))
+          }
+          concat(signs: _*)
+        })
+      .persist()
+    val a = p.select(col("bucket"), col("vec_id"), col("v"), col("norm"))
+    val b = p.select(
+      col("bucket"), col("vec_id").as("nbr_id"), col("v").as("w"), col("norm").as("nrm2"))
+    val sims = a.join(b, Seq("bucket")).where(col("vec_id") =!= col("nbr_id"))
+      .select(
+        col("vec_id"), col("nbr_id"),
+        round(dot(col("v"), col("w")) / (col("norm") * col("nrm2")) * 10000)
+          .cast("long").as("sim_e4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim_e4").desc, col("nbr_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("sim_e4"), col("rank"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data curation over `documents`:
+ * language-ID (stopword-profile heuristic), quality scoring
+ * (length/punct/stopword ratios), token counting (whitespace + word
+ * regex), and document fingerprinting (bottom-k shingle hashes, a
+ * winnowing-style sketch).
+ *
+ * Everything is a codegen'd column expression (no UDFs); ratios are
+ * exported ×10⁴ as integers for exact oracle compare. The heuristics
+ * are deterministic functions of the text — they do not (and cannot)
+ * recover the synthetic `lang` column, which is uncorrelated with the
+ * generated vocabulary; the oracle checks the FUNCTION, the unit test
+ * checks the semantics on hand-written multilingual snippets.
+ */
+object TextStats {
+
+  /** Tiny stopword profiles (top function words per language). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de", "un", "une", "dans", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "de", "un", "una", "en", "por"))
+
+  private def tokensCol: Column = split(lower(col("text")), " ")
+
+  private def stopCount(lang: String): Column =
+    size(filter(tokensCol, t => t.isin(stopwords(lang): _*)))
+
+  /** Language-ID: argmax of stopword hits per profile; deterministic
+   * tie-break by fixed language order (en > de > fr > es), 'und'
+   * (undetermined) when no profile matches at all. */
+  def langId(docs: DataFrame): DataFrame = {
+    val langs = Seq("en", "de", "fr", "es")
+    val scored = langs.foldLeft(docs.select(col("doc_id"), col("text"))) { (df, l) =>
+      df.withColumn(s"s_$l", stopCount(l))
+    }
+    val best = langs.foldLeft(lit(0): Column)((acc, l) => greatest(acc, col(s"s_$l")))
+    val pred = langs.foldRight(lit("und"): Column) { (l, rest) =>
+      when(col(s"s_$l") === col("best") && col("best") > 0, lit(l)).otherwise(rest)
+    }
+    // foldRight gives en-first priority on ties
+    scored.withColumn("best", best)
+      .withColumn("pred_lang", pred)
+      .select(col("doc_id"), col("pred_lang"), col("best").as("stop_hits"))
+  }
+
+  /** Quality signals: char length, token count, mean token length,
+   * punctuation ratio, stopword ratio, distinct-token ratio — the
+   * standard cheap filters for corpus curation, ×10⁴ integers. */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokensCol
+    val nTok = size(toks)
+    val nChars = length(col("text"))
+    val punct = nChars - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
+    val stops = stopCount("en")
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars_computed"),
+      nTok.as("n_tokens"),
+      round(nChars.cast("double") / nTok * 10000).cast("long").as("mean_tok_len_e4"),
+      round(punct.cast("double") / nChars * 10000).cast("long").as("punct_ratio_e4"),
+      round(stops.cast("double") / nTok * 10000).cast("long").as("stop_ratio_e4"),
+      round(distinctRatio * 10000).cast("long").as("distinct_ratio_e4"))
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish word-piece count
+   * (alnum runs via regex — a cheap proxy for subword count). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("word_tokens"),
+      size(array_distinct(split(lower(col("text")), " "))).as("distinct_tokens"))
+
+  /** Document fingerprint: the k smallest md5(3-gram shingle) hashes,
+   * joined — a bottom-k sketch (winnowing-style) stable under small
+   * edits. Identical in DuckDB (string-min over md5). */
+  def fingerprint(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = Dedup.shingles(docs, 3)
+      .select(col("doc_id"), md5(col("shingle")).as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("h"))
+    sh.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(",", array_sort(collect_list(col("h")))).as("fingerprint"))
+  }
+}

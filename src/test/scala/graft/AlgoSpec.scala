@@ -56,10 +56,12 @@ class AlgoSpec extends SparkSpec {
     val g = graphOf(edges, symmetric = true)
     val r = ConnectedComponents.run(g)
     val expected = Oracle.ccLabels(10, edges)
-    val got = byIndex(g, r.labels, "lbl")
-    val idx = indexOf(g)
-    got.foreach { case (i, lblId) =>
-      assert(idx(lblId.asInstanceOf[Long]) == expected(i), s"vertex $i")
+    // engine labels are min-ID per component; ids are not index-ordered,
+    // so compare PARTITIONS via min-member-index canonicalization
+    val got = byIndex(g, r.labels, "lbl").view.mapValues(_.asInstanceOf[Long]).toMap
+    val repByLbl = got.groupBy(_._2).map { case (l, m) => l -> m.keys.min }
+    got.foreach { case (i, l) =>
+      assert(repByLbl(l) == expected(i), s"vertex $i")
     }
     assert(ConnectedComponents.componentCount(r.labels) == 3)
   }
@@ -97,6 +99,22 @@ class AlgoSpec extends SparkSpec {
     val gotS = byIndex(gs, rs.tree, "level")
     assert(gotS(3) == 0 && gotS(0) == 1)
     (1 to 8).filter(_ != 3).foreach(i => assert(gotS(i) == 2, s"leaf $i"))
+  }
+
+  test("Betweenness matches oracle on path5, wiki digraph, and twoCliques (allclose 1e-6)") {
+    for ((edges, n, rootIdx) <- Seq(
+        (path5, 5, 0), (wikiEdges, wikiN, 4), (twoCliques, 8, 0))) {
+      val g = graphOf(edges, symmetric = false)
+      val idx = indexOf(g)
+      val root = idx.collectFirst { case (id, i) if i == rootIdx => id }.get
+      val r = Betweenness.run(g, root)
+      val got = byIndex(g, r.bc, "bc")
+      val expected = Oracle.bc(n, edges, rootIdx)
+      assert(got.keySet == expected.keySet, "reached sets differ")
+      expected.foreach { case (i, v) =>
+        assert(math.abs(got(i).asInstanceOf[Double] - v) < 1e-6, s"vertex $i")
+      }
+    }
   }
 
   test("SSSP weightedDiamond exact distances") {

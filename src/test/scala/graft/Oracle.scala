@@ -111,6 +111,46 @@ object Oracle {
     dist
   }
 
+  /** Betweenness from root (/root/reference/toolkits/bc.cpp:24-196):
+   * forward level-BFS accumulating σ, backward dependency unwind,
+   * bc = dep·σ − 1. Returns reached vertices only. */
+  def bc(n: Int, edges: Seq[(Int, Int)], root: Int): Map[Int, Double] = {
+    val adj = edges.groupMap(_._1)(_._2)
+    val sigma = Array.fill(n)(0.0)
+    val level = Array.fill(n)(-1)
+    sigma(root) = 1.0; level(root) = 0
+    var levels = List(List(root))
+    var frontier = List(root)
+    var k = 0
+    while (frontier.nonEmpty) {
+      k += 1
+      val next = scala.collection.mutable.LinkedHashSet[Int]()
+      frontier.foreach { v =>
+        adj.getOrElse(v, Nil).foreach { w =>
+          if (level(w) == -1 || level(w) == k) {
+            if (level(w) == -1) { level(w) = k; next += w }
+            sigma(w) += sigma(v)
+          }
+        }
+      }
+      frontier = next.toList
+      if (frontier.nonEmpty) levels = frontier :: levels
+    }
+    val dep = Array.fill(n)(0.0)
+    var first = true
+    levels.foreach { lvl =>
+      lvl.foreach { v =>
+        dep(v) = 1.0 / sigma(v) +
+          (if (first) 0.0
+           else adj.getOrElse(v, Nil).collect {
+             case u if level(u) == level(v) + 1 => dep(u)
+           }.sum)
+      }
+      first = false
+    }
+    (0 until n).filter(level(_) >= 0).map(v => v -> (dep(v) * sigma(v) - 1.0)).toMap
+  }
+
   /** Exact triangle count on the undirected simple graph. */
   def triangles(n: Int, edges: Seq[(Int, Int)]): Long = {
     val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }

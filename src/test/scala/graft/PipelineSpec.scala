@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline._
+
+/** Unit tests for the training-data pipeline operators (dedup,
+ * similarity, text analysis, multimodal plumbing). */
+class PipelineSpec extends SparkSpec {
+
+  lazy val docsFixture: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L),
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L), // exact dup of 0
+      (2L, "the quick brown fox jumps over the sleepy dog", "en", "s0", 45L), // near dup of 0
+      (3L, "der hund und die katze sind nicht ein team", "de", "s0", 42L),
+      (4L, "completely different words about spark engines here today", "en", "s1", 57L),
+      (5L, "le chat est dans la maison et le jardin pour un moment", "fr", "s1", 54L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("exact dedup groups identical texts, keeper = min doc_id") {
+    val r = Dedup.exact(docsFixture).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.length == 5) // 6 docs, one pair collapsed
+    val dup = r.filter(_._2 == 2)
+    assert(dup.length == 1 && dup.head._3 == 0L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, skips unrelated") {
+    val pairs = Dedup.minhashPairs(docsFixture, threshold = 0.3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact duplicate pair")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)), "near duplicate pair")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc has no pair")
+  }
+
+  test("simhash: identical texts hash identically; near-dups are close, unrelated far") {
+    val h = Dedup.simhash(docsFixture).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(0L) == h(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(0L), h(2L)) < hamming(h(0L), h(4L)))
+    val pairs = Dedup.simhashPairs(docsFixture, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("ngram jaccard within source blocks") {
+    val r = Dedup.ngramJaccard(docsFixture).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(r((0L, 1L)) == 10000L) // identical → jaccard 1
+    assert(r.contains((0L, 2L)) && r((0L, 2L)) > 3000L && r((0L, 2L)) < 10000L)
+    assert(!r.keySet.exists { case (a, b) => a == 4L || b == 4L }) // different source block? s1: 4,5 share no shingle
+  }
+
+  lazy val embFixture: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)), // near 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(1.0f, 0.0f, 0.0f, 0.0f)) // identical to 0
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force cosine top-k matches a hand computation") {
+    val r = Similarity.cosineTopK(embFixture, k = 2).collect()
+      .map(x => ((x.getLong(0), x.getInt(3)), (x.getLong(1), x.getLong(2)))).toMap
+    // vec 0: rank1 = vec 4 (identical, sim 1.0)
+    assert(r((0L, 1)) == (4L, 10000L))
+    // vec 0: rank2 = vec 1 (cos = 0.9/sqrt(0.82) ≈ 0.99388 → 9939)
+    val (n2, s2) = r((0L, 2))
+    assert(n2 == 1L && s2 == 9939L)
+  }
+
+  test("LSH-bucketed top-k finds identical vectors (same bucket by construction)") {
+    val r = Similarity.lshTopK(embFixture, planes = 4, k = 2).collect()
+      .map(x => ((x.getLong(0), x.getInt(3)), x.getLong(1))).toMap
+    assert(r.get((0L, 1)).contains(4L) || r.get((4L, 1)).contains(0L))
+  }
+
+  test("langId: stopword profiles pick the right language, deterministic tie-break") {
+    val r = TextStats.langId(docsFixture).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(0L) == "en" && r(3L) == "de" && r(5L) == "fr")
+  }
+
+  test("quality + token counts are exact on a hand-checked doc") {
+    val q = TextStats.quality(docsFixture).where(col("doc_id") === 0).head()
+    def l(r: org.apache.spark.sql.Row, i: Int) = r.getAs[Number](i).longValue()
+    assert(l(q, 1) == 43L) // n_chars
+    assert(l(q, 2) == 9L) // tokens
+    assert(l(q, 4) == 0L) // no punctuation
+    val t = TextStats.tokenCounts(docsFixture).where(col("doc_id") === 0).head()
+    assert(l(t, 1) == 9L && l(t, 2) == 9L && l(t, 3) == 8L) // 'the' twice
+  }
+
+  test("fingerprint: equal for identical docs, stable, different for different docs") {
+    val f = TextStats.fingerprint(docsFixture).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(f(0L) == f(1L))
+    assert(f(0L) != f(4L))
+    assert(f(0L).split(",").length == 3)
+  }
+
+  test("multimodal plumbing: decode metadata, features, frame sampling") {
+    import spark.implicits._
+    val media = docsFixture.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      struct(length(col("text")).as("nbytes"), col("source").as("origin")).as("meta"))
+    val dec = Multimodal.decode(media).collect()
+    assert(dec.length == 6)
+    val img = dec.filter(_.getString(1) == "image")
+    assert(img.forall(r => r.getLong(3) >= 32 && r.getLong(3) < 1312)) // width range
+    val feats = Multimodal.features(media, dim = 16).collect()
+    assert(feats.forall(_.getSeq[Double](1).length == 16))
+    assert(feats.forall(_.getSeq[Double](1).forall(v => v >= -1.0 && v <= 1.0)))
+    val frames = Multimodal.frameSample(media, n = 4)
+    val perVideo = frames.groupBy("media_id").count().collect()
+    assert(perVideo.nonEmpty && perVideo.forall(_.getLong(1) == 4L))
+    // determinism
+    val feats2 = Multimodal.features(media, dim = 16).collect()
+    assert(feats.map(_.toString).sorted.sameElements(feats2.map(_.toString).sorted))
+  }
+}

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
 
 import graft.algos.{ConnectedComponents, PageRank}
 
@@ -60,10 +61,11 @@ class PropertySpec extends SparkSpec {
         val n = edges.flatMap(e => Seq(e._1, e._2)).max + 1
         val g = graphOf(edges, symmetric = true)
         val expected = Oracle.ccLabels(n, edges)
-        val idx = indexOf(g)
+        // canonicalize engine components (min-ID labels) to min-member-index
         val got = byIndex(g, ConnectedComponents.run(g).labels, "lbl")
-        val ok = got.forall { case (i, lblId) =>
-          idx(lblId.asInstanceOf[Long]) == expected(i) }
+          .view.mapValues(_.asInstanceOf[Long]).toMap
+        val repByLbl = got.groupBy(_._2).map { case (l, m) => l -> m.keys.min }
+        val ok = got.forall { case (i, l) => repByLbl(l) == expected(i) }
         g.unpersist()
         ok
       }
