@@ -22,6 +22,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.file.transferTo", "false") // gVisor: NIO transferTo mmap/unmap churn is pathological
+      .config("spark.shuffle.sort.bypassMergeThreshold", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -42,9 +44,17 @@ object Bench {
       Graphs.get(spark, sfDir, symmetric = true))
 
     // Headline: PageRank to 1e-6 convergence, edges/sec/iteration.
-    val (pr, prSec) = timed("pagerank-converge")(
+    // Reference protocol (pagerank.cpp:144-147): 1 untimed warmup +
+    // timed repeats, median — the median also rides out this host's
+    // nondeterministic slow windows (see BASELINE.md).
+    val (pr, _) = timed("pagerank-converge-warmup")(
       algos.PageRank.run(gDir, iterations = 0, maxIterations = 60, tol = 1e-6))
     val prIters = pr.iterations
+    val repeats = (1 to 3).map { r =>
+      timed(s"pagerank-converge-$r")(
+        algos.PageRank.run(gDir, iterations = 0, maxIterations = 60, tol = 1e-6))._2
+    }.sorted
+    val prSec = repeats(repeats.length / 2)
     val edgesPerSecIter =
       if (prSec > 0) gDir.numEdges.toDouble * prIters / prSec else 0.0
 

@@ -44,6 +44,11 @@ final case class LinkGraph(
     numPartitions: Int,
     symmetric: Boolean) {
 
+  /** Largest out-degree — computed once, used to bound a frontier's
+   * edge mass without a per-superstep aggregation job. */
+  lazy val maxOutDegree: Long =
+    degrees.agg(org.apache.spark.sql.functions.max(col("out_degree"))).first().getLong(0)
+
   /** Reverse every edge in O(1) — the reference's `transpose()`
    * (core/graph.hpp:758-768): swap the two clustered layouts. */
   def transpose: LinkGraph = copy(

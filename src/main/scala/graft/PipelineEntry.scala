@@ -126,6 +126,7 @@ object PipelineEntry {
       |), dots AS (
       |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, sum(a.x*b.x) AS d
       |  FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id
+      |  WHERE a.vec_id < 500
       |  GROUP BY 1, 2
       |), sims AS (
       |  SELECT d.vec_id, d.nbr_id,

@@ -40,7 +40,9 @@ object ScalingBench {
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
+        .config("spark.file.transferTo", "false") // gVisor: NIO transferTo mmap/unmap churn is pathological
+      .config("spark.shuffle.sort.bypassMergeThreshold", "8")
+      .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
 

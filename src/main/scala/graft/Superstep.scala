@@ -32,6 +32,10 @@ import org.apache.spark.sql.functions._
  */
 object Superstep {
 
+  /** Opt-in per-superstep timing (set GRAFT_VERBOSE=1). */
+  val verbose: Boolean = sys.env.get("GRAFT_VERBOSE").contains("1")
+  def log(msg: => String): Unit = if (verbose) System.err.println(s"[superstep] $msg")
+
   /** Same constant as the reference: sparse iff active out-edges < |E|/20
    * (core/graph.hpp:1508). */
   val denseThresholdFraction = 20L
@@ -48,6 +52,18 @@ object Superstep {
       .agg(coalesce(sum(col("out_degree")), lit(0L)))
       .first()
     r.getLong(0)
+  }
+
+  /** Frontier edge mass, skipping the aggregation job when
+   * `activeCount · maxOutDegree` already proves the frontier sparse —
+   * the exact statistic is only needed near the |E|/20 threshold.
+   * Halves the per-superstep job count on long-diameter graphs
+   * (transcript chains) where frontiers stay tiny for hundreds of
+   * supersteps. */
+  def massOrBound(graph: LinkGraph, frontierState: DataFrame, activeCount: Long): Long = {
+    val bound = activeCount * graph.maxOutDegree
+    if (bound < graph.numEdges / denseThresholdFraction) bound
+    else frontierEdgeMass(graph, frontierState)
   }
 
   /**

@@ -11,6 +11,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.file.transferTo", "false") // gVisor: NIO transferTo mmap/unmap churn is pathological
+      .config("spark.shuffle.sort.bypassMergeThreshold", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -45,7 +45,7 @@ object Betweenness {
     levels = frontier :: levels
     var frontierCount = 1L
     while (frontierCount > 0) {
-      val mass = Superstep.frontierEdgeMass(graph, frontier)
+      val mass = Superstep.massOrBound(graph, frontier, frontierCount)
       val msgs = Superstep.gather(
         graph, frontier, signal = col("sigma"), combine = sum,
         activeEdges = mass, activeCount = frontierCount)
@@ -53,7 +53,10 @@ object Betweenness {
         .select(col("id"), col("msg").as("sigma")).graftCut
       frontierCount = next.count()
       if (frontierCount > 0) {
-        visited = visited.unionByName(next.select(col("id"))).graftCut
+        // append-only: compact lazily (see Bfs) — the per-level
+        // frontiers are already cut, so the union is cheap lineage
+        visited = visited.unionByName(next.select(col("id")))
+        if (levels.length % 8 == 0) visited = visited.graftCut
         frontier = next
         levels = next :: levels
       }
@@ -71,7 +74,7 @@ object Betweenness {
         if (depFrontier == null) withInv.select(col("id"), col("inv").as("dep"))
         else {
           val cnt = depFrontier.count()
-          val mass = Superstep.frontierEdgeMass(t, depFrontier)
+          val mass = Superstep.massOrBound(t, depFrontier, cnt)
           val msgs = Superstep.gather(
             t, depFrontier, signal = col("dep"), combine = sum,
             activeEdges = mass, activeCount = cnt)

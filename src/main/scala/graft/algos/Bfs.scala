@@ -41,7 +41,7 @@ object Bfs {
     var level = 0
     var frontierCount = 1L
     while (frontierCount > 0 && level < maxIterations) {
-      val mass = Superstep.frontierEdgeMass(graph, frontier)
+      val mass = Superstep.massOrBound(graph, frontier, frontierCount)
       val msgs = Superstep.gather(
         graph, frontier.select(col("id")),
         signal = col("src"), combine = min,
@@ -53,7 +53,12 @@ object Bfs {
       frontierCount = claimed.count()
       level += 1
       if (frontierCount > 0) {
-        visited = visited.unionByName(claimed).graftCut
+        // append-only visited set: plain union per level, compacted
+        // (materialized) only every 8 levels — re-materializing the
+        // full set each superstep is O(diameter x |V|) on long
+        // transcript chains
+        visited = visited.unionByName(claimed)
+        if (level % 8 == 0) visited = visited.graftCut
         frontier = claimed
       }
     }

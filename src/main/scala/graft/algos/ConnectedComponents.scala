@@ -58,11 +58,13 @@ object ConnectedComponents {
     }
 
     var activeCount = frontier.count()
+    var prevCut: DataFrame = labels
     val history = scala.collection.mutable.ArrayBuffer[Long]()
     var i = startIter
     while (activeCount > 0 && i < maxIterations) {
       history += activeCount
-      val mass = Superstep.frontierEdgeMass(graph, frontier)
+      val t0 = System.nanoTime()
+      val mass = Superstep.massOrBound(graph, frontier, activeCount)
       val msgs = Superstep.gather(
         graph, frontier, signal = col("lbl"), combine = min,
         activeEdges = mass, activeCount = activeCount)
@@ -73,10 +75,13 @@ object ConnectedComponents {
           least(col("lbl"), coalesce(col("msg"), col("lbl"))).as("lbl"),
           (col("msg") < col("lbl")).as("improved"))
         .graftCut
+      if (prevCut ne null) { prevCut.graftFree(); }
+      prevCut = merged
       labels = merged.select(col("id"), col("lbl"))
       frontier = merged.where(col("improved")).select(col("id"), col("lbl"))
       activeCount = frontier.count()
       i += 1
+      Superstep.log(f"cc iter $i: active=$activeCount ${(System.nanoTime() - t0) / 1e9}%.2f s")
       if (ckpt.nonEmpty && (i % ckptEvery == 0))
         ckpt.get.save(labels, i, activeCount)
     }

@@ -31,6 +31,7 @@ object LabelPropagation {
       .repartition(graph.numPartitions, col("id"))
       .graftCut
     val history = scala.collection.mutable.ArrayBuffer[Long]()
+    var prevCut: DataFrame = labels
     var i = 0
     var changed = -1L
     while (changed != 0 && i < maxIterations) {
@@ -44,6 +45,8 @@ object LabelPropagation {
           least(col("lbl"), coalesce(col("msg"), col("lbl"))).as("newLbl"),
           col("lbl"))
         .graftCut
+      if (prevCut ne null) { prevCut.graftFree(); }
+      prevCut = merged
       changed = merged.where(col("newLbl") =!= col("lbl")).count()
       history += changed
       labels = merged.select(col("id"), col("newLbl").as("lbl"))

@@ -65,6 +65,7 @@ object PageRank {
     }
 
     val deltas = scala.collection.mutable.ArrayBuffer[Double]()
+    var prevCut: DataFrame = curr // superseded state, freed once replaced
     var i = startIter
     var done = false
     while (i < limit && !done) {
@@ -85,8 +86,12 @@ object PageRank {
             abs(col("raw") / col("out_degree") - col("v")) * col("out_degree"))
             .otherwise(abs(col("raw") - col("v"))).as("dterm"))
         .graftCut
+      if (prevCut ne null) { prevCut.graftFree(); }
+      prevCut = step
+      val t0 = System.nanoTime()
       val delta = step.agg(sum(col("dterm"))).first().getDouble(0) / graph.numVertices
       deltas += delta
+      Superstep.log(f"pr iter ${i + 1}: delta=$delta%.2e agg=${(System.nanoTime() - t0) / 1e9}%.2f s")
       lastRaw = step.select(col("id"), col("raw").as("rank"))
       curr = step.select(col("id"), col("v"))
       i += 1

@@ -34,10 +34,11 @@ object Sssp {
       .repartition(graph.numPartitions, col("id"))
       .graftCut
     var frontier = dist
+    var prevCut: DataFrame = dist
     var active = 1L
     var i = 0
     while (active > 0 && i < maxIterations) {
-      val mass = Superstep.frontierEdgeMass(graph, frontier)
+      val mass = Superstep.massOrBound(graph, frontier, active)
       val msgs = Superstep.gather(
         graph, frontier,
         signal = col("dist") + col("weight"), combine = min,
@@ -49,6 +50,8 @@ object Sssp {
           least(coalesce(col("dist"), col("msg")), coalesce(col("msg"), col("dist"))).as("d"),
           (col("dist").isNull || col("msg") < col("dist")).as("improved"))
         .graftCut
+      if (prevCut ne null) { prevCut.graftFree(); }
+      prevCut = merged
       dist = merged.select(col("id"), col("d").as("dist"))
       frontier = merged.where(col("improved")).select(col("id"), col("d").as("dist"))
       active = frontier.count()

@@ -27,22 +27,35 @@ object Similarity {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  /** Codegen'd dot product (custom Catalyst expression — Spark's
+   * zip_with/aggregate higher-order functions are lambda-interpreted
+   * and dominated the ANN profile). Accumulates in double. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftFunctions.dot(a, b)
 
-  /** (vec_id, v: array<double>, norm) */
-  def prepared(emb: DataFrame): DataFrame =
-    emb.select(
-      col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+  /** (vec_id, v: array<float>, norm). Repartitioned to the session's
+   * shuffle parallelism: the source parquet is a handful of input
+   * splits, and the all-pairs nested-loop join inherits the STREAM
+   * side's partitioning — without this the quadratic kernel runs on
+   * 1-2 cores. */
+  def prepared(emb: DataFrame): DataFrame = {
+    val parts = emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    emb.select(col("vec_id"), col("embedding").as("v"))
+      .repartition(parts, col("vec_id"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+  }
 
   /** Brute-force cosine top-k per query vector. Deterministic output:
    * ranking on (sim_e4 desc, nbr_id asc) so rounding-boundary float
-   * noise cannot reorder results across engines/runs. */
-  def cosineTopK(emb: DataFrame, k: Int = 5): DataFrame = {
+   * noise cannot reorder results across engines/runs.
+   *
+   * `maxQueries` bounds the QUERY side (all vectors stay candidates) —
+   * brute force is the exactness baseline, deliberately quadratic;
+   * unbounded-query ANN at scale is [[lshTopK]]. */
+  def cosineTopK(emb: DataFrame, k: Int = 5, maxQueries: Long = 500): DataFrame = {
     val p = prepared(emb).persist()
     val a = p.select(col("vec_id"), col("v"), col("norm"))
+      .where(col("vec_id") < maxQueries)
     val b = p.select(col("vec_id").as("nbr_id"), col("v").as("w"), col("norm").as("nrm2"))
     val sims = a.join(b, col("vec_id") =!= col("nbr_id"))
       .select(

@@ -7,5 +7,7 @@ import org.apache.spark.sql.DataFrame
 object syntax {
   implicit final class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
     def graftCut: DataFrame = org.apache.spark.sql.GraftLineage.cut(df)
+    /** Unpersist a superseded graftCut state (no-op otherwise). */
+    def graftFree(): Unit = org.apache.spark.sql.GraftLineage.free(df)
   }
 }

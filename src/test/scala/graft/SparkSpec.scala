@@ -48,6 +48,8 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.file.transferTo", "false") // gVisor: NIO transferTo mmap/unmap churn is pathological
+      .config("spark.shuffle.sort.bypassMergeThreshold", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
