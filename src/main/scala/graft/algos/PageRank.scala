@@ -72,26 +72,39 @@ object PageRank {
       val sums = Superstep.gather(
         graph, curr, signal = col("v"), combine = sum,
         activeEdges = graph.numEdges, activeCount = graph.numVertices)
-      val step = degs
+      // In fixed-iteration (parity) mode the per-iteration delta is
+      // only reference REPORTING (pagerank.cpp:48-50) — skip its
+      // column and its aggregation job: one job per superstep.
+      val updated = degs
         .join(sums, Seq("id"), "left")
         .select(
           col("id"), col("out_degree"),
           (lit(1.0 - d) + lit(d) * coalesce(col("msg"), lit(0.0))).as("raw"))
-        .join(curr, Seq("id"))
-        .select(
+      val step = (if (fixed)
+        updated.select(
           col("id"), col("raw"),
           when(col("out_degree") > 0, col("raw") / col("out_degree"))
-            .otherwise(col("raw")).as("v"),
-          when(col("out_degree") > 0,
-            abs(col("raw") / col("out_degree") - col("v")) * col("out_degree"))
-            .otherwise(abs(col("raw") - col("v"))).as("dterm"))
-        .graftCut
+            .otherwise(col("raw")).as("v"))
+      else
+        updated
+          .join(curr, Seq("id"))
+          .select(
+            col("id"), col("raw"),
+            when(col("out_degree") > 0, col("raw") / col("out_degree"))
+              .otherwise(col("raw")).as("v"),
+            when(col("out_degree") > 0,
+              abs(col("raw") / col("out_degree") - col("v")) * col("out_degree"))
+              .otherwise(abs(col("raw") - col("v"))).as("dterm"))).graftCut
       if (prevCut ne null) { prevCut.graftFree(); }
       prevCut = step
-      val t0 = System.nanoTime()
-      val delta = step.agg(sum(col("dterm"))).first().getDouble(0) / graph.numVertices
-      deltas += delta
-      Superstep.log(f"pr iter ${i + 1}: delta=$delta%.2e agg=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val delta = if (fixed) Double.NaN
+      else {
+        val t0 = System.nanoTime()
+        val dlt = step.agg(sum(col("dterm"))).first().getDouble(0) / graph.numVertices
+        Superstep.log(f"pr iter ${i + 1}: delta=$dlt%.2e agg=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        dlt
+      }
+      if (!fixed) deltas += delta
       lastRaw = step.select(col("id"), col("raw").as("rank"))
       curr = step.select(col("id"), col("v"))
       i += 1
