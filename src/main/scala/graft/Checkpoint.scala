@@ -53,8 +53,11 @@ final case class Checkpoint(dir: String, buckets: Int = 32) {
   def latestIteration(): Option[Int] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return None
-    val iters = Files.list(d).toArray.toSeq
-      .map(_.toString)
+    val listing = Files.list(d)
+    val names =
+      try listing.toArray.toSeq.map(_.toString)
+      finally listing.close() // Files.list leaks a dir handle if unclosed
+    val iters = names
       .filter(_.matches(".*/iter=\\d+$"))
       .map(p => p.substring(p.lastIndexOf('=') + 1).toInt)
       .filter(i => Files.exists(Paths.get(iterDir(i), "_lineage.json")))

@@ -14,8 +14,11 @@ object PipelineEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Dedup.docs(s, dir))),
     "q_minhash" -> ((s, dir) => Dedup.minhashPairs(Dedup.docs(s, dir))),
-    "q_simhash" -> ((s, dir) => Dedup.simhash(Dedup.docs(s, dir))),
-    "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Dedup.docs(s, dir), maxDist = 8)),
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhash(Dedup.docs(s, dir)).select(col("doc_id"), col("simhash"))),
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Dedup.docs(s, dir), maxDist = 8)
+        .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Dedup.docs(s, dir))),
     "q_ann_cosine" -> ((s, dir) => Similarity.cosineTopK(Similarity.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(Similarity.embeddings(s, dir))),
@@ -41,7 +44,7 @@ object PipelineEntry {
       Multimodal.decode(m)
         .join(Multimodal.features(m), "media_id")
         .select(
-          col("media_id"), col("kind"), col("meta.nbytes").as("nbytes"),
+          col("media_id"), col("kind"), col("meta.nbytes").cast("long").as("nbytes"),
           col("width"), col("height"), col("duration_s"),
           size(col("features")).cast("long").as("feature_dim"))
     })
@@ -203,12 +206,90 @@ object PipelineEntry {
       |SELECT doc_id, string_agg(h, ',' ORDER BY h) AS fingerprint
       |FROM r WHERE rn <= 3 GROUP BY doc_id""".stripMargin
 
-  /** q_simhash / q_simhash_pairs / q_ann_lsh / q_media are rows-only:
-   * xxhash64 (simhash, media stubs) has no DuckDB equivalent, and the
-   * LSH bucket sign depends on float-summation order at proj≈0 which
-   * is not stable across engines; their exactness is covered by Scala
-   * unit tests instead. */
+  /** SimHash signature per doc — mirrors Dedup.simhash exactly: 60-bit
+   * md5-derived token hash (DuckDB `('0x'||hex)::BIGINT` ≡ Spark
+   * `conv(hex,16,10)`), ±count votes per bit, sign vector packed. */
+  private val simhashPrefix: String =
+    """WITH tok AS (
+      |  SELECT doc_id, tok, count(*) AS w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u GROUP BY 1, 2
+      |), th AS (
+      |  SELECT doc_id, w, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+      |), bits AS (
+      |  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN w ELSE -w END) AS v
+      |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bb
+      |  GROUP BY 1, 2
+      |), sig AS (
+      |  SELECT doc_id, cast(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS bigint) AS simhash
+      |  FROM bits GROUP BY doc_id
+      |)""".stripMargin
+
+  private val simhashSql: String = simhashPrefix + "\nSELECT doc_id, simhash FROM sig"
+
+  /** The oracle is BRUTE-FORCE all-pairs Hamming — deliberately
+   * stronger than the engine's blocked candidate generation: a green
+   * row proves the maxDist+1-block pigeonhole scheme has recall 1. */
+  private val simhashPairsSql: String = simhashPrefix +
+    """
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       cast(bit_count(xor(a.simhash, b.simhash)) AS bigint) AS dist
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin
+
+  /** Mirrors Similarity.lshTopK: quantized-integer hyperplane buckets
+   * (order-independent → engine-portable), per-bucket exact cosine,
+   * deterministic (sim_e4 desc, nbr_id) ranking. */
+  private val annLshSql: String =
+    """WITH vv AS (
+      |  SELECT vec_id, cast(unnest(embedding) AS double) AS x,
+      |         generate_subscripts(embedding, 1) - 1 AS i
+      |  FROM embeddings
+      |), proj AS (
+      |  SELECT vec_id, pl,
+      |         sum(cast(round(x * 1000000) AS bigint) *
+      |             (CASE WHEN ((i * 2654435761 + pl * 40503) % 1000003) % 2 = 0 THEN 1 ELSE -1 END)) AS p
+      |  FROM vv CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS pl) pp
+      |  GROUP BY 1, 2
+      |), bk AS (
+      |  SELECT vec_id, cast(sum(CASE WHEN p >= 0 THEN (1::BIGINT << pl) ELSE 0 END) AS bigint) AS bucket
+      |  FROM proj GROUP BY vec_id
+      |), norms AS (
+      |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM vv GROUP BY 1
+      |), dots AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, sum(va.x * vb.x) AS d
+      |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      |  JOIN vv va ON va.vec_id = a.vec_id
+      |  JOIN vv vb ON vb.vec_id = b.vec_id AND vb.i = va.i
+      |  GROUP BY 1, 2
+      |), sims AS (
+      |  SELECT d.vec_id, d.nbr_id,
+      |         cast(round(d.d / (na.nrm * nb.nrm) * 10000) AS bigint) AS sim_e4
+      |  FROM dots d
+      |  JOIN norms na ON na.vec_id = d.vec_id
+      |  JOIN norms nb ON nb.vec_id = d.nbr_id
+      |)
+      |SELECT vec_id, nbr_id, sim_e4, cast(rank AS bigint) AS rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_e4 DESC, nbr_id) AS rank
+      |  FROM sims) r
+      |WHERE rank <= 5""".stripMargin
+
+  /** Mirrors Multimodal.mediaTable + decode (md5-segment fake codec)
+   * + the constant feature dim. */
+  private val mediaSql: String =
+    """SELECT doc_id AS media_id,
+      |       (ARRAY['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+      |       cast(length(text) AS bigint) AS nbytes,
+      |       CASE WHEN doc_id % 3 = 0 THEN ('0x'||substr(md5(text),1,10))::BIGINT % 1280 + 32 END AS width,
+      |       CASE WHEN doc_id % 3 = 0 THEN ('0x'||substr(md5(text),11,10))::BIGINT % 720 + 32 END AS height,
+      |       CASE WHEN doc_id % 3 <> 0 THEN cast(('0x'||substr(md5(text),21,10))::BIGINT % 300 + 1 AS double) END AS duration_s,
+      |       cast(16 AS bigint) AS feature_dim
+      |FROM documents""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_simhash" -> simhashSql,
+    "q_simhash_pairs" -> simhashPairsSql,
+    "q_ann_lsh" -> annLshSql,
+    "q_media" -> mediaSql,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keeper_id
         |FROM documents GROUP BY 1""".stripMargin,

@@ -119,12 +119,30 @@ object Superstep {
     }
   }
 
+  /** Default skew thresholds for [[autoSaltBuckets]], env-overridable
+   * (GRAFT_SALT_MIN_DEGREE / GRAFT_SALT_SKEW). The production default
+   * is conservative: salting pays an extra reduce stage per superstep,
+   * worth it only when one hub's combined input exceeds a task even
+   * after map-side partial aggregation (≥ ~10^6 in-edges). */
+  val saltMinDegree: Long =
+    sys.env.get("GRAFT_SALT_MIN_DEGREE").map(_.toLong).getOrElse(1000000L)
+  val saltSkewFactor: Double =
+    sys.env.get("GRAFT_SALT_SKEW").map(_.toDouble).getOrElse(50.0)
+
   /** Salt-bucket heuristic: salt when the worst hub's in-degree is both
-   * skewed (≫ mean) and large in absolute terms. */
-  def autoSaltBuckets(graph: LinkGraph): Int = {
+   * skewed (≫ mean) and large in absolute terms. Called once per
+   * algorithm run (graph-level statistic, not per superstep). */
+  def autoSaltBuckets(
+      graph: LinkGraph,
+      minHubDegree: Long = saltMinDegree,
+      skewFactor: Double = saltSkewFactor): Int = {
     val r = graph.degrees.agg(max(col("in_degree")), avg(col("in_degree"))).first()
     val maxIn = r.getLong(0)
     val avgIn = r.getDouble(1)
-    if (maxIn > 1000000L && maxIn > 50 * avgIn) 16 else 0
+    if (maxIn > minHubDegree && maxIn > skewFactor * avgIn) 16 else 0
   }
+
+  /** Resolve a caller-supplied salt setting: negative = auto. */
+  def resolveSalt(graph: LinkGraph, saltBuckets: Int): Int =
+    if (saltBuckets < 0) autoSaltBuckets(graph) else saltBuckets
 }

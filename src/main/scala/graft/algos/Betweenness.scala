@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.syntax._
-import graft.{LinkGraph, Superstep}
+import graft.{Checkpoint, LinkGraph, Superstep}
 
 /**
  * Betweenness centrality from a root, transcribing
@@ -27,38 +27,81 @@ import graft.{LinkGraph, Superstep}
  * FINALIZE (:170-176): `bc = (dep − 1/σ) / (1/σ) = dep·σ − 1`.
  * Output restricted to REACHED vertices (the reference computes
  * 1/σ = ∞ → NaN for unreached ones, :184-190 prints them regardless;
- * a NaN column is not a useful contract).
+ * a NaN column is not a useful contract). Output carries σ too —
+ * the reference prints the (dependency, num_paths) pair.
+ *
+ * Checkpoint: the forward phase (the expensive frontier loop) saves
+ * the cumulative (id, sigma, lvl) table per level; resume rebuilds
+ * the levels list from the latest snapshot and continues the
+ * expansion. The backward pass always runs from the reconstructed
+ * levels. All per-level cuts (forward σ levels and backward dep
+ * frontiers) are freed once the final bc table materializes.
  */
 object Betweenness {
 
   final case class Result(bc: DataFrame, levels: Int)
 
-  def run(graph: LinkGraph, rootId: Long): Result = {
+  def run(
+      graph: LinkGraph,
+      rootId: Long,
+      ckpt: Option[Checkpoint] = None,
+      ckptEvery: Int = 4,
+      resume: Boolean = false): Result = {
     val spark = graph.spark
     import spark.implicits._
 
     // ---- forward: levels(k) = (id, sigma) of vertices at depth k
     var levels = List[DataFrame]()
-    var frontier = Seq((rootId, 1.0)).toDF("id", "sigma")
-      .repartition(graph.numPartitions, col("id")).graftCut
-    var visited = frontier.select(col("id")).graftCut
-    levels = frontier :: levels
-    var frontierCount = 1L
+    var frontier: DataFrame = null
+    var visited: DataFrame = null
+    var frontierCount = 0L
+    val resumed = if (resume) ckpt.flatMap(_.latestIteration()) else None
+    resumed match {
+      case Some(k) =>
+        val st = ckpt.get.load(spark, k)
+          .repartition(graph.numPartitions, col("id")).graftCut
+        // rebuild the per-level list from the cumulative snapshot
+        val maxLvl = st.agg(max(col("lvl"))).first().getInt(0)
+        levels = (0 to maxLvl).map(l =>
+          st.where(col("lvl") === l).select(col("id"), col("sigma")).graftCut)
+          .reverse.toList
+        frontier = levels.head
+        visited = st.select(col("id")).graftCut
+        frontierCount = frontier.count()
+      case None =>
+        frontier = Seq((rootId, 1.0)).toDF("id", "sigma")
+          .repartition(graph.numPartitions, col("id")).graftCut
+        visited = frontier.select(col("id")).graftCut
+        levels = frontier :: levels
+        frontierCount = 1L
+    }
+
+    var visitedBase = visited
     while (frontierCount > 0) {
       val mass = Superstep.massOrBound(graph, frontier, frontierCount)
       val msgs = Superstep.gather(
         graph, frontier, signal = col("sigma"), combine = sum,
         activeEdges = mass, activeCount = frontierCount)
-      val next = msgs.join(visited, Seq("id"), "left_anti")
-        .select(col("id"), col("msg").as("sigma")).graftCut
-      frontierCount = next.count()
+      val (next, n) = msgs.join(visited, Seq("id"), "left_anti")
+        .select(col("id"), col("msg").as("sigma")).graftCutCount
+      frontierCount = n
       if (frontierCount > 0) {
-        // append-only: compact lazily (see Bfs) — the per-level
-        // frontiers are already cut, so the union is cheap lineage
+        // append-only: the per-level frontiers are already cut, so the
+        // union is cheap lineage; compact + free the base periodically
         visited = visited.unionByName(next.select(col("id")))
-        if (levels.length % 8 == 0) visited = visited.graftCut
+        if (levels.length % 8 == 0) {
+          visited = visited.graftCut
+          visitedBase.graftFree()
+          visitedBase = visited
+        }
         frontier = next
         levels = next :: levels
+        if (ckpt.nonEmpty && (levels.length % ckptEvery == 0)) {
+          val cumulative = levels.reverse.zipWithIndex.map { case (lvl, l) =>
+            lvl.select(col("id"), col("sigma"), lit(l).as("lvl"))
+          }.reduce(_ unionByName _)
+          ckpt.get.save(cumulative, levels.length - 1, frontierCount)
+        }
       }
     }
     // levels head = deepest, last = root level
@@ -90,9 +133,20 @@ object Betweenness {
 
     val allDeps = done.reduce(_ unionByName _)
     val sigmas = levels.reduce(_ unionByName _)
+    // Emit the reference's per-vertex report pair (dependencies,
+    // num_paths) — bc.cpp:184-190 prints both; σ is an exact integer
+    // so it doubles as a hash-exact oracle column.
     val bc = allDeps.join(sigmas, "id")
-      .select(col("id"), (col("dep") * col("sigma") - 1.0).as("bc"))
+      .select(col("id"), col("sigma"), (col("dep") * col("sigma") - 1.0).as("bc"))
       .graftCut
+    ckpt.foreach { c =>
+      val cumulative = levels.reverse.zipWithIndex.map { case (lvl, l) =>
+        lvl.select(col("id"), col("sigma"), lit(l).as("lvl"))
+      }.reduce(_ unionByName _)
+      c.save(cumulative, depth, 0L)
+    }
+    // free every retained per-level cut now that bc is materialized
+    (visitedBase :: levels ::: done).filter(_ ne bc).distinct.foreach(_.graftFree())
     Result(bc, depth)
   }
 }

@@ -33,8 +33,10 @@ object ConnectedComponents {
       ckpt: Option[Checkpoint] = None,
       ckptEvery: Int = 5,
       resume: Boolean = false,
-      maxIterations: Int = 10000): Result = {
+      maxIterations: Int = 10000,
+      saltBuckets: Int = -1): Result = {
     require(graph.symmetric, "CC expects a symmetrized graph (cc.cpp:121)")
+    val salt = Superstep.resolveSalt(graph, saltBuckets)
 
     var labels: DataFrame = null // (id, lbl)
     var frontier: DataFrame = null // (id, lbl) of newly-improved vertices
@@ -67,7 +69,7 @@ object ConnectedComponents {
       val mass = Superstep.massOrBound(graph, frontier, activeCount)
       val msgs = Superstep.gather(
         graph, frontier, signal = col("lbl"), combine = min,
-        activeEdges = mass, activeCount = activeCount)
+        activeEdges = mass, activeCount = activeCount, saltBuckets = salt)
       val merged = labels
         .join(msgs, Seq("id"), "left")
         .select(

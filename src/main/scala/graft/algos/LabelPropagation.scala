@@ -26,7 +26,9 @@ object LabelPropagation {
   def run(
       graph: LinkGraph,
       ckpt: Option[Checkpoint] = None,
-      maxIterations: Int = 10000): Result = {
+      maxIterations: Int = 10000,
+      saltBuckets: Int = -1): Result = {
+    val salt = Superstep.resolveSalt(graph, saltBuckets)
     var labels = graph.vertices.select(col("id"), col("id").as("lbl"))
       .repartition(graph.numPartitions, col("id"))
       .graftCut
@@ -37,7 +39,8 @@ object LabelPropagation {
     while (changed != 0 && i < maxIterations) {
       val msgs = Superstep.gather(
         graph, labels, signal = col("lbl"), combine = min,
-        activeEdges = graph.numEdges, activeCount = graph.numVertices)
+        activeEdges = graph.numEdges, activeCount = graph.numVertices,
+        saltBuckets = salt)
       val merged = labels
         .join(msgs, Seq("id"), "left")
         .select(

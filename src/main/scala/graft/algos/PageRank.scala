@@ -41,10 +41,12 @@ object PageRank {
       d: Double = 0.85,
       ckpt: Option[Checkpoint] = None,
       ckptEvery: Int = 5,
-      resume: Boolean = false): Result = {
+      resume: Boolean = false,
+      saltBuckets: Int = -1): Result = {
     val degs = graph.degrees.select(col("id"), col("out_degree"))
     val fixed = iterations > 0
     val limit = if (fixed) iterations else maxIterations
+    val salt = Superstep.resolveSalt(graph, saltBuckets)
 
     var startIter = 0
     var curr: DataFrame = null // (id, v) where v = rank/out_degree
@@ -71,7 +73,8 @@ object PageRank {
     while (i < limit && !done) {
       val sums = Superstep.gather(
         graph, curr, signal = col("v"), combine = sum,
-        activeEdges = graph.numEdges, activeCount = graph.numVertices)
+        activeEdges = graph.numEdges, activeCount = graph.numVertices,
+        saltBuckets = salt)
       // In fixed-iteration (parity) mode the per-iteration delta is
       // only reference REPORTING (pagerank.cpp:48-50) — skip its
       // column and its aggregation job: one job per superstep.

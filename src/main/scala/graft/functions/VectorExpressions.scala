@@ -57,14 +57,20 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
     val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    // freshName: two DotProducts in one whole-stage-codegen scope would
+    // otherwise declare duplicate locals and fail janino compilation
+    // (silent interpreted fallback for the whole stage).
+    val n = ctx.freshName("dotN")
+    val s = ctx.freshName("dotS")
+    val i = ctx.freshName("dotI")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += (double)$a.$lGet(i) * (double)$b.$rGet(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double)$a.$lGet($i) * (double)$b.$rGet($i);
          |}
-         |${ev.value} = s;
+         |${ev.value} = $s;
        """.stripMargin)
   }
 

@@ -103,19 +103,25 @@ object Dedup {
     out
   }
 
+  /** Number of signature bits — 15 md5 hex chars (60 bits) so the
+   * token hash fits a signed Long via `conv(hex, 16, 10)`, which
+   * DuckDB reproduces bit-for-bit (`('0x' || hex)::BIGINT`). */
+  val simhashBits = 60
+
   /**
-   * 64-bit SimHash per document: token hashed with xxhash64, each bit
-   * votes ±1, the sign vector packs back into a Long. Near-dup check =
-   * Hamming distance on the signature (see [[simhashPairs]]).
-   * xxhash64 has no DuckDB equivalent → rows-only driver check; exact
-   * correctness is covered by the Scala unit test.
+   * SimHash per document: each distinct token hashes to a 60-bit value
+   * (md5-derived — engine-portable, see [[simhashBits]]), each bit
+   * votes ±count, the sign vector packs back into a Long. Near-dup
+   * check = Hamming distance on the signature (see [[simhashPairs]]).
    */
   def simhash(docs: DataFrame): DataFrame = {
     val t = tokens(docs)
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("w"))
-      .select(col("doc_id"), col("w"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), col("w"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
     val bits = t.select(
-      col("doc_id"), col("w"), explode(sequence(lit(0), lit(63))).as("bit"),
+      col("doc_id"), col("w"),
+      explode(sequence(lit(0), lit(simhashBits - 1))).as("bit"),
       col("h"))
       .withColumn("vote",
         when(expr("shiftright(h, cast(bit as int))").bitwiseAND(1) === 1, col("w"))
@@ -126,20 +132,29 @@ object Dedup {
         .as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist. Candidate
-   * generation: block on 16-bit signature quarters (a pair within
-   * distance ≤ 3 must agree on ≥1 of 4 quarters) — linear bucket join,
-   * never all-pairs. */
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist.
+   *
+   * Candidate generation blocks on `maxDist + 1` disjoint bit ranges
+   * of the signature: by pigeonhole, two signatures within Hamming
+   * distance maxDist must agree EXACTLY on at least one block — so the
+   * per-block bucket join is a complete (recall-1) candidate
+   * generator at any maxDist, never all-pairs. (Round-1 shipped fixed
+   * quarters, complete only for maxDist ≤ 3 — the advisor's finding.) */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < simhashBits, s"maxDist $maxDist out of range")
+    val nBlocks = maxDist + 1
     val sig = simhash(docs).persist()
-    val quarters = (0 until 4).map(q =>
+    val blocks = (0 until nBlocks).map { b =>
+      val lo = b * simhashBits / nBlocks
+      val hi = (b + 1) * simhashBits / nBlocks
+      val mask = (1L << (hi - lo)) - 1L
       sig.select(
         col("doc_id"), col("simhash"),
-        lit(q).as("q"),
-        shiftright(col("simhash"), q * 16).bitwiseAND(0xffffL).as("qk")))
-      .reduce(_ unionByName _)
-    val cand = quarters.as("l")
-      .join(quarters.as("r"), Seq("q", "qk"))
+        lit(b).as("q"),
+        shiftright(col("simhash"), lo).bitwiseAND(mask).as("qk"))
+    }.reduce(_ unionByName _)
+    val cand = blocks.as("l")
+      .join(blocks.as("r"), Seq("q", "qk"))
       .where(col("l.doc_id") < col("r.doc_id"))
       .select(
         col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),

@@ -34,15 +34,21 @@ object Multimodal {
         col("source").as("origin")).as("meta"))
 
   /** STUB DECODE — deterministic fake: dimensions/duration derived
-   * from the blob hash, not a real codec (see class doc). */
-  def decode(media: DataFrame): DataFrame =
+   * from three disjoint 40-bit segments of the blob's md5, not a real
+   * codec (see class doc). md5 segments (vs xxhash64) keep the fake
+   * reproducible in the DuckDB oracle: `conv(substr(md5(x),p,10),16,10)`
+   * ≡ DuckDB `('0x' || substr(md5(x),p,10))::BIGINT`. */
+  def decode(media: DataFrame): DataFrame = {
+    def seg(pos: Int): org.apache.spark.sql.Column =
+      conv(substring(md5(col("media")), pos, 10), 16, 10).cast("long")
     media.select(
       col("media_id"), col("kind"), col("meta"),
-      when(col("kind") === "image", pmod(xxhash64(col("media")), lit(1280L)) + 32).as("width"),
-      when(col("kind") === "image", pmod(xxhash64(col("media"), lit(1)), lit(720L)) + 32).as("height"),
+      when(col("kind") === "image", pmod(seg(1), lit(1280L)) + 32).as("width"),
+      when(col("kind") === "image", pmod(seg(11), lit(720L)) + 32).as("height"),
       when(col("kind") =!= "image",
-        (pmod(xxhash64(col("media"), lit(2)), lit(300L)) + 1).cast("double")).as("duration_s"),
+        (pmod(seg(21), lit(300L)) + 1).cast("double")).as("duration_s"),
       col("media"))
+  }
 
   /** Feature extraction: fixed-length float vector per blob — here
    * positional hashes (STUB; a real extractor would run the decoded

@@ -71,11 +71,22 @@ object Similarity {
   }
 
   /** LSH-bucketed cosine top-k: the 100 TB-scale variant. Buckets via
-   * `planes` random hyperplanes, brute-force kernel within buckets.
-   * Note `sequence(0, size-1)` supplies dimension indices for the
-   * projection — still pure column expressions. */
-  def lshTopK(emb: DataFrame, planes: Int = 6, k: Int = 5): DataFrame = {
-    val p = prepared(emb)
+   * `planes` random ±1 hyperplanes, brute-force kernel within buckets.
+   *
+   * The projection is computed in QUANTIZED INTEGER arithmetic
+   * (`round(x·10^6)` per component, summed as Long): integer addition
+   * is order-independent, so the bucket sign — and therefore the whole
+   * result — is reproducible bit-for-bit across engines and
+   * parallelism levels. (Round 1 summed doubles, whose sign at proj≈0
+   * depends on summation order → the oracle-less driver row.)
+   *
+   * `maxBucket` caps the quadratic per-bucket kernel: buckets larger
+   * than the cap are dropped from the candidate join (bounded work at
+   * any scale, at recall cost on degenerate bucket skew). The default
+   * is off so results stay exact w.r.t. the bucketing. */
+  def lshTopK(emb: DataFrame, planes: Int = 6, k: Int = 5,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
+    val p0 = prepared(emb)
       .withColumn(
         "bucket", {
           val signs: Seq[Column] = (0 until planes).map { pl =>
@@ -83,15 +94,16 @@ object Similarity {
               zip_with(
                 col("v"),
                 transform(col("v"), (_, i) => i.cast("long")),
-                (x, i) => x * when(
+                (x, i) => round(x.cast("double") * lit(1000000.0)).cast("long") * when(
                   pmod(i * lit(2654435761L) + lit(pl * 40503L), lit(1000003L)) % 2 === 0,
-                  lit(1.0)).otherwise(lit(-1.0))),
-              lit(0.0), (acc, x) => acc + x)
-            when(proj >= 0, lit("1")).otherwise(lit("0"))
+                  lit(1L)).otherwise(lit(-1L))),
+              lit(0L), (acc, x) => acc + x)
+            when(proj >= 0, lit(1L << pl)).otherwise(lit(0L))
           }
-          concat(signs: _*)
+          signs.reduce(_ + _)
         })
-      .persist()
+    val sizes = p0.groupBy(col("bucket")).agg(count(lit(1)).as("bsz"))
+    val p = p0.join(broadcast(sizes.where(col("bsz") <= maxBucket)), "bucket").persist()
     val a = p.select(col("bucket"), col("vec_id"), col("v"), col("norm"))
     val b = p.select(
       col("bucket"), col("vec_id").as("nbr_id"), col("v").as("w"), col("norm").as("nrm2"))

@@ -7,6 +7,9 @@ import org.apache.spark.sql.DataFrame
 object syntax {
   implicit final class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
     def graftCut: DataFrame = org.apache.spark.sql.GraftLineage.cut(df)
+    /** Cut + the materialized row count (saves one job per superstep
+     * in frontier loops that need the active count anyway). */
+    def graftCutCount: (DataFrame, Long) = org.apache.spark.sql.GraftLineage.cutCounted(df)
     /** Unpersist a superseded graftCut state (no-op otherwise). */
     def graftFree(): Unit = org.apache.spark.sql.GraftLineage.free(df)
   }

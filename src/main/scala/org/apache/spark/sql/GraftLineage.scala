@@ -36,7 +36,13 @@ object GraftLineage {
   /** Materialize `df` (persisted) and return a plan-truncated,
    * stats-free DataFrame. The backing RDD is freed by the
    * ContextCleaner once the returned Dataset becomes unreachable. */
-  def cut(df: DataFrame): DataFrame = {
+  def cut(df: DataFrame): DataFrame = cutCounted(df)._1
+
+  /** [[cut]] that also returns the materialized row count — the
+   * eager materialization is a count() anyway, so frontier loops that
+   * need the active count (every frontier algorithm does) get it for
+   * free instead of paying a second job per superstep. */
+  def cutCounted(df: DataFrame): (DataFrame, Long) = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     val spark = ds.sparkSession
     val qe = ds.queryExecution
@@ -48,12 +54,12 @@ object GraftLineage {
     // narrow lineage fuses into ONE stage whose task binary grows until
     // task deserialization StackOverflows (observed at ~60 supersteps).
     rdd.localCheckpoint()
-    rdd.count() // eager — materializes, truncates, finalizes AQE plan
+    val n = rdd.count() // eager — materializes, truncates, finalizes AQE plan
     val plan = LogicalRDD(
       qe.analyzed.output, rdd,
       rewrittenPartitioning(qe), Nil, isStreaming = false, stream = None)(
       spark, originStats = None, originConstraints = None)
-    classic.Dataset.ofRows(spark, plan)
+    (classic.Dataset.ofRows(spark, plan), n)
   }
 
   /** Explicitly unpersist the RDD behind a [[cut]] DataFrame (no-op for

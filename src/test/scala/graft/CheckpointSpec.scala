@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.algos.{ConnectedComponents, PageRank}
+import graft.algos.{Betweenness, Bfs, ConnectedComponents, PageRank, Sssp}
 
 /** Checkpoint write→read round-trip, lineage metadata, and
  * kill-and-resume equality (SURVEY.md §5.5). */
@@ -46,6 +46,52 @@ class CheckpointSpec extends SparkSpec {
     a.foreach { case (i, v) =>
       assert(math.abs(v.asInstanceOf[Double] - b(i).asInstanceOf[Double]) < 1e-12, s"vertex $i")
     }
+  }
+
+  test("BFS: resume from checkpoint yields the identical tree") {
+    val g = graphOf(edges, symmetric = true)
+    val root = 0L
+    val full = Bfs.run(g, root)
+    val ck = Checkpoint(tmpDir())
+    // "kill" after 2 levels (save every level)
+    Bfs.run(g, root, maxIterations = 2, ckpt = Some(ck), ckptEvery = 1)
+    assert(ck.latestIteration().contains(2))
+    val resumed = Bfs.run(g, root, ckpt = Some(ck), ckptEvery = 1, resume = true)
+    assert(resumed.found == full.found)
+    val a = full.tree.select(col("id"), col("parent"), col("level"))
+    val b = resumed.tree.select(col("id"), col("parent"), col("level"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("SSSP: resume from checkpoint yields identical distances") {
+    val w = edges.map { case (a, b) => (a, b) -> (1.0 + (a + b) % 3) }.toMap
+    val g = graphOf(edges, symmetric = true, weights = w)
+    val root = 0L
+    val full = Sssp.run(g, root)
+    val ck = Checkpoint(tmpDir())
+    Sssp.run(g, root, maxIterations = 2, ckpt = Some(ck), ckptEvery = 1)
+    assert(ck.latestIteration().contains(2))
+    val resumed = Sssp.run(g, root, ckpt = Some(ck), ckptEvery = 1, resume = true)
+    val a = full.distances
+    val b = resumed.distances
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("BC: forward phase resumes from the per-level sigma snapshot") {
+    val g = graphOf(edges, symmetric = true)
+    val root = 0L
+    val full = Betweenness.run(g, root)
+    val dir = tmpDir()
+    val ck = Checkpoint(dir)
+    // full run with checkpointing writes per-level snapshots
+    Betweenness.run(g, root, ckpt = Some(ck), ckptEvery = 2)
+    assert(ck.latestIteration().nonEmpty)
+    // resume from the latest forward snapshot and re-derive bc
+    val resumed = Betweenness.run(g, root, ckpt = Some(ck), ckptEvery = 2, resume = true)
+    assert(resumed.levels == full.levels)
+    val a = full.bc.select(col("id"), col("sigma"), round(col("bc") * 1e9).as("b9"))
+    val b = resumed.bc.select(col("id"), col("sigma"), round(col("bc") * 1e9).as("b9"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
   test("CC: resume from checkpoint converges to identical labels") {

@@ -47,6 +47,33 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("simhashPairs blocking has recall 1 at maxDist beyond the old quarter scheme") {
+    // Round-1 shipped 4 fixed quarters (complete only to dist 3) while
+    // running maxDist = 8 (advisor finding). The maxDist+1-block scheme
+    // must return EXACTLY the brute-force pair set — including pairs
+    // at distance 4..8 that quarter-blocking could silently drop.
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank at dawn"
+    val words = base.split(" ")
+    val docs = (0 until 30).map { i =>
+      // vary a couple of word positions per doc → a rich near-dup band
+      val mutated = words.zipWithIndex.map { case (w, j) =>
+        if ((i + j) % 7 == 0) s"w$i$j" else w
+      }.mkString(" ")
+      (i.toLong, mutated, "en", "s0", mutated.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val maxDist = 8
+    val sig = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      d = java.lang.Long.bitCount(sig(a) ^ sig(b)) if d <= maxDist
+    } yield (a, b, d.toLong)).toSet
+    val got = Dedup.simhashPairs(docs, maxDist).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+    assert(expected.exists(_._3 > 3), "fixture must exercise distances beyond the quarter scheme")
+  }
+
   test("ngram jaccard within source blocks") {
     val r = Dedup.ngramJaccard(docsFixture).collect()
       .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
