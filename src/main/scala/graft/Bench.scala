@@ -25,6 +25,17 @@ object Bench {
       .config("spark.file.transferTo", "false") // gVisor: NIO transferTo mmap/unmap churn is pathological
       .config("spark.shuffle.sort.bypassMergeThreshold", "8")
       .config("spark.ui.enabled", "false")
+      // Long single-session runs degrade under gVisor as shuffle and
+      // broadcast files accumulate: ContextCleaner is GC-driven and a
+      // large, rarely-collected driver heap never triggers it. Force a
+      // periodic GC so cleanup actually runs, and keep listener-bus
+      // retention small (round-1 bench: late queries up to 10× slower
+      // than the same query early in the session).
+      .config("spark.cleaner.periodicGC.interval", "60s")
+      .config("spark.sql.ui.retainedExecutions", "10")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -52,6 +63,9 @@ object Bench {
         sc.getPersistentRDDs.foreach { case (id, rdd) =>
           if (!before.contains(id)) rdd.unpersist(blocking = false)
         }
+        // drop weak refs → ContextCleaner reclaims shuffle/broadcast
+        // files now, not when the heap eventually fills
+        System.gc()
       }
     }
 

@@ -19,7 +19,13 @@ object Graphs {
 
   def get(spark: SparkSession, sfDir: String, symmetric: Boolean): LinkGraph =
     cache.getOrElseUpdate((sfDir, symmetric), {
-      val keyEdges = EdgeBuilder.keyEdges(transcripts(spark, sfDir))
-      LinkGraph.fromKeyEdges(keyEdges, symmetric, shufflePartitions(spark))
+      if (symmetric)
+        // share the directed build's dictionary + id-encoded edges
+        // (LinkGraph.symmetrize) instead of paying the key→id joins twice
+        get(spark, sfDir, symmetric = false).symmetrize
+      else {
+        val keyEdges = EdgeBuilder.keyEdges(transcripts(spark, sfDir))
+        LinkGraph.fromKeyEdges(keyEdges, symmetric = false, shufflePartitions(spark))
+      }
     })
 }

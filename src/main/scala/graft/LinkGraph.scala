@@ -63,6 +63,41 @@ final case class LinkGraph(
     vertices.unpersist(); edgesBySrc.unpersist(); degrees.unpersist()
     if (!symmetric) edgesByDst.unpersist()
   }
+
+  /** Symmetrized graph SHARING this graph's vertex dictionary and
+   * id-encoded edges — skips the dictionary build and the two big
+   * key→id joins that a from-scratch symmetric build pays (the
+   * reference likewise symmetrizes during load by sending each edge
+   * twice, core/graph.hpp:572-587, not by re-reading). Identical
+   * output to `fromKeyEdges(keyEdges, symmetric = true, n)`: the
+   * dictionary is deterministic on the (same) key set. */
+  def symmetrize: LinkGraph = {
+    require(!symmetric, "already symmetric")
+    val e1 = edgesBySrc.unionByName(
+      edgesBySrc.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+    val edges = e1
+      .where(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(min(col("weight")).as("weight"))
+    val esym = edges
+      .repartition(numPartitions, col("src"))
+      .sortWithinPartitions("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nE = esym.count()
+    val eByDst = esym
+      .select(col("dst").as("src"), col("src").as("dst"), col("weight"))
+      .select(col("src"), col("dst"), col("weight"))
+    val outD = esym.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_degree"))
+    val degs = vertices.select(col("id"))
+      .join(outD, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("out_degree"), lit(0L)).as("in_degree"))
+      .repartition(numPartitions, col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    degs.count()
+    LinkGraph(spark, vertices, esym, eByDst, degs,
+      numVertices, nE, numPartitions, symmetric = true)
+  }
 }
 
 object LinkGraph {

@@ -22,6 +22,12 @@ object PipelineEntry {
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Dedup.docs(s, dir))),
     "q_ann_cosine" -> ((s, dir) => Similarity.cosineTopK(Similarity.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(Similarity.embeddings(s, dir))),
+    // threshold 0.30: the synthetic embeddings hold no true near-dups
+    // (max pairwise cosine ≈ 0.49), so the driver check runs at a
+    // similarity level the data actually contains (253 pairs at
+    // sf0.01); production dedup would use ~0.9 on real embeddings
+    "q_embed_dedup" -> ((s, dir) =>
+      Similarity.cosineDupPairs(Similarity.embeddings(s, dir), simThresholdE4 = 3000)),
     "q_langid" -> ((s, dir) =>
       TextStats.langId(Dedup.docs(s, dir))
         .select(col("doc_id"), col("pred_lang"), col("stop_hits").cast("long").as("stop_hits"))),
@@ -236,10 +242,9 @@ object PipelineEntry {
       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin
 
-  /** Mirrors Similarity.lshTopK: quantized-integer hyperplane buckets
-   * (order-independent → engine-portable), per-bucket exact cosine,
-   * deterministic (sim_e4 desc, nbr_id) ranking. */
-  private val annLshSql: String =
+  /** Mirrors Similarity.bucketed: quantized-integer hyperplane buckets
+   * (order-independent → engine-portable) + per-bucket exact cosine. */
+  private val lshPrefix: String =
     """WITH vv AS (
       |  SELECT vec_id, cast(unnest(embedding) AS double) AS x,
       |         generate_subscripts(embedding, 1) - 1 AS i
@@ -255,7 +260,11 @@ object PipelineEntry {
       |  FROM proj GROUP BY vec_id
       |), norms AS (
       |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM vv GROUP BY 1
-      |), dots AS (
+      |)""".stripMargin
+
+  /** Per-bucket top-k ranking (deterministic (sim_e4 desc, nbr_id)). */
+  private val annLshSql: String = lshPrefix +
+    """, dots AS (
       |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, sum(va.x * vb.x) AS d
       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
       |  JOIN vv va ON va.vec_id = a.vec_id
@@ -273,6 +282,22 @@ object PipelineEntry {
       |  FROM sims) r
       |WHERE rank <= 5""".stripMargin
 
+  /** Mirrors Similarity.cosineDupPairs at threshold 0.30 (q_embed_dedup). */
+  private val embedDedupSql: String = lshPrefix +
+    """, dots AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(va.x * vb.x) AS d
+      |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |  JOIN vv va ON va.vec_id = a.vec_id
+      |  JOIN vv vb ON vb.vec_id = b.vec_id AND vb.i = va.i
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d.vec_a, d.vec_b,
+      |       cast(round(d.d / (na.nrm * nb.nrm) * 10000) AS bigint) AS sim_e4
+      |FROM dots d
+      |JOIN norms na ON na.vec_id = d.vec_a
+      |JOIN norms nb ON nb.vec_id = d.vec_b
+      |WHERE round(d.d / (na.nrm * nb.nrm) * 10000) >= 3000""".stripMargin
+
   /** Mirrors Multimodal.mediaTable + decode (md5-segment fake codec)
    * + the constant feature dim. */
   private val mediaSql: String =
@@ -289,6 +314,7 @@ object PipelineEntry {
     "q_simhash" -> simhashSql,
     "q_simhash_pairs" -> simhashPairsSql,
     "q_ann_lsh" -> annLshSql,
+    "q_embed_dedup" -> embedDedupSql,
     "q_media" -> mediaSql,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keeper_id

@@ -60,8 +60,16 @@ object ConnectedComponents {
     }
 
     var activeCount = frontier.count()
-    var prevCut: DataFrame = labels
     val history = scala.collection.mutable.ArrayBuffer[Long]()
+    // Improved-only supersteps (round-2): each superstep materializes
+    // ONLY the vertices whose label dropped (one cut job whose count
+    // is the Allreduce'd activated count); the full label table is a
+    // lazy outer-join chain compacted every `compactEvery` rounds —
+    // 1 job/superstep instead of 3, O(|improved|) materialized rows
+    // instead of O(|V|).
+    val compactEvery = 4
+    var base = labels
+    var pendingFree = List[DataFrame]()
     var i = startIter
     while (activeCount > 0 && i < maxIterations) {
       history += activeCount
@@ -70,25 +78,34 @@ object ConnectedComponents {
       val msgs = Superstep.gather(
         graph, frontier, signal = col("lbl"), combine = min,
         activeEdges = mass, activeCount = activeCount, saltBuckets = salt)
-      val merged = labels
-        .join(msgs, Seq("id"), "left")
-        .select(
-          col("id"),
-          least(col("lbl"), coalesce(col("msg"), col("lbl"))).as("lbl"),
-          (col("msg") < col("lbl")).as("improved"))
-        .graftCut
-      if (prevCut ne null) { prevCut.graftFree(); }
-      prevCut = merged
-      labels = merged.select(col("id"), col("lbl"))
-      frontier = merged.where(col("improved")).select(col("id"), col("lbl"))
-      activeCount = frontier.count()
+      val (improved, n) = msgs
+        .join(labels.select(col("id"), col("lbl").as("old")), Seq("id"), "left")
+        .where(col("msg") < col("old"))
+        .select(col("id"), col("msg").as("lbl"))
+        .graftCutCount
+      if (n > 0) {
+        pendingFree = frontier :: pendingFree
+        labels = labels
+          .join(improved.select(col("id"), col("lbl").as("nl")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
+        frontier = improved
+      }
+      activeCount = n
       i += 1
+      if (activeCount > 0 && i % compactEvery == 0) {
+        labels = labels.graftCut
+        (base :: pendingFree).filter(_ ne frontier).foreach(_.graftFree())
+        pendingFree = Nil
+        base = labels
+      }
       Superstep.log(f"cc iter $i: active=$activeCount ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      if (ckpt.nonEmpty && (i % ckptEvery == 0))
+      if (ckpt.nonEmpty && activeCount > 0 && (i % ckptEvery == 0))
         ckpt.get.save(labels, i, activeCount)
     }
-    ckpt.foreach(_.save(labels, i, activeCount))
-    Result(labels, i, history.toSeq)
+    val finalLabels = labels.graftCut
+    ckpt.foreach(_.save(finalLabels, i, activeCount))
+    (base :: frontier :: pendingFree).filter(_ ne finalLabels).distinct.foreach(_.graftFree())
+    Result(finalLabels, i, history.toSeq)
   }
 
   /** Number of distinct components (reference report, cc.cpp:90-104). */

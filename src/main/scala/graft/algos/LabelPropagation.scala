@@ -33,7 +33,14 @@ object LabelPropagation {
       .repartition(graph.numPartitions, col("id"))
       .graftCut
     val history = scala.collection.mutable.ArrayBuffer[Long]()
-    var prevCut: DataFrame = labels
+    // Every round EVERY vertex signals (LP is the always-dense
+    // variant), but only the vertices whose label CHANGED need
+    // materializing: one cut job per round (its count = changed),
+    // with the full label table as a compacted lazy chain — same
+    // round-2 job-budget shape as CC/SSSP.
+    val compactEvery = 4
+    var base = labels
+    var pendingFree = List[DataFrame]()
     var i = 0
     var changed = -1L
     while (changed != 0 && i < maxIterations) {
@@ -41,22 +48,32 @@ object LabelPropagation {
         graph, labels, signal = col("lbl"), combine = min,
         activeEdges = graph.numEdges, activeCount = graph.numVertices,
         saltBuckets = salt)
-      val merged = labels
-        .join(msgs, Seq("id"), "left")
-        .select(
-          col("id"),
-          least(col("lbl"), coalesce(col("msg"), col("lbl"))).as("newLbl"),
-          col("lbl"))
-        .graftCut
-      if (prevCut ne null) { prevCut.graftFree(); }
-      prevCut = merged
-      changed = merged.where(col("newLbl") =!= col("lbl")).count()
+      val (improved, n) = msgs
+        .join(labels.select(col("id"), col("lbl").as("old")), Seq("id"), "left")
+        .where(col("msg") < col("old"))
+        .select(col("id"), col("msg").as("lbl"))
+        .graftCutCount
+      changed = n
       history += changed
-      labels = merged.select(col("id"), col("newLbl").as("lbl"))
+      if (n > 0) {
+        pendingFree = improved :: pendingFree
+        labels = labels
+          .join(improved.select(col("id"), col("lbl").as("nl")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
+      }
       i += 1
-      if (ckpt.nonEmpty && (i % 5 == 0)) ckpt.get.save(labels, i, changed)
+      if (changed > 0 && i % compactEvery == 0) {
+        labels = labels.graftCut
+        (base :: pendingFree).foreach(_.graftFree())
+        pendingFree = Nil
+        base = labels
+      }
+      Superstep.log(f"lp iter $i: changed=$changed")
+      if (ckpt.nonEmpty && changed > 0 && (i % 5 == 0)) ckpt.get.save(labels, i, changed)
     }
-    ckpt.foreach(_.save(labels, i, 0L))
-    Result(labels, i, history.toSeq)
+    val finalLabels = labels.graftCut
+    ckpt.foreach(_.save(finalLabels, i, 0L))
+    (base :: pendingFree).filter(_ ne finalLabels).distinct.foreach(_.graftFree())
+    Result(finalLabels, i, history.toSeq)
   }
 }

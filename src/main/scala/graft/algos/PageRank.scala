@@ -83,30 +83,34 @@ object PageRank {
         .select(
           col("id"), col("out_degree"),
           (lit(1.0 - d) + lit(d) * coalesce(col("msg"), lit(0.0))).as("raw"))
-      val step = (if (fixed)
-        updated.select(
-          col("id"), col("raw"),
-          when(col("out_degree") > 0, col("raw") / col("out_degree"))
-            .otherwise(col("raw")).as("v"))
-      else
-        updated
-          .join(curr, Seq("id"))
-          .select(
+      // Convergence mode folds the delta sum (the reference Allreduce,
+      // pagerank.cpp:86-98) into the materialization pass: exactly ONE
+      // job per superstep in both modes.
+      val (step, delta) =
+        if (fixed) {
+          val s = updated.select(
             col("id"), col("raw"),
             when(col("out_degree") > 0, col("raw") / col("out_degree"))
-              .otherwise(col("raw")).as("v"),
-            when(col("out_degree") > 0,
-              abs(col("raw") / col("out_degree") - col("v")) * col("out_degree"))
-              .otherwise(abs(col("raw") - col("v"))).as("dterm"))).graftCut
+              .otherwise(col("raw")).as("v")).graftCut
+          (s, Double.NaN)
+        } else {
+          val t0 = System.nanoTime()
+          val (s, dsum) = updated
+            .join(curr, Seq("id"))
+            .select(
+              col("id"), col("raw"),
+              when(col("out_degree") > 0, col("raw") / col("out_degree"))
+                .otherwise(col("raw")).as("v"),
+              when(col("out_degree") > 0,
+                abs(col("raw") / col("out_degree") - col("v")) * col("out_degree"))
+                .otherwise(abs(col("raw") - col("v"))).as("dterm"))
+            .graftCutSum("dterm")
+          val dlt = dsum / graph.numVertices
+          Superstep.log(f"pr iter ${i + 1}: delta=$dlt%.2e step=${(System.nanoTime() - t0) / 1e9}%.2f s")
+          (s, dlt)
+        }
       if (prevCut ne null) { prevCut.graftFree(); }
       prevCut = step
-      val delta = if (fixed) Double.NaN
-      else {
-        val t0 = System.nanoTime()
-        val dlt = step.agg(sum(col("dterm"))).first().getDouble(0) / graph.numVertices
-        Superstep.log(f"pr iter ${i + 1}: delta=$dlt%.2e agg=${(System.nanoTime() - t0) / 1e9}%.2f s")
-        dlt
-      }
       if (!fixed) deltas += delta
       lastRaw = step.select(col("id"), col("raw").as("rank"))
       curr = step.select(col("id"), col("v"))

@@ -86,6 +86,25 @@ object Similarity {
    * is off so results stay exact w.r.t. the bucketing. */
   def lshTopK(emb: DataFrame, planes: Int = 6, k: Int = 5,
       maxBucket: Long = Long.MaxValue): DataFrame = {
+    val p = bucketed(emb, planes, maxBucket).persist()
+    val a = p.select(col("bucket"), col("vec_id"), col("v"), col("norm"))
+    val b = p.select(
+      col("bucket"), col("vec_id").as("nbr_id"), col("v").as("w"), col("norm").as("nrm2"))
+    val sims = a.join(b, Seq("bucket")).where(col("vec_id") =!= col("nbr_id"))
+      .select(
+        col("vec_id"), col("nbr_id"),
+        round(dot(col("v"), col("w")) / (col("norm") * col("nrm2")) * 10000)
+          .cast("long").as("sim_e4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim_e4").desc, col("nbr_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("sim_e4"), col("rank"))
+  }
+
+  /** (bucket, vec_id, v, norm) with the quantized-integer hyperplane
+   * bucket (see [[lshTopK]]); buckets above `maxBucket` are dropped. */
+  def bucketed(emb: DataFrame, planes: Int, maxBucket: Long = Long.MaxValue): DataFrame = {
     val p0 = prepared(emb)
       .withColumn(
         "bucket", {
@@ -102,20 +121,31 @@ object Similarity {
           }
           signs.reduce(_ + _)
         })
-    val sizes = p0.groupBy(col("bucket")).agg(count(lit(1)).as("bsz"))
-    val p = p0.join(broadcast(sizes.where(col("bsz") <= maxBucket)), "bucket").persist()
-    val a = p.select(col("bucket"), col("vec_id"), col("v"), col("norm"))
+    if (maxBucket == Long.MaxValue) p0
+    else {
+      val sizes = p0.groupBy(col("bucket")).agg(count(lit(1)).as("bsz"))
+      p0.join(broadcast(sizes.where(col("bsz") <= maxBucket)), "bucket").drop("bsz")
+    }
+  }
+
+  /** Embedding-cosine near-duplicate pairs — the dedup-flavored twin
+   * of [[lshTopK]]: LSH-bucketed candidate generation (linear), exact
+   * cosine within buckets, keep pairs with sim ≥ threshold. The scale
+   * path for "drop training docs whose embeddings almost coincide". */
+  def cosineDupPairs(
+      emb: DataFrame,
+      planes: Int = 6,
+      simThresholdE4: Long = 9000,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
+    val p = bucketed(emb, planes, maxBucket).persist()
+    val a = p.select(col("bucket"), col("vec_id").as("vec_a"), col("v"), col("norm"))
     val b = p.select(
-      col("bucket"), col("vec_id").as("nbr_id"), col("v").as("w"), col("norm").as("nrm2"))
-    val sims = a.join(b, Seq("bucket")).where(col("vec_id") =!= col("nbr_id"))
+      col("bucket"), col("vec_id").as("vec_b"), col("v").as("w"), col("norm").as("nrm2"))
+    a.join(b, Seq("bucket")).where(col("vec_a") < col("vec_b"))
       .select(
-        col("vec_id"), col("nbr_id"),
+        col("vec_a"), col("vec_b"),
         round(dot(col("v"), col("w")) / (col("norm") * col("nrm2")) * 10000)
           .cast("long").as("sim_e4"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("sim_e4").desc, col("nbr_id").asc)
-    sims.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("vec_id"), col("nbr_id"), col("sim_e4"), col("rank"))
+      .where(col("sim_e4") >= simThresholdE4)
   }
 }

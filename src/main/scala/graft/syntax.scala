@@ -10,6 +10,9 @@ object syntax {
     /** Cut + the materialized row count (saves one job per superstep
      * in frontier loops that need the active count anyway). */
     def graftCutCount: (DataFrame, Long) = org.apache.spark.sql.GraftLineage.cutCounted(df)
+    /** Cut + the sum of a double column, in the same single job. */
+    def graftCutSum(sumCol: String): (DataFrame, Double) =
+      org.apache.spark.sql.GraftLineage.cutSummed(df, sumCol)
     /** Unpersist a superseded graftCut state (no-op otherwise). */
     def graftFree(): Unit = org.apache.spark.sql.GraftLineage.free(df)
   }

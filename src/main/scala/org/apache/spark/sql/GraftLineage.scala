@@ -38,6 +38,30 @@ object GraftLineage {
    * ContextCleaner once the returned Dataset becomes unreachable. */
   def cut(df: DataFrame): DataFrame = cutCounted(df)._1
 
+  /** [[cut]] that also sums a double column during the materialization
+   * pass — one job instead of cut + aggregate. Uses `rdd.aggregate`
+   * (an ACTION, so exactly-once under task retries — a column-sum
+   * accumulator inside the map would double-count retried tasks and
+   * could shift a convergence loop's stopping iteration). PageRank's
+   * per-iteration delta (the reference's Allreduce,
+   * core/graph.hpp:1856-1858) rides the state materialization. */
+  def cutSummed(df: DataFrame, sumCol: String): (DataFrame, Double) = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = ds.sparkSession
+    val qe = ds.queryExecution
+    val idx = qe.analyzed.output.indexWhere(_.name == sumCol)
+    require(idx >= 0, s"column $sumCol not found")
+    val rdd = qe.toRdd.map(_.copy())
+    rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.localCheckpoint()
+    val s = rdd.aggregate(0.0)((acc, row) => acc + row.getDouble(idx), _ + _)
+    val plan = LogicalRDD(
+      qe.analyzed.output, rdd,
+      rewrittenPartitioning(qe), Nil, isStreaming = false, stream = None)(
+      spark, originStats = None, originConstraints = None)
+    (classic.Dataset.ofRows(spark, plan), s)
+  }
+
   /** [[cut]] that also returns the materialized row count — the
    * eager materialization is a count() anyway, so frontier loops that
    * need the active count (every frontier algorithm does) get it for

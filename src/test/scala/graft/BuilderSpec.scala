@@ -76,4 +76,24 @@ class BuilderSpec extends SparkSpec {
     assert(edges.forall { case (a, b) => a != b })
     assert(edges.forall { case (a, b) => edges.contains((b, a)) })
   }
+
+  test("LinkGraph.symmetrize of the directed graph == symmetric from-scratch build") {
+    val pairs = Seq((0, 1), (1, 2), (2, 0), (3, 1), (2, 2), (1, 0))
+    val w = pairs.map { case (a, b) => (a, b) -> (1.0 + (a * 3 + b) % 4) }.toMap
+    val direct = graphOf(pairs, symmetric = true, weights = w)
+    val shared = graphOf(pairs, symmetric = false, weights = w).symmetrize
+    def edgeSet(g: LinkGraph) =
+      g.edgesBySrc.join(g.vertices.withColumnRenamed("id", "src"), "src")
+        .withColumnRenamed("key", "sk")
+        .join(g.vertices.withColumnRenamed("id", "dst"), "dst")
+        .select(col("sk"), col("key"), col("weight")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(edgeSet(direct) == edgeSet(shared))
+    assert(direct.numEdges == shared.numEdges && direct.numVertices == shared.numVertices)
+    def degSet(g: LinkGraph) =
+      g.degrees.join(g.vertices, "id")
+        .select(col("key"), col("out_degree"), col("in_degree")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(degSet(direct) == degSet(shared))
+  }
 }

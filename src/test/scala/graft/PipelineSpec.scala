@@ -109,6 +109,13 @@ class PipelineSpec extends SparkSpec {
     assert(r.get((0L, 1)).contains(4L) || r.get((4L, 1)).contains(0L))
   }
 
+  test("embedding-cosine near-dup pairs: identical vectors found, orthogonal not") {
+    val pairs = Similarity.cosineDupPairs(embFixture, planes = 4, simThresholdE4 = 9500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (a, b, s) => a == 0L && b == 4L && s == 10000L })
+    assert(!pairs.exists { case (a, b, _) => Set(a, b) == Set(2L, 3L) }) // orthogonal
+  }
+
   test("langId: stopword profiles pick the right language, deterministic tie-break") {
     val r = TextStats.langId(docsFixture).collect()
       .map(x => x.getLong(0) -> x.getString(1)).toMap
