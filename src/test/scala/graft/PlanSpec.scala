@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+import org.apache.spark.sql.functions._
+
+import graft.syntax._
+
+/** Physical-plan shape tests: the scale claims in BASELINE.md ("the
+ * edge table never re-shuffles; one exchange of partially-aggregated
+ * messages per superstep") asserted against the actual executed plan,
+ * not just .explain reading. */
+class PlanSpec extends SparkSpec {
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.count() // finalize AQE
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.finalPhysicalPlan
+      case p => p
+    }
+  }
+
+  private def collectNodes(p: SparkPlan): Seq[SparkPlan] = {
+    // flatten across AQE subtrees; QueryStageExec hides its exchange in
+    // `plan` (not in children). InMemoryTableScan's cached BUILD plan is
+    // deliberately NOT followed — its exchanges ran once at persist
+    // time, not per superstep.
+    val extra = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.finalPhysicalPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case _ => Nil
+    }
+    p +: (p.children ++ extra).flatMap(collectNodes)
+  }
+
+  private def shuffles(p: SparkPlan) =
+    collectNodes(p).count(_.isInstanceOf[ShuffleExchangeLike])
+  private def broadcasts(p: SparkPlan) =
+    collectNodes(p).count(_.isInstanceOf[BroadcastExchangeLike])
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // Toy tables sit below the broadcast threshold, which would let
+    // Spark/AQE turn the co-partitioned dense join into a broadcast
+    // join and hide the plan shape under test. At real scale the edge
+    // side is far beyond any threshold, so the co-partitioned shape is
+    // the production plan; pin it here.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+  }
+
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    super.afterAll()
+  }
+
+  lazy val g: LinkGraph = graphOf(
+    (0 until 40).map(i => (i, (i + 1) % 40)) ++ Seq((0, 20), (5, 25), (7, 13)),
+    symmetric = false)
+
+  test("dense gather: edge side co-partitioned, ONE shuffle (the message combine)") {
+    // state arrives hash-partitioned by id, as it does across supersteps
+    val state = g.degrees
+      .select(col("id"), (col("id") + 1).cast("double").as("v"))
+      .repartition(numPartitions, col("id"))
+      .graftCut
+    val msgs = Superstep.gather(
+      g, state, signal = col("v"), combine = sum,
+      activeEdges = Long.MaxValue, activeCount = g.numVertices)
+    val plan = executed(msgs)
+    assert(broadcasts(plan) == 0, s"dense mode must not broadcast:\n$plan")
+    assert(shuffles(plan) == 1,
+      s"dense gather must shuffle ONLY the combined messages (got ${shuffles(plan)}):\n$plan")
+  }
+
+  test("sparse gather: frontier broadcast, no edge-side shuffle before the combine") {
+    val frontier = g.degrees.limit(3)
+      .select(col("id"), lit(1.0).as("v"))
+      .repartition(numPartitions, col("id"))
+      .graftCut
+    val msgs = Superstep.gather(
+      g, frontier, signal = col("v"), combine = sum,
+      activeEdges = 0L, activeCount = 3L)
+    val plan = executed(msgs)
+    assert(broadcasts(plan) == 1, s"sparse mode must broadcast the frontier:\n$plan")
+    assert(shuffles(plan) <= 1,
+      s"sparse gather shuffles at most the combined messages (got ${shuffles(plan)}):\n$plan")
+  }
+
+  test("salted gather adds exactly one extra combine stage, still no edge shuffle") {
+    val state = g.degrees
+      .select(col("id"), (col("id") + 1).cast("double").as("v"))
+      .repartition(numPartitions, col("id"))
+      .graftCut
+    val msgs = Superstep.gather(
+      g, state, signal = col("v"), combine = sum,
+      activeEdges = Long.MaxValue, activeCount = g.numVertices, saltBuckets = 4)
+    val plan = executed(msgs)
+    assert(shuffles(plan) == 2,
+      s"salted gather = per-(dst,salt) combine + final combine (got ${shuffles(plan)}):\n$plan")
+  }
+
+  test("no cached-RDD growth across a 60-level BFS (superseded cuts are freed)") {
+    val path = graphOf((0 until 60).map(i => (i, i + 1)), symmetric = true)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val root = path.vertices.orderBy(col("key")).select(col("id")).head().getLong(0)
+    val r = algos.Bfs.run(path, root)
+    assert(r.found == 61)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // a 60-level run must not retain O(levels) cuts — only the final
+    // tree (plus at most a compaction straggler) may remain
+    assert(after - before <= 3,
+      s"persistent RDDs grew by ${after - before} across 60 BFS levels")
+    path.unpersist()
+  }
+
+  test("PageRank superstep state keeps its partitioning across the lineage cut") {
+    val state = g.degrees
+      .select(col("id"), lit(1.0).as("v"))
+      .repartition(numPartitions, col("id"))
+      .graftCut
+    // a co-partitioned self-join on id must add NO shuffle on the cut side
+    val joined = state.join(
+      g.degrees.repartition(numPartitions, col("id")), "id")
+    val plan = executed(joined)
+    assert(shuffles(plan) <= 1, // at most the degrees side re-shuffle
+      s"cut state must retain hash partitioning (got ${shuffles(plan)}):\n$plan")
+  }
+}
