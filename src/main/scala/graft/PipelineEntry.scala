@@ -22,6 +22,7 @@ object PipelineEntry {
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Dedup.docs(s, dir))),
     "q_ann_cosine" -> ((s, dir) => Similarity.cosineTopK(Similarity.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(Similarity.embeddings(s, dir))),
+    "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(Similarity.embeddings(s, dir))),
     // threshold 0.30: the synthetic embeddings hold no true near-dups
     // (max pairwise cosine ≈ 0.49), so the driver check runs at a
     // similarity level the data actually contains (253 pairs at
@@ -282,6 +283,75 @@ object PipelineEntry {
       |  FROM sims) r
       |WHERE rank <= 5""".stripMargin
 
+  /** Mirrors Similarity.ivfTopK exactly: integer-quantized vectors,
+   * seeded centroids (nlist smallest vec_ids), `lloydIters` exact-
+   * integer Lloyd iterations with empty-cluster fallback, nprobe-probed
+   * inverted lists, per-list exact cosine top-k. Every quantizer step
+   * is integer (or a floor of an exact double quotient ≪ 2^53), so the
+   * replayed training is bit-identical to the Spark side. */
+  private def annIvfSql(nlist: Int = 16, nprobe: Int = 2, k: Int = 5,
+      lloydIters: Int = 2, maxQueries: Long = 500): String = {
+    val iters = (1 to lloydIters).map { t =>
+      val prev = s"c${t - 1}"
+      s"""dist$t AS (
+         |  SELECT v.vec_id, c.cid, sum((v.q - c.q) * (v.q - c.q)) AS d2
+         |  FROM vq v JOIN $prev c ON c.i = v.i GROUP BY 1, 2
+         |), a$t AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM dist$t) z WHERE rn = 1
+         |), m$t AS (
+         |  SELECT a.cid, v.i, cast(floor(sum(v.q) * 1.0 / count(*)) AS bigint) AS q
+         |  FROM a$t a JOIN vq v ON v.vec_id = a.vec_id GROUP BY 1, 2
+         |), c$t AS (
+         |  SELECT cid, i, q FROM m$t
+         |  UNION ALL
+         |  SELECT c.cid, c.i, c.q FROM $prev c
+         |  WHERE c.cid NOT IN (SELECT DISTINCT cid FROM m$t)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH vv AS (
+       |  SELECT vec_id, cast(unnest(embedding) AS double) AS x,
+       |         generate_subscripts(embedding, 1) - 1 AS i
+       |  FROM embeddings
+       |), vq AS (
+       |  SELECT vec_id, i, cast(round(x * 1000000) AS bigint) AS q FROM vv
+       |), norms AS (
+       |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM vv GROUP BY 1
+       |), seeds AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       |  FROM (SELECT DISTINCT vec_id FROM vq ORDER BY vec_id LIMIT $nlist) s
+       |), c0 AS (
+       |  SELECT s.cid, v.i, v.q FROM seeds s JOIN vq v ON v.vec_id = s.vec_id
+       |), $iters, distF AS (
+       |  SELECT v.vec_id, c.cid, sum((v.q - c.q) * (v.q - c.q)) AS d2
+       |  FROM vq v JOIN c$lloydIters c ON c.i = v.i GROUP BY 1, 2
+       |), rk AS (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM distF
+       |), lists AS (
+       |  SELECT vec_id AS nbr_id, cid FROM rk WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id, cid FROM rk WHERE rn <= $nprobe AND vec_id < $maxQueries
+       |), dots AS (
+       |  SELECT p.vec_id, l.nbr_id, sum(va.x * vb.x) AS d
+       |  FROM probes p JOIN lists l ON l.cid = p.cid AND l.nbr_id <> p.vec_id
+       |  JOIN vv va ON va.vec_id = p.vec_id
+       |  JOIN vv vb ON vb.vec_id = l.nbr_id AND vb.i = va.i
+       |  GROUP BY 1, 2
+       |), sims AS (
+       |  SELECT d.vec_id, d.nbr_id,
+       |         cast(round(d.d / (na.nrm * nb.nrm) * 10000) AS bigint) AS sim_e4
+       |  FROM dots d
+       |  JOIN norms na ON na.vec_id = d.vec_id
+       |  JOIN norms nb ON nb.vec_id = d.nbr_id
+       |)
+       |SELECT vec_id, nbr_id, sim_e4, cast(rank AS bigint) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_e4 DESC, nbr_id) AS rank
+       |  FROM sims) r
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** Mirrors Similarity.cosineDupPairs at threshold 0.30 (q_embed_dedup). */
   private val embedDedupSql: String = lshPrefix +
     """, dots AS (
@@ -314,6 +384,7 @@ object PipelineEntry {
     "q_simhash" -> simhashSql,
     "q_simhash_pairs" -> simhashPairsSql,
     "q_ann_lsh" -> annLshSql,
+    "q_ann_ivf" -> annIvfSql(),
     "q_embed_dedup" -> embedDedupSql,
     "q_media" -> mediaSql,
     "q_dedup_exact" ->

@@ -128,6 +128,93 @@ object Similarity {
     }
   }
 
+  /**
+   * IVF-flat cosine top-k — the second scale path next to [[lshTopK]],
+   * mirroring the inverted-file index family (nlist coarse-quantizer
+   * centroids, nprobe-probed candidate lists).
+   *
+   *  - Train: `nlist` centroids seeded from the `nlist` smallest
+   *    vec_ids, refined by `lloydIters` Lloyd iterations. Centroids are
+   *    tiny driver-side model state (nlist·d longs — the coarse
+   *    quantizer); the big table never leaves the executors. Each
+   *    iteration = one broadcast nested-loop assignment (no shuffle of
+   *    the vector side beyond its resident partitioning) + one
+   *    nlist·d-group partial-aggregated mean. At 100 TB you train on a
+   *    sample; here the full (small) table keeps the oracle exact.
+   *  - Query: probe the `nprobe` nearest centroids, brute-force exact
+   *    cosine inside the probed inverted lists, top-k. Cost per query
+   *    is nprobe/nlist of the data — the recall/cost dial.
+   *
+   * ALL quantizer arithmetic is exact-integer (vectors quantized to
+   * `round(x·10^6)` longs, squared-L2 in longs, means as
+   * `floor(sum·1.0/count)` with sums ≪ 2^53): assignments are
+   * bit-reproducible across engines and parallelism, so the DuckDB
+   * oracle replays training exactly (same trick as [[bucketed]]).
+   * Ties (equal d2) break on centroid id; ranking is deterministic on
+   * (sim_e4 desc, nbr_id asc) like the other ANN variants.
+   */
+  def ivfTopK(emb: DataFrame, nlist: Int = 16, nprobe: Int = 2, k: Int = 5,
+      lloydIters: Int = 2, maxQueries: Long = 500): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val p = prepared(emb)
+      .withColumn("vq",
+        transform(col("v"), x => round(x.cast("double") * lit(1000000.0)).cast("long")))
+      .persist()
+
+    // seed centroids: quantized vectors of the nlist smallest vec_ids
+    var cents: IndexedSeq[(Int, Seq[Long])] = p
+      .orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id"), col("vq")).collect()
+      .sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1)) }.toIndexedSeq
+
+    // (vec_id, cid, rn) ranked by exact-integer squared L2 to each centroid
+    def ranked(cs: IndexedSeq[(Int, Seq[Long])]): DataFrame = {
+      val c = broadcast(cs.toDF("cid", "cq"))
+      val d2 = aggregate(
+        zip_with(col("vq"), col("cq"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+      p.select(col("vec_id"), col("vq")).crossJoin(c)
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(w))
+    }
+
+    for (_ <- 1 to lloydIters) {
+      val means = ranked(cents).where(col("rn") === 1)
+        .select(col("cid"), posexplode(col("vq")).as(Seq("pos", "q")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(floor(sum(col("q")) * lit(1.0) / count(lit(1))).cast("long").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }
+      // empty clusters keep their previous centroid
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+
+    val fin = ranked(cents).persist()
+    val lists = fin.where(col("rn") === 1).select(col("vec_id").as("nbr_id"), col("cid"))
+    val probes = fin.where(col("rn") <= nprobe && col("vec_id") < maxQueries)
+      .select(col("vec_id"), col("cid"))
+    val a = probes.join(p.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+    val b = lists.join(
+      p.select(col("vec_id").as("nbr_id"), col("v").as("w"), col("norm").as("nrm2")), "nbr_id")
+    val sims = a.join(b, Seq("cid")).where(col("vec_id") =!= col("nbr_id"))
+      .select(
+        col("vec_id"), col("nbr_id"),
+        round(dot(col("v"), col("w")) / (col("norm") * col("nrm2")) * 10000)
+          .cast("long").as("sim_e4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim_e4").desc, col("nbr_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("sim_e4"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs — the dedup-flavored twin
    * of [[lshTopK]]: LSH-bucketed candidate generation (linear), exact
    * cosine within buckets, keep pairs with sim ≥ threshold. The scale

@@ -109,6 +109,32 @@ class PipelineSpec extends SparkSpec {
     assert(r.get((0L, 1)).contains(4L) || r.get((4L, 1)).contains(0L))
   }
 
+  test("IVF with nprobe = nlist degenerates to exact brute force (full pipeline equality)") {
+    // probing every inverted list makes IVF search exhaustive, so the
+    // result must equal cosineTopK bit-for-bit — this exercises
+    // training, assignment, probing, and the ranking window end-to-end
+    val ivf = Similarity.ivfTopK(embFixture, nlist = 2, nprobe = 2, k = 2, lloydIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val brute = Similarity.cosineTopK(embFixture, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(ivf == brute)
+  }
+
+  test("IVF at nprobe = 1: identical vectors share an inverted list and are found") {
+    val r = Similarity.ivfTopK(embFixture, nlist = 2, nprobe = 1, k = 2, lloydIters = 2)
+      .collect().map(x => ((x.getLong(0), x.getInt(3)), (x.getLong(1), x.getLong(2)))).toMap
+    // vec 4 is bit-identical to vec 0 → same centroid at d2 = 0 → same
+    // list → rank-1 neighbor with cosine exactly 1
+    assert(r((0L, 1)) == (4L, 10000L))
+    assert(r((4L, 1)) == (0L, 10000L))
+  }
+
+  test("IVF handles nlist close to N and empty-cluster fallback without losing vectors") {
+    val r = Similarity.ivfTopK(embFixture, nlist = 4, nprobe = 4, k = 4, lloydIters = 3)
+    // exhaustive probing again → every vector sees all 4 others
+    assert(r.groupBy("vec_id").count().collect().forall(_.getLong(1) == 4L))
+  }
+
   test("embedding-cosine near-dup pairs: identical vectors found, orthogonal not") {
     val pairs = Similarity.cosineDupPairs(embFixture, planes = 4, simThresholdE4 = 9500)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
