@@ -103,6 +103,23 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("IVF with nprobe = nlist ≡ brute force on seeded random embeddings") {
+    // Exhaustive probing makes IVF search exact regardless of how the
+    // Lloyd clustering landed — equality must hold bit-for-bit for any
+    // vector set (trains the quantizer on adversarially unclustered
+    // random data, unlike the hand-built PipelineSpec fixture).
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val emb = (0L until 60L).map { id =>
+      (id, Array.fill(8)((rnd.nextDouble() - 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val ivf = pipeline.Similarity.ivfTopK(emb, nlist = 5, nprobe = 5, k = 3, lloydIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val brute = pipeline.Similarity.cosineTopK(emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(ivf == brute)
+  }
+
   test("relabeling invariance: permuting vertex ids permutes PageRank results") {
     val edges = Seq((0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (0, 5))
     val perm = Map(0 -> 3, 1 -> 5, 2 -> 0, 3 -> 4, 4 -> 1, 5 -> 2)
