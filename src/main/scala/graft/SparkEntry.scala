@@ -47,6 +47,12 @@ object SparkEntry {
     "q_edges" -> ((s, dir) =>
       EdgeBuilder.keyEdges(Transcripts.fromEvents(s, dir))
         .select(col("src_key"), col("dst_key"), col("kind"))),
+    // the incremental (Structured Streaming) builder, executed in
+    // batch mode over the same input — same oracle as q_edges, since
+    // stream ≡ batch is the operator's contract (StreamingSpec)
+    "q_stream_edges" -> ((s, dir) =>
+      streaming.EdgeStream.edges(Transcripts.fromEvents(s, dir)).toDF()
+        .select(col("src_key"), col("dst_key"), col("kind"))),
     "q_degrees" -> ((s, dir) => {
       val g = Graphs.get(s, dir, symmetric = false)
       g.degrees.join(g.vertices, "id")
@@ -342,6 +348,7 @@ object SparkEntry {
     "q_bc" -> bcSql,
     "q_transcripts" -> (prefix + "\nSELECT conv_id, turn_idx, role, text, tool FROM t"),
     "q_edges" -> (prefix + "\nSELECT src_key, dst_key, kind FROM e"),
+    "q_stream_edges" -> (prefix + "\nSELECT src_key, dst_key, kind FROM e"),
     "q_degrees" -> (prefix +
       """, od AS (SELECT src_key AS key, count(*) AS o FROM e GROUP BY 1)
         |, id2 AS (SELECT dst_key AS key, count(*) AS i FROM e GROUP BY 1)

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One transcript turn, as consumed by the incremental edge builder
+ * (`text`/`role`/`ts` are irrelevant to edge derivation and dropped
+ * before the stateful operator — less state, smaller shuffle). */
+case class TurnEvent(conv_id: String, turn_idx: Int, tool: Option[String])
+
+/** Per-conversation state: the highest turn index ingested so far.
+ * ONE small row per live conversation — state size is O(live convs),
+ * independent of history length. */
+case class ConvCursor(lastIdx: Int)
+
+/** A derived link-graph edge (same shape as EdgeBuilder.keyEdges). */
+case class KeyEdge(src_key: String, dst_key: String, kind: String, weight: Double)
+
+/**
+ * Structured-Streaming incremental edge ingest — the streaming twin of
+ * `sources.EdgeBuilder.keyEdges` (the reference engine is batch-only;
+ * this is the piece a production 10^12-turn pipeline needs so the
+ * graph can be grown continuously instead of rebuilt).
+ *
+ * Semantics contract: turns of one conversation arrive in turn_idx
+ * order (a live transcript log cannot emit turn 5 before turn 4;
+ * batches may split a conversation anywhere). Under that contract the
+ * accumulated output across all micro-batches equals the batch builder
+ * on the full input, exactly:
+ *
+ *  - `adj`  edges `(conv#i → conv#j)` for consecutive ingested turns —
+ *    the cross-batch seam is held in [[ConvCursor]] via
+ *    `flatMapGroupsWithState` keyed by conv_id (bounded custom state,
+ *    the Spark-first replacement for the batch `lead` window).
+ *  - `tool` edges `(conv#i → T#tool)` — stateless, emitted inline.
+ *  - self-loops dropped; late/duplicate turn indexes (≤ cursor) emit
+ *    no adj edge instead of corrupting the chain.
+ *
+ * Scale/ops notes: output mode Append (edges are immutable facts —
+ * nothing retracts); state evicts by processing-time TTL when
+ * `stateTtl` is set (a conversation idle that long is closed; its
+ * cursor is the only loss, so a late resume just starts a new chain
+ * segment rather than erroring). Sink: `writeStream.foreachBatch`
+ * appending to the bucketed edge layout (`sources.BucketedLayout`),
+ * dedup-on-compact like the batch path. The same function runs on a
+ * static DataFrame (Spark executes stateful operators per-group in
+ * batch mode) — one code path, two execution modes.
+ */
+object EdgeStream {
+
+  /** Incremental `(src_key, dst_key, kind, weight)` from a (streaming
+   * or static) transcript DataFrame. */
+  def edges(transcripts: DataFrame, stateTtl: Option[String] = None): Dataset[KeyEdge] = {
+    val spark = transcripts.sparkSession
+    import spark.implicits._
+    val turns = transcripts
+      .select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"), col("tool"))
+      .as[TurnEvent]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    turns
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(advance(stateTtl))
+      .filter(e => e.src_key != e.dst_key)
+  }
+
+  /** The per-conversation transition: sort the micro-batch slice,
+   * chain adj edges from the stored cursor, emit tool edges, advance
+   * the cursor. Pure function of (state, batch slice) → deterministic
+   * replay from a streaming checkpoint. */
+  private def advance(stateTtl: Option[String])(
+      convId: String,
+      rows: Iterator[TurnEvent],
+      state: GroupState[ConvCursor]): Iterator[KeyEdge] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val sorted = rows.toArray.sortBy(_.turn_idx)
+      val out = Array.newBuilder[KeyEdge]
+      var last: Option[Int] = state.getOption.map(_.lastIdx)
+      sorted.foreach { t =>
+        val vkey = s"$convId#${t.turn_idx}"
+        last match {
+          case Some(li) if t.turn_idx > li =>
+            out += KeyEdge(s"$convId#$li", vkey, "adj", 1.0)
+          case _ => // first turn of the conv, or a stale replay: no adj edge
+        }
+        t.tool.foreach(tl => out += KeyEdge(vkey, s"T#$tl", "tool", 2.0))
+        if (last.forall(_ < t.turn_idx)) last = Some(t.turn_idx)
+      }
+      last.foreach(li => state.update(ConvCursor(li)))
+      stateTtl.foreach(state.setTimeoutDuration)
+      out.result().iterator
+    }
+  }
+}
