@@ -53,6 +53,11 @@ object SparkEntry {
     "q_stream_edges" -> ((s, dir) =>
       streaming.EdgeStream.edges(Transcripts.fromEvents(s, dir)).toDF()
         .select(col("src_key"), col("dst_key"), col("kind"))),
+    // watermarked tumbling-window tool-invocation counts, batch mode
+    // (the watermark node is a no-op on static input — same code path
+    // as the streaming leg, StreamingSpec proves the stream semantics)
+    "q_tool_windows" -> ((s, dir) =>
+      streaming.EdgeStream.toolWindows(Transcripts.fromEvents(s, dir))),
     "q_degrees" -> ((s, dir) => {
       val g = Graphs.get(s, dir, symmetric = false)
       g.degrees.join(g.vertices, "id")
@@ -151,7 +156,8 @@ object SparkEntry {
       |         concat(event_type, ' ', props) AS text,
       |         CASE WHEN event_type IN ('purchase','error')
       |              THEN concat('tool_', cast(cast(floor(user_id/10.0)*5 + cast(floor(value) AS bigint)%5 AS bigint) AS varchar))
-      |              ELSE NULL END AS tool
+      |              ELSE NULL END AS tool,
+      |         ts
       |  FROM events
       |), k AS MATERIALIZED (
       |  SELECT conv_id, turn_idx, concat(conv_id, '#', cast(turn_idx AS varchar)) AS vkey, tool FROM t
@@ -349,6 +355,12 @@ object SparkEntry {
     "q_transcripts" -> (prefix + "\nSELECT conv_id, turn_idx, role, text, tool FROM t"),
     "q_edges" -> (prefix + "\nSELECT src_key, dst_key, kind FROM e"),
     "q_stream_edges" -> (prefix + "\nSELECT src_key, dst_key, kind FROM e"),
+    // Spark's window() and DuckDB's time_bucket both align tumbling
+    // hour windows on hour boundaries; epoch seconds make the compare
+    // timezone/format-exact
+    "q_tool_windows" -> (prefix +
+      "\nSELECT cast(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS bigint) AS w_start," +
+      " tool, count(*) AS n FROM t WHERE tool IS NOT NULL GROUP BY 1, 2"),
     "q_degrees" -> (prefix +
       """, od AS (SELECT src_key AS key, count(*) AS o FROM e GROUP BY 1)
         |, id2 AS (SELECT dst_key AS key, count(*) AS i FROM e GROUP BY 1)

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** One transcript turn, as consumed by the incremental edge builder
  * (`text`/`role`/`ts` are irrelevant to edge derivation and dropped
@@ -96,4 +96,66 @@ object EdgeStream {
       out.result().iterator
     }
   }
+
+  /**
+   * The durable sink: each micro-batch appends to an Iceberg-style
+   * `bucket=K/` parquet layout (hash of src_key — ingest time cannot
+   * know degrees; the degree-aware re-range happens at compaction,
+   * `sources.BucketedLayout`). Append-only and idempotent-per-layout:
+   * replayed batches may re-append rows, so readers go through
+   * [[compactEdges]] which dedups on the full edge key — the same
+   * contract as the batch builder's `dropDuplicates`.
+   */
+  def sink(
+      edges: Dataset[KeyEdge],
+      path: String,
+      checkpointDir: String,
+      numBuckets: Int = 32): StreamingQuery =
+    edges.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[KeyEdge], _: Long) =>
+        batch
+          .withColumn("bucket", pmod(xxhash64(col("src_key")), lit(numBuckets.toLong)))
+          .write.mode("append").partitionBy("bucket").parquet(path)
+      }
+      .start()
+
+  /** Read the accumulated sink layout back as the deduplicated edge
+   * set (bucket pruning stays available to per-bucket readers; the
+   * dedup is a hash aggregate keyed by the full edge row). */
+  def compactEdges(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("src_key"), col("dst_key"), col("kind"), col("weight"))
+      .dropDuplicates("src_key", "dst_key", "kind")
+
+  /**
+   * Watermarked event-time windowed aggregation: tool invocations per
+   * (tumbling window, tool). The streaming leg of the engine's
+   * reporting surface — on a stream, rows later than `watermark` past
+   * the max seen event time are dropped and each window finalizes
+   * (Append mode) once the watermark passes its end, so state is
+   * O(open windows × tools). On a static DataFrame the watermark node
+   * is a no-op (Catalyst eliminates it) and this is a plain windowed
+   * group-by — one code path, two execution modes, same result, which
+   * is what lets the batch driver query share a DuckDB
+   * `time_bucket` oracle (`q_tool_windows`).
+   *
+   * `w_start` is exposed as epoch seconds (not a timestamp) so the
+   * cross-engine comparison is exact integer equality, never
+   * timezone/format-sensitive.
+   */
+  def toolWindows(
+      transcripts: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    transcripts
+      .filter(col("tool").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("tool"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        unix_timestamp(col("window.start")).as("w_start"),
+        col("tool"),
+        col("n"))
 }

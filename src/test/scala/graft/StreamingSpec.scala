@@ -75,4 +75,69 @@ class StreamingSpec extends SparkSpec {
     assert(adj == Set(("c9#0", "c9#1"), ("c9#1", "c9#2")),
       s"replayed turn must not fork or duplicate the chain: $adj")
   }
+
+  test("foreachBatch sink: bucketed append across micro-batches, dedup-on-compact equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val input = MemoryStream[(String, Int, Option[String])]
+    val edges = EdgeStream.edges(input.toDF().toDF("conv_id", "turn_idx", "tool"))
+    val q = EdgeStream.sink(edges, s"$dir/edges", s"$dir/ckpt", numBuckets = 4)
+    try {
+      input.addData(("c0", 0, None), ("c0", 1, Some("t1")), ("c1", 0, Some("t2")))
+      q.processAllAvailable()
+      input.addData(("c0", 2, None), ("c1", 1, None))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val layout = new java.io.File(s"$dir/edges").listFiles().map(_.getName).filter(_.startsWith("bucket="))
+    assert(layout.nonEmpty, "sink must write a bucket=K/ partitioned layout")
+
+    val got = EdgeStream.compactEdges(spark, s"$dir/edges").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))).toSet
+    val all = Seq(
+      ("c0", 0, None), ("c0", 1, Some("t1")), ("c1", 0, Some("t2")),
+      ("c0", 2, None), ("c1", 1, None))
+    val expected = sources.EdgeBuilder.keyEdges(all.toDF("conv_id", "turn_idx", "tool")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))).toSet
+    assert(got == expected)
+  }
+
+  test("toolWindows: watermark finalizes closed windows and drops late rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch1 = Seq(
+      ("a", 0, Some("t1"), ts("2024-01-01 10:05:00")),
+      ("a", 1, Some("t1"), ts("2024-01-01 10:20:00")),
+      ("a", 2, Some("t2"), ts("2024-01-01 11:15:00")))
+    val batch2 = Seq(("a", 3, Some("t3"), ts("2024-01-01 12:30:00")))
+    val lateRow = ("a", 4, Some("t1"), ts("2024-01-01 10:40:00")) // < watermark: dropped
+
+    val input = MemoryStream[(String, Int, Option[String], java.sql.Timestamp)]
+    val windows = EdgeStream.toolWindows(
+      input.toDF().toDF("conv_id", "turn_idx", "tool", "ts"))
+    val q = windows.writeStream
+      .format("memory").queryName("tool_windows").outputMode("append").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*) // advances watermark to 12:20 → hours 10,11 close
+      q.processAllAvailable()
+      input.addData(lateRow)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("tool_windows").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // expected: the batch aggregation over the on-time rows, minus the
+    // still-open newest window (t3's) — and NOT the late row's count
+    val batchAgg = EdgeStream.toolWindows(
+      (batch1 ++ batch2).toDF("conv_id", "turn_idx", "tool", "ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val openWindow = batchAgg.map(_._1).max
+    assert(got == batchAgg.filter(_._1 < openWindow))
+    assert(got.map(_._2) == Set("t1", "t2"))
+    assert(got.find(_._2 == "t1").get._3 == 2L, "late row must not inflate the finalized count")
+  }
 }
