@@ -58,6 +58,9 @@ object SparkEntry {
     // as the streaming leg, StreamingSpec proves the stream semantics)
     "q_tool_windows" -> ((s, dir) =>
       streaming.EdgeStream.toolWindows(Transcripts.fromEvents(s, dir))),
+    // session-window sessionization (30-min inactivity gap), batch mode
+    "q_conv_sessions" -> ((s, dir) =>
+      streaming.EdgeStream.convSessions(Transcripts.fromEvents(s, dir))),
     "q_degrees" -> ((s, dir) => {
       val g = Graphs.get(s, dir, symmetric = false)
       g.degrees.join(g.vertices, "id")
@@ -361,6 +364,24 @@ object SparkEntry {
     "q_tool_windows" -> (prefix +
       "\nSELECT cast(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS bigint) AS w_start," +
       " tool, count(*) AS n FROM t WHERE tool IS NOT NULL GROUP BY 1, 2"),
+    // gaps-and-islands = session_window: a new session starts when the
+    // gap to the previous turn is >= 30 min (Spark merges sessions
+    // only while next.ts < prev.ts + gap — strict inequality on both
+    // sides agrees); epoch_us ↔ unix_micros is integer-exact
+    "q_conv_sessions" -> (prefix +
+      """
+        |, sb AS (
+        |  SELECT conv_id, ts, turn_idx,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+        |), sg AS (
+        |  SELECT conv_id, ts,
+        |         sum(brk) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM sb
+        |)
+        |SELECT conv_id, epoch_us(min(ts)) AS sess_start, count(*) AS n_turns
+        |FROM sg GROUP BY conv_id, sid""".stripMargin),
     "q_degrees" -> (prefix +
       """, od AS (SELECT src_key AS key, count(*) AS o FROM e GROUP BY 1)
         |, id2 AS (SELECT dst_key AS key, count(*) AS i FROM e GROUP BY 1)

@@ -158,4 +158,31 @@ object EdgeStream {
         unix_timestamp(col("window.start")).as("w_start"),
         col("tool"),
         col("n"))
+
+  /**
+   * Session-window sessionization: turns of one conversation merge
+   * into a session while consecutive event times are closer than
+   * `gap`; a quiet period of ≥ gap starts a new session (conversation
+   * bursts — the session-window member of the window family, next to
+   * [[toolWindows]]' tumbling windows). Native `session_window` keeps
+   * streaming state per OPEN session only (closed by watermark, Append
+   * mode); batch mode is the same merge as the classic gaps-and-islands
+   * SQL, which is exactly the `q_conv_sessions` DuckDB oracle.
+   * `sess_start` is epoch MICROseconds (`unix_micros` ↔ DuckDB
+   * `epoch_us`) so raw sub-second timestamps compare as exact integers.
+   */
+  def convSessions(
+      transcripts: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    transcripts
+      .withWatermark("ts", watermark)
+      .groupBy(col("conv_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_turns"))
+      .select(
+        col("conv_id"),
+        // parquet NTZ timestamps make the window struct NTZ; cast to
+        // LTZ is exact under the engine's UTC session convention
+        unix_micros(col("session_window.start").cast("timestamp")).as("sess_start"),
+        col("n_turns"))
 }

@@ -140,4 +140,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._2) == Set("t1", "t2"))
     assert(got.find(_._2 == "t1").get._3 == 2L, "late row must not inflate the finalized count")
   }
+
+  test("convSessions: sessions merge across micro-batches and close by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch1 = Seq(
+      ("a", 0, None: Option[String], ts("2024-01-01 10:00:00")),
+      ("a", 1, None: Option[String], ts("2024-01-01 10:10:00")),
+      ("b", 0, None: Option[String], ts("2024-01-01 10:05:00")))
+    val batch2 = Seq(
+      ("a", 2, None: Option[String], ts("2024-01-01 10:25:00")), // < 30 min after 10:10 → merges
+      ("z", 0, None: Option[String], ts("2024-01-01 13:00:00"))) // advances watermark → a, b close
+
+    val input = MemoryStream[(String, Int, Option[String], java.sql.Timestamp)]
+    val sessions = EdgeStream.convSessions(
+      input.toDF().toDF("conv_id", "turn_idx", "tool", "ts"))
+    val q = sessions.writeStream
+      .format("memory").queryName("conv_sessions").outputMode("append").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("conv_sessions").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batchAgg = EdgeStream.convSessions(
+      (batch1 ++ batch2).toDF("conv_id", "turn_idx", "tool", "ts")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batchAgg.filter(_._1 != "z"), "closed sessions must equal the batch merge; z still open")
+    assert(got.find(_._1 == "a").get._3 == 3L, "cross-batch turn must merge into ONE session")
+  }
 }
