@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProduct
+
+/**
+ * `SparkSessionExtensions` hook registering the engine's native
+ * Catalyst expressions with the SQL function registry, so pure-SQL
+ * users (thriftserver, `spark.sql`) get the codegen'd kernels without
+ * touching the Scala API:
+ *
+ *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+ *   SELECT id, graft_dot(embedding, query_vec) AS score FROM embeddings
+ *
+ * [[GraftExtensions.register]] is the programmatic twin for an
+ * already-built session (same builders, session-scoped registry).
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** (identifier, info, builder) for every engine SQL function. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(
+        classOf[DotProduct].getName,
+        null,
+        "graft_dot",
+        "graft_dot(a, b) - dot product of two array<float|double> vectors (whole-stage codegen)",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"graft_dot expects 2 arguments, got ${children.length}")
+        DotProduct(children.head, children(1))
+      }))
+
+  /** Register on a live session (tests, notebooks — no restart). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}
