@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
+import graft.pipeline.{Curate, Dedup, Multimodal, Similarity, TextStats}
 
 /** Driver-contract entries for the training-data pipeline operators
  * (dedup / similarity / text analysis / multimodal) over the
@@ -46,6 +46,8 @@ object PipelineEntry {
         col("word_tokens").cast("long").as("word_tokens"),
         col("distinct_tokens").cast("long").as("distinct_tokens"))),
     "q_fingerprint" -> ((s, dir) => TextStats.fingerprint(Dedup.docs(s, dir))),
+    // the end-to-end curation pass: dedup keeper ∩ quality gates ∩ lang
+    "q_curate" -> ((s, dir) => Curate.curate(Dedup.docs(s, dir))),
     "q_media" -> ((s, dir) => {
       val m = Multimodal.mediaTable(s, dir)
       Multimodal.decode(m)
@@ -195,6 +197,52 @@ object PipelineEntry {
        |       cast(round(stops * 1.0 / nt * 10000) AS bigint) AS stop_ratio_e4,
        |       cast(round(dt * 1.0 / nt * 10000) AS bigint) AS distinct_ratio_e4
        |FROM b""".stripMargin
+  }
+
+  /** Composition of the dedup-keeper, quality, and langid oracles
+   * with Curate.curate's default thresholds. */
+  private val curateSql: String = {
+    val en = inList(TextStats.stopwords("en"))
+    val cases = Seq("en", "de", "fr", "es").map(l =>
+      s"sum(CASE WHEN tok IN ${inList(TextStats.stopwords(l))} THEN 1 ELSE 0 END) AS s_$l")
+      .mkString(",\n    ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+       |), sc AS (
+       |  SELECT doc_id,
+       |    $cases
+       |  FROM tok GROUP BY 1
+       |), lg AS (
+       |  SELECT doc_id,
+       |         CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       |              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       |              WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+       |              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+       |              ELSE 'es' END AS pred_lang
+       |  FROM sc
+       |), qb AS (
+       |  SELECT doc_id,
+       |         length(text) AS nc,
+       |         len(string_split(text, ' ')) AS nt,
+       |         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+       |         len(list_filter(string_split(lower(text), ' '), t -> t IN $en)) AS stops
+       |  FROM documents
+       |), qv AS (
+       |  SELECT doc_id, cast(nt AS bigint) AS n_tokens,
+       |         cast(round(punct * 1.0 / nc * 10000) AS bigint) AS punct_e4,
+       |         cast(round(stops * 1.0 / nt * 10000) AS bigint) AS stop_e4
+       |  FROM qb
+       |), keep AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+       |)
+       |SELECT q.doc_id, q.n_tokens
+       |FROM qv q
+       |JOIN keep k ON k.doc_id = q.doc_id
+       |JOIN lg l ON l.doc_id = q.doc_id
+       |WHERE l.pred_lang = 'en'
+       |  AND q.n_tokens BETWEEN 20 AND 10000
+       |  AND q.punct_e4 <= 2000
+       |  AND q.stop_e4 >= 200""".stripMargin
   }
 
   private val tokensSql: String =
@@ -396,5 +444,6 @@ object PipelineEntry {
     "q_langid" -> langidSql,
     "q_quality" -> qualitySql,
     "q_tokens" -> tokensSql,
-    "q_fingerprint" -> fingerprintSql)
+    "q_fingerprint" -> fingerprintSql,
+    "q_curate" -> curateSql)
 }

@@ -34,7 +34,13 @@ import graft.sources.{EdgeBuilder, Transcripts, VertexDict}
  * Timing mirrors the reference (pagerank.cpp:27-28,102-105,144-147):
  * compute loop only (load excluded).
  *
- * Usage: runMain graft.ScalingBench [numConvs] [turnsPerConv] [iters] [repeats]
+ * Usage: runMain graft.ScalingBench [numConvs] [turnsPerConv] [iters] [repeats] [loCpus] [hiCpus]
+ *
+ * The default pair is 8→32. The 2→8 pair measures the same 4×-cores
+ * step BELOW memory-bus saturation: on one socket, 32 threads
+ * saturate the shared memory bus (a resource a real cluster
+ * multiplies with N but a bigger `local[N]` cannot), so the 8→32
+ * number under-reads the plan's cluster scaling while 2→8 isolates it.
  */
 object ScalingBench {
 
@@ -95,7 +101,9 @@ object ScalingBench {
     val turnsPerConv = args.lift(1).map(_.toInt).getOrElse(20)
     val iters = args.lift(2).map(_.toInt).getOrElse(5)
     val repeats = args.lift(3).map(_.toInt).getOrElse(3)
-    val levels = Seq(8, 32)
+    val lo = args.lift(4).map(_.toInt).getOrElse(8)
+    val hi = args.lift(5).map(_.toInt).getOrElse(32)
+    val levels = Seq(lo, hi)
     val cacheDir = s"/tmp/graft_scale_${numConvs}x$turnsPerConv"
 
     // ---- phase 0: build the id-encoded edge table once ----
@@ -140,14 +148,14 @@ object ScalingBench {
     }
 
     def median(xs: List[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
-    val t8 = times(8).min
-    val t32 = times(32).min
-    val e8 = numEdges.toDouble * iters / t8
-    val e32 = numEdges.toDouble * iters / t32
-    val efficiency = (e32 / e8) / (32.0 / 8.0)
-    val runs8 = times(8).reverse.map(t => f"$t%.2f").mkString("[", ",", "]")
-    val runs32 = times(32).reverse.map(t => f"$t%.2f").mkString("[", ",", "]")
+    val tLo = times(lo).min
+    val tHi = times(hi).min
+    val eLo = numEdges.toDouble * iters / tLo
+    val eHi = numEdges.toDouble * iters / tHi
+    val efficiency = (eHi / eLo) / (hi.toDouble / lo)
+    val runsLo = times(lo).reverse.map(t => f"$t%.2f").mkString("[", ",", "]")
+    val runsHi = times(hi).reverse.map(t => f"$t%.2f").mkString("[", ",", "]")
     println(
-      f"""{"metric":"scaling_efficiency","value":$efficiency%.3f,"edges":$numEdges,"iters_per_run":$iters,"protocol":"interleaved A/B, fresh session per cell, 1 warmup + 1 timed run each; min over repeats (one-sided host noise)","levels":{"local[8]":{"sec_runs":$runs8,"sec_min":$t8%.2f,"sec_median":${median(times(8))}%.2f,"edges_per_sec_iter":$e8%.0f},"local[32]":{"sec_runs":$runs32,"sec_min":$t32%.2f,"sec_median":${median(times(32))}%.2f,"edges_per_sec_iter":$e32%.0f}}}""")
+      f"""{"metric":"scaling_efficiency","value":$efficiency%.3f,"edges":$numEdges,"iters_per_run":$iters,"protocol":"interleaved A/B, fresh session per cell, 1 warmup + 1 timed run each; min over repeats (one-sided host noise)","levels":{"local[$lo]":{"sec_runs":$runsLo,"sec_min":$tLo%.2f,"sec_median":${median(times(lo))}%.2f,"edges_per_sec_iter":$eLo%.0f},"local[$hi]":{"sec_runs":$runsHi,"sec_min":$tHi%.2f,"sec_median":${median(times(hi))}%.2f,"edges_per_sec_iter":$eHi%.0f}}}""")
   }
 }

@@ -82,14 +82,15 @@ object EdgeStream {
       val out = Array.newBuilder[KeyEdge]
       var last: Option[Int] = state.getOption.map(_.lastIdx)
       sorted.foreach { t =>
-        val vkey = s"$convId#${t.turn_idx}"
-        last match {
-          case Some(li) if t.turn_idx > li =>
-            out += KeyEdge(s"$convId#$li", vkey, "adj", 1.0)
-          case _ => // first turn of the conv, or a stale replay: no adj edge
+        // a stale replay (turn_idx ≤ cursor) emits NOTHING — its adj
+        // and tool edges were already produced the first time, and
+        // Append mode never retracts, so re-emitting would duplicate
+        if (last.forall(_ < t.turn_idx)) {
+          val vkey = s"$convId#${t.turn_idx}"
+          last.foreach(li => out += KeyEdge(s"$convId#$li", vkey, "adj", 1.0))
+          t.tool.foreach(tl => out += KeyEdge(vkey, s"T#$tl", "tool", 2.0))
+          last = Some(t.turn_idx)
         }
-        t.tool.foreach(tl => out += KeyEdge(vkey, s"T#$tl", "tool", 2.0))
-        if (last.forall(_ < t.turn_idx)) last = Some(t.turn_idx)
       }
       last.foreach(li => state.update(ConvCursor(li)))
       stateTtl.foreach(state.setTimeoutDuration)

@@ -188,4 +188,25 @@ class PipelineSpec extends SparkSpec {
     val feats2 = Multimodal.features(media, dim = 16).collect()
     assert(feats.map(_.toString).sorted.sameElements(feats2.map(_.toString).sorted))
   }
+
+  test("curate composes dedup keeper ∩ quality gates ∩ langid") {
+    // en-predicted docs: 0, 1, 2 ("the"×2 hits); doc 4 has zero en
+    // stopwords → 'und'; 3 is de, 5 is fr. Exact-dup keeper drops 1.
+    val kept = Curate.curate(docsFixture, lang = "en",
+        minTokens = 5, maxTokens = 100, maxPunctE4 = 10000, minStopE4 = 0)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(0L, 2L)),
+      s"keeper ∩ en ∩ relaxed-quality must be {0, 2}: ${kept.mkString(",")}")
+
+    // tighten the token floor past the fixture's 9-token docs → empty
+    val none = Curate.curate(docsFixture, lang = "en",
+      minTokens = 10, maxTokens = 100, maxPunctE4 = 10000, minStopE4 = 0)
+    assert(none.count() == 0)
+
+    // stopword floor: docs 0/2 have stop_ratio 2/9 ≈ 2222 e4
+    val floor = Curate.curate(docsFixture, lang = "en",
+        minTokens = 5, maxTokens = 100, maxPunctE4 = 10000, minStopE4 = 2300)
+      .collect().map(_.getLong(0))
+    assert(floor.isEmpty, s"stop floor 2300 must cut the 2222-e4 docs: ${floor.mkString(",")}")
+  }
 }

@@ -65,15 +65,18 @@ class StreamingSpec extends SparkSpec {
     val q = edges.writeStream
       .format("memory").queryName("edges_replay").outputMode("append").start()
     try {
-      input.addData(("c9", 0, None), ("c9", 1, None))
+      input.addData(("c9", 0, None), ("c9", 1, Some("tx")))
       q.processAllAvailable()
-      input.addData(("c9", 1, None), ("c9", 2, None)) // turn 1 replayed late
+      input.addData(("c9", 1, Some("tx")), ("c9", 2, None)) // turn 1 replayed late
       q.processAllAvailable()
     } finally q.stop()
-    val adj = spark.table("edges_replay").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSet
-    assert(adj == Set(("c9#0", "c9#1"), ("c9#1", "c9#2")),
+    val rows = spark.table("edges_replay").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val adj = rows.toSet
+    assert(adj == Set(("c9#0", "c9#1"), ("c9#1", "c9#2"), ("c9#1", "T#tx")),
       s"replayed turn must not fork or duplicate the chain: $adj")
+    assert(rows.length == rows.toSet.size,
+      "a replayed tool turn must not re-emit its tool edge (Append never retracts)")
   }
 
   test("foreachBatch sink: bucketed append across micro-batches, dedup-on-compact equals batch") {
