@@ -34,7 +34,11 @@ import graft.sources.{EdgeBuilder, Transcripts, VertexDict}
  * Timing mirrors the reference (pagerank.cpp:27-28,102-105,144-147):
  * compute loop only (load excluded).
  *
- * Usage: runMain graft.ScalingBench [numConvs] [turnsPerConv] [iters] [repeats] [loCpus] [hiCpus]
+ * Usage: runMain graft.ScalingBench [numConvs] [turnsPerConv] [iters] [repeats] [loCpus] [hiCpus] [partsPerCore]
+ *
+ * partsPerCore > 1 runs tasks ≫ cores (the standard cluster sizing,
+ * 2-4 tasks/core) so one straggler partition cannot quantize a whole
+ * wave — disclosed in the protocol line when used.
  *
  * The default pair is 8→32. The 2→8 pair measures the same 4×-cores
  * step BELOW memory-bus saturation: on one socket, 32 threads
@@ -44,11 +48,11 @@ import graft.sources.{EdgeBuilder, Transcripts, VertexDict}
  */
 object ScalingBench {
 
-  private def session(cpus: Int, tag: String): SparkSession = {
+  private def session(cpus: Int, parts: Int, tag: String): SparkSession = {
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$tag")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.file.transferTo", "false") // gVisor: NIO transferTo pathology
@@ -103,12 +107,13 @@ object ScalingBench {
     val repeats = args.lift(3).map(_.toInt).getOrElse(3)
     val lo = args.lift(4).map(_.toInt).getOrElse(8)
     val hi = args.lift(5).map(_.toInt).getOrElse(32)
+    val partsPerCore = args.lift(6).map(_.toInt).getOrElse(1)
     val levels = Seq(lo, hi)
     val cacheDir = s"/tmp/graft_scale_${numConvs}x$turnsPerConv"
 
     // ---- phase 0: build the id-encoded edge table once ----
     if (!new java.io.File(s"$cacheDir/degrees/_SUCCESS").exists()) {
-      val spark = session(32, "prebuild")
+      val spark = session(32, 32, "prebuild")
       val tr = Transcripts.synthetic(spark, numConvs, turnsPerConv, numTools = 5000)
       val keyEdges = EdgeBuilder.keyEdges(tr)
       val dict = VertexDict.build(keyEdges, 64)
@@ -135,8 +140,9 @@ object ScalingBench {
     var numEdges = 0L
     val times = scala.collection.mutable.Map[Int, List[Double]]().withDefaultValue(Nil)
     for (r <- 1 to repeats; cpus <- levels) {
-      val spark = session(cpus, s"$cpus-$r")
-      val g = loadGraph(spark, cacheDir, cpus)
+      val parts = cpus * partsPerCore
+      val spark = session(cpus, parts, s"$cpus-$r")
+      val g = loadGraph(spark, cacheDir, parts)
       numEdges = g.numEdges
       algos.PageRank.run(g, iterations = iters) // untimed warmup
       val t0 = System.nanoTime()
@@ -156,6 +162,6 @@ object ScalingBench {
     val runsLo = times(lo).reverse.map(t => f"$t%.2f").mkString("[", ",", "]")
     val runsHi = times(hi).reverse.map(t => f"$t%.2f").mkString("[", ",", "]")
     println(
-      f"""{"metric":"scaling_efficiency","value":$efficiency%.3f,"edges":$numEdges,"iters_per_run":$iters,"protocol":"interleaved A/B, fresh session per cell, 1 warmup + 1 timed run each; min over repeats (one-sided host noise)","levels":{"local[$lo]":{"sec_runs":$runsLo,"sec_min":$tLo%.2f,"sec_median":${median(times(lo))}%.2f,"edges_per_sec_iter":$eLo%.0f},"local[$hi]":{"sec_runs":$runsHi,"sec_min":$tHi%.2f,"sec_median":${median(times(hi))}%.2f,"edges_per_sec_iter":$eHi%.0f}}}""")
+      f"""{"metric":"scaling_efficiency","value":$efficiency%.3f,"edges":$numEdges,"iters_per_run":$iters,"parts_per_core":$partsPerCore,"protocol":"interleaved A/B, fresh session per cell, 1 warmup + 1 timed run each; min over repeats (one-sided host noise)","levels":{"local[$lo]":{"sec_runs":$runsLo,"sec_min":$tLo%.2f,"sec_median":${median(times(lo))}%.2f,"edges_per_sec_iter":$eLo%.0f},"local[$hi]":{"sec_runs":$runsHi,"sec_min":$tHi%.2f,"sec_median":${median(times(hi))}%.2f,"edges_per_sec_iter":$eHi%.0f}}}""")
   }
 }

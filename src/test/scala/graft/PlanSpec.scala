@@ -117,6 +117,32 @@ class PlanSpec extends SparkSpec {
     path.unpersist()
   }
 
+  test("curate prunes every parquet scan to (doc_id, text) — wide columns never read") {
+    // A 100 TB documents table is WIDE (embeddings, media, metadata).
+    // The curation pass touches only doc_id + text; if any of its three
+    // branches (dedup keeper / quality / langid) drags the full row
+    // through the scan, the pass reads orders of magnitude more bytes
+    // than it needs. Assert pruning on the executed plan.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate-plan").toString
+    Seq((0L, "the quick brown fox the end", "en", "s0", 27L, Array.fill(64)(0.5)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    val kept = pipeline.Curate.curate(
+      spark.read.parquet(dir),
+      minTokens = 1, maxTokens = 100, maxPunctE4 = 10000, minStopE4 = 0)
+    val plan = executed(kept)
+    val scans = collectNodes(plan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, s"expected parquet scans in:\n$plan")
+    scans.foreach { f =>
+      val read = f.requiredSchema.fieldNames.toSet
+      assert(read.subsetOf(Set("doc_id", "text")),
+        s"curate scan must be pruned to (doc_id, text), read $read:\n$f")
+    }
+  }
+
   test("PageRank superstep state keeps its partitioning across the lineage cut") {
     val state = g.degrees
       .select(col("id"), lit(1.0).as("v"))
