@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Curate, Dedup, Multimodal, Similarity, TextStats}
+import graft.pipeline.{Curate, Decontam, Dedup, Mix, Multimodal, Similarity, TextStats}
 
 /** Driver-contract entries for the training-data pipeline operators
  * (dedup / similarity / text analysis / multimodal) over the
@@ -48,6 +48,14 @@ object PipelineEntry {
     "q_fingerprint" -> ((s, dir) => TextStats.fingerprint(Dedup.docs(s, dir))),
     // the end-to-end curation pass: dedup keeper ∩ quality gates ∩ lang
     "q_curate" -> ((s, dir) => Curate.curate(Dedup.docs(s, dir))),
+    // near-dup clusters = transitive closure of the MinHash pair graph
+    // via the graph engine's HashMin CC (the pipeline×graph synergy op)
+    "q_dedup_clusters" -> ((s, dir) => Dedup.clusters(Dedup.docs(s, dir))),
+    // eval-set n-gram decontamination (n=3 exercises the 30-70-token
+    // synthetic docs; production would run 8-13)
+    "q_decontam" -> ((s, dir) => Decontam.contamination(Dedup.docs(s, dir))),
+    "q_sample" -> ((s, dir) => Mix.stratifiedSample(Dedup.docs(s, dir))),
+    "q_pack" -> ((s, dir) => Mix.pack(Dedup.docs(s, dir))),
     "q_media" -> ((s, dir) => {
       val m = Multimodal.mediaTable(s, dir)
       Multimodal.decode(m)
@@ -75,7 +83,11 @@ object PipelineEntry {
       |    FROM tok) x WHERE t2 IS NOT NULL
       |)""".stripMargin
 
-  private val minhashSql: String = {
+  /** MinHash-LSH pair CTE chain ending in `mhp(doc_a, doc_b,
+   * jaccard_e4)`; `mat = true` materializes every CTE (required when
+   * a recursive consumer references them per recursion step). */
+  private def minhashBody(mat: Boolean): String = {
+    val m = if (mat) " MATERIALIZED" else ""
     val mhs = (0 until 12).map(i => s"min(md5(concat('$i:', shingle))) AS mh$i").mkString(",\n    ")
     val bandJoin = (0 until 4).map { b =>
       val lc = (b * 3 until (b + 1) * 3).map(i => s"l.mh$i").mkString(", ")
@@ -84,31 +96,101 @@ object PipelineEntry {
          |    FROM sig l JOIN sig r
          |    ON concat_ws('|', $lc) = concat_ws('|', $rc) AND l.doc_id < r.doc_id""".stripMargin
     }.mkString("\n    UNION ALL\n    ")
-    docPrefix +
-      s""", sig AS (
-         |  SELECT doc_id,
-         |    $mhs
-         |  FROM sh GROUP BY doc_id
-         |), cand AS (
-         |  SELECT DISTINCT doc_a, doc_b FROM (
-         |    $bandJoin
-         |  ) u
-         |), szs AS (
-         |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
-         |), inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS i
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.doc_a
-         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-         |  GROUP BY 1, 2
-         |)
-         |SELECT i.doc_a, i.doc_b,
-         |       cast(round(i.i * 10000.0 / (sa.sz + sb.sz - i.i)) AS bigint) AS jaccard_e4
-         |FROM inter i
-         |JOIN szs sa ON sa.doc_id = i.doc_a
-         |JOIN szs sb ON sb.doc_id = i.doc_b
-         |WHERE i.i * 1.0 / (sa.sz + sb.sz - i.i) >= 0.5""".stripMargin
+    s""", sig AS$m (
+       |  SELECT doc_id,
+       |    $mhs
+       |  FROM sh GROUP BY doc_id
+       |), cand AS$m (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    $bandJoin
+       |  ) u
+       |), szs AS$m (
+       |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+       |), inter AS$m (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2
+       |), mhp AS$m (
+       |  SELECT i.doc_a, i.doc_b,
+       |         cast(round(i.i * 10000.0 / (sa.sz + sb.sz - i.i)) AS bigint) AS jaccard_e4
+       |  FROM inter i
+       |  JOIN szs sa ON sa.doc_id = i.doc_a
+       |  JOIN szs sb ON sb.doc_id = i.doc_b
+       |  WHERE i.i * 1.0 / (sa.sz + sb.sz - i.i) >= 0.5
+       |)""".stripMargin
   }
+
+  private val minhashSql: String =
+    docPrefix + minhashBody(mat = false) +
+      "\nSELECT doc_a, doc_b, jaccard_e4 FROM mhp"
+
+  /** Min-label transitive closure over the symmetric pair graph —
+   * same recursion shape as SparkEntry.ccSql; every upstream CTE is
+   * MATERIALIZED so a recursion step does not re-derive the whole
+   * MinHash pipeline (the SparkEntry BC-oracle lesson: 55 s → 1 s). */
+  private val dedupClustersSql: String = {
+    // docPrefix with WITH RECURSIVE; sh must be materialized too
+    val recPrefix = "WITH RECURSIVE " + docPrefix.stripPrefix("WITH ")
+      .replace("), sh AS (", "), sh AS MATERIALIZED (")
+    recPrefix + minhashBody(mat = true) +
+      """, pe AS MATERIALIZED (
+        |  SELECT doc_a AS a, doc_b AS b FROM mhp
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM mhp
+        |), r(d, l) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT pe.b, r.l FROM r JOIN pe ON pe.a = r.d WHERE r.l < pe.b
+        |), lab AS (
+        |  SELECT d, min(l) AS cluster_id FROM r GROUP BY d
+        |)
+        |SELECT d AS doc_id, cluster_id,
+        |       cast(CASE WHEN d = cluster_id THEN 1 ELSE 0 END AS bigint) AS is_keeper
+        |FROM lab""".stripMargin
+  }
+
+  private val decontamSql: String = docPrefix +
+    """, ev AS (
+      |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+      |), hits AS (
+      |  SELECT s.doc_id, count(*) AS n
+      |  FROM sh s JOIN ev ON ev.shingle = s.shingle
+      |  WHERE s.doc_id % 97 <> 0 GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      |       cast(coalesce(h.n, 0) AS bigint) AS shared_ngrams,
+      |       cast(CASE WHEN coalesce(h.n, 0) > 0 THEN 1 ELSE 0 END AS bigint) AS contaminated
+      |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+      |WHERE d.doc_id % 97 <> 0""".stripMargin
+
+  private val sampleSql: String =
+    """WITH cnt AS (
+      |  SELECT source, count(*) AS cnt FROM documents GROUP BY 1
+      |), th AS (
+      |  SELECT source,
+      |         least(cast(floor(10 * 4294967296.0 / cnt) AS bigint), 4294967296) AS thresh
+      |  FROM cnt
+      |)
+      |SELECT d.doc_id, d.source
+      |FROM documents d JOIN th ON th.source = d.source
+      |WHERE ('0x' || substr(md5(concat('s|', d.source, '|', cast(d.doc_id AS varchar))), 1, 8))::BIGINT < th.thresh""".stripMargin
+
+  private val packSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source, cast(len(string_split(text, ' ')) AS bigint) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT *, coalesce(sum(n_tokens) OVER (
+      |    PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM b
+      |)
+      |SELECT doc_id, source, n_tokens,
+      |       cast(cum_before // 512 AS bigint) AS bin_id,
+      |       cast(cum_before % 512 AS bigint) AS bin_offset
+      |FROM c""".stripMargin
 
   private val ngramJaccardSql: String = docPrefix +
     """, szs AS (
@@ -439,6 +521,10 @@ object PipelineEntry {
       """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keeper_id
         |FROM documents GROUP BY 1""".stripMargin,
     "q_minhash" -> minhashSql,
+    "q_dedup_clusters" -> dedupClustersSql,
+    "q_decontam" -> decontamSql,
+    "q_sample" -> sampleSql,
+    "q_pack" -> packSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_ann_cosine" -> annCosineSql,
     "q_langid" -> langidSql,

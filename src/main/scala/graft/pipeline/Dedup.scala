@@ -167,6 +167,53 @@ object Dedup {
     out
   }
 
+  /**
+   * Near-duplicate CLUSTERS: connected components over the
+   * MinHash-LSH pair graph, keeper = min doc_id per cluster.
+   *
+   * This is where the two halves of the engine meet: the pipeline's
+   * LSH candidate generator produces the pair edges, and the graph
+   * engine's HashMin superstep machinery (algos.ConnectedComponents,
+   * the reference's cc.cpp:22-109 loop) computes the transitive
+   * closure — pairwise dedup alone under-removes, because near-dup is
+   * not transitive ((A,B) and (B,C) pairs must collapse to ONE keeper,
+   * not two).
+   *
+   * Scale: the pair graph is tiny relative to the corpus (only docs
+   * with a near-dup appear), so the CC runs on the reduced graph; the
+   * final left join broadcasts cluster assignments back over the
+   * corpus. Output covers every document (singletons cluster to
+   * themselves) so the keeper set IS the dedup-retained corpus.
+   *
+   * @return (doc_id, cluster_id, is_keeper) for every document
+   */
+  def clusters(
+      docs: DataFrame,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      shingleN: Int = 3,
+      numPartitions: Int = 8): DataFrame = {
+    val pairs = minhashPairs(docs, numHashes, bands, threshold, shingleN)
+    val keyEdges = pairs.select(
+      concat(lit("d"), col("doc_a")).as("src_key"),
+      concat(lit("d"), col("doc_b")).as("dst_key"),
+      lit(1.0).as("weight"))
+    val g = graft.LinkGraph.fromKeyEdges(keyEdges, symmetric = true, numPartitions)
+    val cc = graft.algos.ConnectedComponents.run(g)
+    // component label (an internal id) → representative = min doc_id
+    val byDoc = cc.labels.join(g.vertices, "id")
+      .select(expr("cast(substring(key, 2) as long)").as("doc_id"), col("lbl"))
+    val reps = byDoc.groupBy(col("lbl")).agg(min(col("doc_id")).as("cluster_id"))
+    val clustered = byDoc.join(reps, "lbl").select(col("doc_id"), col("cluster_id"))
+    docs.select(col("doc_id"))
+      .join(clustered, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_keeper", (col("doc_id") === col("cluster_id")).cast("long"))
+  }
+
   /** Exact pairwise word-n-gram Jaccard within a blocking key (same
    * `source`) — the quadratic baseline, bounded by block size. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.0): DataFrame = {

@@ -209,4 +209,58 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(floor.isEmpty, s"stop floor 2300 must cut the 2222-e4 docs: ${floor.mkString(",")}")
   }
+
+  test("near-dup clusters: transitive closure over the pair graph, keeper = min") {
+    // fixture pairs at threshold 0.5: (0,1) exact, (0,2)/(1,2) near
+    // (jaccard 5/9 ≈ 0.556) → one cluster {0,1,2}; 3,4,5 singletons
+    val r = Dedup.clusters(docsFixture, numPartitions = 2).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r.size == 6, "every document gets a cluster row")
+    assert(r(0L) == (0L, 1L) && r(1L) == (0L, 0L) && r(2L) == (0L, 0L),
+      s"docs 0,1,2 must collapse to cluster 0 with keeper 0: $r")
+    Seq(3L, 4L, 5L).foreach(d =>
+      assert(r(d) == (d, 1L), s"singleton $d clusters to itself: ${r(d)}"))
+    // keeper set IS the dedup-retained corpus: 0,3,4,5
+    assert(r.filter(_._2._2 == 1L).keySet == Set(0L, 3L, 4L, 5L))
+  }
+
+  test("decontamination: shared n-grams with the eval doc flag training docs") {
+    import spark.implicits._
+    // doc 0 is eval (0 % 97 == 0); 1 and 2 share 3-grams with it,
+    // 3/4/5 share none
+    val r = Decontam.contamination(docsFixture).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(!r.contains(0L), "eval docs are excluded from the report")
+    assert(r(1L)._1 == 7L && r(1L)._2 == 1L, s"exact dup shares all 7 shingles: ${r(1L)}")
+    assert(r(2L)._1 == 5L && r(2L)._2 == 1L, s"near dup shares 5 shingles: ${r(2L)}")
+    Seq(3L, 4L, 5L).foreach(d =>
+      assert(r(d) == (0L, 0L), s"clean doc $d must report 0 shared: ${r(d)}"))
+  }
+
+  test("stratified sample: deterministic, per-source thresholded, degenerate target keeps all") {
+    val s1 = Mix.stratifiedSample(docsFixture, targetPerSource = 1)
+      .collect().map(_.getLong(0)).sorted
+    val s2 = Mix.stratifiedSample(docsFixture, targetPerSource = 1)
+      .collect().map(_.getLong(0)).sorted
+    assert(s1.sameElements(s2), "hash sampling is deterministic")
+    assert(s1.toSet.subsetOf(Set(0L, 1L, 2L, 3L, 4L, 5L)))
+    // target ≥ source size ⇒ threshold caps at 2^32 ⇒ keep everything
+    val all = Mix.stratifiedSample(docsFixture, targetPerSource = 100)
+    assert(all.count() == 6)
+  }
+
+  test("pack: concat-then-chunk window assignment with exact offsets") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "a b c", "s"), // 3 tokens, cum_before 0 → bin 0 off 0
+      (11L, "a b c d", "s"), // 4 tokens, cum 3 → bin 0 off 3
+      (12L, "a b c d e", "s"), // 5 tokens, cum 7 → bin 1 off 1
+      (20L, "x y", "t") // fresh source restarts at bin 0
+    ).toDF("doc_id", "text", "source")
+    val r = Mix.pack(docs, capacity = 6).collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(10L) == (3L, 0L, 0L) && r(11L) == (4L, 0L, 3L) && r(12L) == (5L, 1L, 1L),
+      s"per-source running pack: $r")
+    assert(r(20L) == (2L, 0L, 0L))
+  }
 }
