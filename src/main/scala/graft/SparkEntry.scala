@@ -105,6 +105,14 @@ object SparkEntry {
         .select(col("key"),
           round(col("rank") * 100000).cast("long").as("rank_e5"))
     }),
+    // HITS hubs/authorities on the directed graph — unnormalized
+    // fixed-iteration variant keeps scores exact integers, so the
+    // oracle compare has zero floating-point surface
+    "q_hits" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = false)
+      Hits.run(g, iterations = 4).scores.join(g.vertices, "id")
+        .select(col("key"), col("auth"), col("hub"))
+    }),
     "q_bfs" -> ((s, dir) => {
       val g = Graphs.get(s, dir, symmetric = true)
       Bfs.run(g, rootId(g)).tree.join(g.vertices, "id")
@@ -240,6 +248,27 @@ object SparkEntry {
         |, p0 AS (SELECT key, CASE WHEN o > 0 THEN 1.0/o ELSE 1.0 END AS v FROM deg)""".stripMargin +
       (1 to 5).map(iter).mkString +
       "\nSELECT key, cast(round(raw*100000) AS bigint) AS rank_e5 FROM p5"
+  }
+
+  /** HITS, 4 unrolled iterations — pure BIGINT arithmetic end to end
+   * (see algos.Hits: unnormalized scores are integer-exact). */
+  private val hitsSql: String = {
+    val iter = (i: Int) =>
+      s""", a$i AS (
+         |  SELECT v.key, coalesce(s.s, 0) AS v FROM v LEFT JOIN (
+         |    SELECT e.dst_key AS key, sum(h${i - 1}.v) AS s
+         |    FROM e JOIN h${i - 1} ON h${i - 1}.key = e.src_key GROUP BY 1) s ON s.key = v.key
+         |), h$i AS (
+         |  SELECT v.key, coalesce(s.s, 0) AS v FROM v LEFT JOIN (
+         |    SELECT e.src_key AS key, sum(a$i.v) AS s
+         |    FROM e JOIN a$i ON a$i.key = e.dst_key GROUP BY 1) s ON s.key = v.key
+         |)""".stripMargin
+    prefix +
+      ", h0 AS (SELECT key, cast(1 AS bigint) AS v FROM v)" +
+      (1 to 4).map(iter).mkString +
+      """
+        |SELECT a4.key AS key, cast(a4.v AS bigint) AS auth, cast(h4.v AS bigint) AS hub
+        |FROM a4 JOIN h4 ON h4.key = a4.key""".stripMargin
   }
 
   /** PageRank to 1e-6 convergence (reference delta semantics,
@@ -388,6 +417,7 @@ object SparkEntry {
         |SELECT v.key AS key, coalesce(od.o, 0) AS out_degree, coalesce(id2.i, 0) AS in_degree
         |FROM v LEFT JOIN od ON od.key = v.key LEFT JOIN id2 ON id2.key = v.key""".stripMargin),
     "q_pagerank" -> pagerankSql,
+    "q_hits" -> hitsSql,
     "q_cc" -> ccSql,
     "q_lp" -> ccSql,
     "q_triangles" -> (prefix +

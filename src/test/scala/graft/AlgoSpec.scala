@@ -129,4 +129,37 @@ class AlgoSpec extends SparkSpec {
     (0 until 4).foreach(i =>
       assert(math.abs(got(i).asInstanceOf[Double] - expected(i)) < 1e-9, s"vertex $i"))
   }
+
+  test("HITS: closed form on a star, integer-exact oracle on wiki digraph") {
+    // star 0→{1,2,3}: geometric growth a_k(leaf)=3^(k-1)·?, at 4 iters
+    // auth(leaf)=27, hub(center)=81, cross terms 0
+    val star = graphOf(Seq((0, 1), (0, 2), (0, 3)), symmetric = false)
+    val rs = Hits.run(star, iterations = 4).scores
+    val auth = byIndex(star, rs, "auth").map { case (k, v) => k -> v.asInstanceOf[Long] }
+    val hub = byIndex(star, rs, "hub").map { case (k, v) => k -> v.asInstanceOf[Long] }
+    assert(auth(0) == 0L && hub(0) == 81L)
+    (1 to 3).foreach(i => assert(auth(i) == 27L && hub(i) == 0L, s"leaf $i: ${auth(i)}/${hub(i)}"))
+
+    // single-node integer oracle, exact equality (no tolerance)
+    def oracle(n: Int, edges: Seq[(Int, Int)], iters: Int): (Array[Long], Array[Long]) = {
+      var h = Array.fill(n)(1L)
+      var a = Array.fill(n)(0L)
+      for (_ <- 1 to iters) {
+        a = Array.fill(n)(0L)
+        edges.foreach { case (u, v) => a(v) += h(u) }
+        h = Array.fill(n)(0L)
+        edges.foreach { case (u, v) => h(u) += a(v) }
+      }
+      (a, h)
+    }
+    val g = graphOf(wikiEdges, symmetric = false)
+    val r = Hits.run(g, iterations = 4).scores
+    val (ea, eh) = oracle(wikiN, wikiEdges, 4)
+    val ga = byIndex(g, r, "auth")
+    val gh = byIndex(g, r, "hub")
+    (0 until wikiN).foreach { i =>
+      assert(ga(i) == ea(i), s"auth($i): ${ga(i)} != ${ea(i)}")
+      assert(gh(i) == eh(i), s"hub($i): ${gh(i)} != ${eh(i)}")
+    }
+  }
 }
