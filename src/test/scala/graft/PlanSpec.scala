@@ -143,6 +143,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sample + pack prune parquet scans; decontam broadcasts the eval-gram side") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mix-plan").toString
+    // doc 0 is the eval doc (0 % 97 == 0); 1 and 2 are training docs
+    // (a non-empty train side keeps AQE from collapsing the plan)
+    Seq(
+      (0L, "the quick brown fox the end", "en", "s0", 27L, Array.fill(64)(0.5)),
+      (1L, "the quick brown fox jumps over", "en", "s0", 30L, Array.fill(64)(0.5)),
+      (2L, "unrelated words entirely here now too", "en", "s1", 37L, Array.fill(64)(0.5)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+
+    def scansOf(df: DataFrame) = collectNodes(executed(df)).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // stratified sampling never touches text/embedding — on a wide
+    // 100 TB corpus the sampler reads two thin columns
+    scansOf(pipeline.Mix.stratifiedSample(docs)).foreach { f =>
+      val read = f.requiredSchema.fieldNames.toSet
+      assert(read.subsetOf(Set("doc_id", "source")),
+        s"sample scan must be pruned to (doc_id, source), read $read")
+    }
+    // packing needs text only for the token count
+    scansOf(pipeline.Mix.pack(docs)).foreach { f =>
+      val read = f.requiredSchema.fieldNames.toSet
+      assert(read.subsetOf(Set("doc_id", "source", "text")),
+        s"pack scan must be pruned to (doc_id, source, text), read $read")
+    }
+    // decontamination: the (small) eval-gram set reaches the training
+    // scan via broadcast — the corpus side never shuffles to meet it
+    // (explicit hint, so it holds with autoBroadcast disabled)
+    val plan = executed(pipeline.Decontam.contamination(docs))
+    assert(collectNodes(plan).exists(_.isInstanceOf[BroadcastExchangeLike]),
+      s"expected a broadcast of the eval-gram set in:\n$plan")
+  }
+
   test("PageRank superstep state keeps its partitioning across the lineage cut") {
     val state = g.degrees
       .select(col("id"), lit(1.0).as("v"))
