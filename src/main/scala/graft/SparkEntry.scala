@@ -113,6 +113,13 @@ object SparkEntry {
       Hits.run(g, iterations = 4).scores.join(g.vertices, "id")
         .select(col("key"), col("auth"), col("hub"))
     }),
+    // 2-core of the symmetric graph (iterative peeling; chains braided
+    // by shared tools survive, pure linear conversations peel away)
+    "q_kcore" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      KCore.run(g, k = 2).core.join(g.vertices, "id")
+        .select(col("key"), col("core_degree"))
+    }),
     "q_bfs" -> ((s, dir) => {
       val g = Graphs.get(s, dir, symmetric = true)
       Bfs.run(g, rootId(g)).tree.join(g.vertices, "id")
@@ -331,6 +338,33 @@ object SparkEntry {
       |)
       |SELECT key, cast(round(min(dist)*1000) AS bigint) AS dist_e3 FROM r GROUP BY key""".stripMargin
 
+  /** 2-core by capped peeling recursion: each DuckDB recursion step
+   * sees only the previous generation (the working table), so one
+   * step = one peel round (keep vertices with ≥ k alive neighbors).
+   * A fixpoint reproduces itself until the cap (cheap copies); the
+   * final `cd` filter re-applies the degree test once so an
+   * extinction tail (last nonempty generation all-under-k) still
+   * yields the empty core. Cap 120 ≫ measured peel depth 15 at
+   * sf0.01. */
+  private val kcoreSql: String = "WITH RECURSIVE " + prefixBody + symBody +
+    """, r(key, it) AS (
+      |  SELECT key, 0 FROM v
+      |  UNION ALL
+      |  SELECT a.key, a.it + 1
+      |  FROM r a JOIN esw e ON e.src_key = a.key
+      |           JOIN r b ON b.key = e.dst_key
+      |  WHERE a.it < 120
+      |  GROUP BY a.key, a.it
+      |  HAVING count(*) >= 2
+      |), last AS MATERIALIZED (
+      |  SELECT key FROM r WHERE it = (SELECT max(x.it) FROM r x)
+      |), cd AS (
+      |  SELECT l.key, count(*) AS deg
+      |  FROM last l JOIN esw e ON e.src_key = l.key JOIN last b ON b.key = e.dst_key
+      |  GROUP BY l.key
+      |)
+      |SELECT key, cast(deg AS bigint) AS core_degree FROM cd WHERE deg >= 2""".stripMargin
+
   /** Betweenness from the max-degree root (bc.cpp:24-196 semantics):
    * forward = ONE level-synchronous recursion carrying the full
    * (key, lvl, σ) state per step — NOT EXISTS against the carried
@@ -418,6 +452,7 @@ object SparkEntry {
         |FROM v LEFT JOIN od ON od.key = v.key LEFT JOIN id2 ON id2.key = v.key""".stripMargin),
     "q_pagerank" -> pagerankSql,
     "q_hits" -> hitsSql,
+    "q_kcore" -> kcoreSql,
     "q_cc" -> ccSql,
     "q_lp" -> ccSql,
     "q_triangles" -> (prefix +

@@ -1,0 +1,74 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.syntax._
+import graft.{LinkGraph, Superstep}
+
+/**
+ * k-core decomposition (fixed k): the maximal subgraph in which every
+ * vertex has degree ≥ k, computed by iterative peeling — remove every
+ * vertex whose degree among SURVIVORS is < k, repeat to fixpoint.
+ * Beyond-reference link-graph operator (classic for spam/bot
+ * neighborhood detection on web graphs; on the transcript graph the
+ * 2-core is exactly the conversation segments braided together by
+ * shared tools — pure linear chains peel away).
+ *
+ * Spark shape per peel round (same skeleton as the HashMin CC loop):
+ * ONE dense/sparse-adaptive gather counts each destination's alive
+ * in-neighbors (`signal = 1, combine = sum` — degree-among-alive for
+ * every vertex in one co-partitioned join, the edge side never
+ * re-shuffles), then the survivor filter + count is the lineage-cut
+ * materialization — two jobs per round, O(peel depth) rounds with
+ * data-dependent termination like cc.cpp:39.
+ *
+ * @return (id, core_degree) for every vertex of the k-core, where
+ *         core_degree is its degree WITHIN the core
+ */
+object KCore {
+
+  final case class Result(core: DataFrame, rounds: Int, aliveHistory: Seq[Long])
+
+  def run(graph: LinkGraph, k: Int, maxRounds: Int = 10000): Result = {
+    require(graph.symmetric, "k-core is defined on the undirected graph")
+    require(k >= 1, "k must be >= 1")
+
+    var alive: DataFrame = graph.vertices.select(col("id"), lit(1L).as("v")).graftCut
+    var prev: DataFrame = alive
+    var n = graph.numVertices
+    val history = scala.collection.mutable.ArrayBuffer[Long]()
+    var degNow: DataFrame = null
+    var rounds = 0
+    var done = false
+
+    while (!done && rounds < maxRounds) {
+      val mass = Superstep.massOrBound(graph, alive, n)
+      val msgs = Superstep.gather(
+        graph, alive, signal = col("v"), combine = sum,
+        activeEdges = mass, activeCount = n)
+      val (next, nNew) = alive.select(col("id"))
+        .join(msgs, Seq("id"), "left")
+        .select(col("id"), coalesce(col("msg"), lit(0L)).as("deg"))
+        .where(col("deg") >= k)
+        .select(col("id"), lit(1L).as("v"), col("deg"))
+        .graftCutCount
+      rounds += 1
+      history += nNew
+      if (nNew == n) {
+        degNow = next.select(col("id"), col("deg"))
+        done = true
+      } else {
+        prev.graftFree()
+        prev = next
+        alive = next.select(col("id"), col("v"))
+        n = nNew
+      }
+      if (n == 0) done = true
+    }
+    val core =
+      if (degNow != null) degNow
+      else alive.select(col("id"), lit(0L).as("deg")).limit(0) // empty core
+    Result(core.select(col("id"), col("deg").as("core_degree")), rounds, history.toSeq)
+  }
+}

@@ -130,6 +130,28 @@ class AlgoSpec extends SparkSpec {
       assert(math.abs(got(i).asInstanceOf[Double] - expected(i)) < 1e-9, s"vertex $i"))
   }
 
+  test("k-core peeling: cliques survive, chains and tails peel away") {
+    // 4-clique + pendant tail 3-8-9: 2-core = the clique (tail peels
+    // in two rounds: 9 first, then 8), core degrees all 3
+    val g = graphOf(twoCliques.take(6) ++ Seq((3, 8), (8, 9)), symmetric = true)
+    val r = KCore.run(g, k = 2)
+    val got = byIndex(g, r.core, "core_degree").map { case (k2, v) => k2 -> v.asInstanceOf[Long] }
+    assert(got == Map(0 -> 3L, 1 -> 3L, 2 -> 3L, 3 -> 3L), s"2-core must be the clique: $got")
+    assert(r.aliveHistory.last == 4 && r.rounds >= 3, s"${r.rounds} rounds, ${r.aliveHistory}")
+
+    // k=4 exceeds every degree → empty core
+    assert(KCore.run(g, k = 4).core.count() == 0)
+
+    // cycle4 is its own 2-core with degree exactly 2, one round
+    val c = graphOf(cycle4, symmetric = true)
+    val rc = KCore.run(c, k = 2)
+    assert(rc.rounds == 1 && rc.core.count() == 4)
+    assert(byIndex(c, rc.core, "core_degree").values.forall(_ == 2L))
+
+    // path5 2-core is empty (pure chain peels end-in)
+    assert(KCore.run(graphOf(path5, symmetric = true), k = 2).core.count() == 0)
+  }
+
   test("HITS: closed form on a star, integer-exact oracle on wiki digraph") {
     // star 0→{1,2,3}: geometric growth a_k(leaf)=3^(k-1)·?, at 4 iters
     // auth(leaf)=27, hub(center)=81, cross terms 0
