@@ -113,7 +113,6 @@ object LinkGraph {
       keyEdges: DataFrame,
       symmetric: Boolean,
       numPartitions: Int): LinkGraph = {
-    val spark = keyEdges.sparkSession
     val dict = VertexDict.build(keyEdges, numPartitions)
       .repartition(numPartitions, col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -124,6 +123,42 @@ object LinkGraph {
       .join(srcDict, "src_key")
       .join(dstDict, "dst_key")
       .select(col("src"), col("dst"), col("weight").cast("double").as("weight"))
+    finishBuild(dict, e0, symmetric, numPartitions)
+  }
+
+  /**
+   * Build from ALREADY id-encoded edges with dense ids `0..|V|-1` —
+   * the reference's own input contract (`|V|` passed on the CLI,
+   * never inferred: README.md:25, toolkits/pagerank.cpp:141). Skips
+   * the vertex dictionary and its two key→id joins; synthetic keys
+   * `v<id>` keep the reporting surface uniform.
+   */
+  def fromIdEdges(
+      edges: DataFrame, // (src: long, dst: long[, weight: double])
+      numVertices: Long,
+      symmetric: Boolean,
+      numPartitions: Int): LinkGraph = {
+    val spark = edges.sparkSession
+    val dict = spark.range(numVertices)
+      .select(col("id"), concat(lit("v"), col("id")).as("key"))
+      .repartition(numPartitions, col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e0 =
+      (if (edges.columns.contains("weight")) edges
+       else edges.withColumn("weight", lit(1.0)))
+        .select(col("src").cast("long"), col("dst").cast("long"),
+          col("weight").cast("double").as("weight"))
+    finishBuild(dict, e0, symmetric, numPartitions)
+  }
+
+  /** Shared build tail: symmetrize/dedup/self-loop-drop, dual
+   * clustered persists, degree table. */
+  private def finishBuild(
+      dict: DataFrame,
+      e0: DataFrame,
+      symmetric: Boolean,
+      numPartitions: Int): LinkGraph = {
+    val spark = e0.sparkSession
     val e1 =
       if (symmetric)
         e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
