@@ -105,6 +105,17 @@ object SparkEntry {
         .select(col("key"),
           round(col("rank") * 100000).cast("long").as("rank_e5"))
     }),
+    // Personalized PageRank seeded at the busiest tool hub on the
+    // symmetric graph: mass radiates from the seed (support 1 →
+    // thousands over 5 hops), so early supersteps exercise the
+    // sparse/push path vs global PageRank's always-dense gathers
+    "q_ppr" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      val r = PersonalizedPageRank.run(g, Seq(rootId(g)), iterations = 5)
+      g.vertices.join(r.scores, Seq("id"), "left")
+        .select(col("key"),
+          round(coalesce(col("score"), lit(0.0)) * 100000).cast("long").as("rank_e5"))
+    }),
     // HITS hubs/authorities on the directed graph — unnormalized
     // fixed-iteration variant keeps scores exact integers, so the
     // oracle compare has zero floating-point surface
@@ -253,6 +264,39 @@ object SparkEntry {
       """, od AS (SELECT src_key AS key, count(*) AS o FROM e GROUP BY 1)
         |, deg AS (SELECT v.key, coalesce(od.o, 0) AS o FROM v LEFT JOIN od ON od.key = v.key)
         |, p0 AS (SELECT key, CASE WHEN o > 0 THEN 1.0/o ELSE 1.0 END AS v FROM deg)""".stripMargin +
+      (1 to 5).map(iter).mkString +
+      "\nSELECT key, cast(round(raw*100000) AS bigint) AS rank_e5 FROM p5"
+  }
+
+  /** Personalized PageRank, 5 unrolled iterations on the SYMMETRIC
+   * graph from the max-degree seed (symBody's rt, same as q_bfs).
+   * `(1.0 - 0.85)` is spelled as the same subtraction the Scala side
+   * computes (`lit(1.0 - d)`) so both engines produce the
+   * bit-identical IEEE constant. */
+  private val pprSql: String = {
+    val tele = "CASE WHEN deg.key = (SELECT rkey FROM rt) THEN 1.0 ELSE 0.0 END"
+    val iter = (i: Int) =>
+      s""", s$i AS (
+         |  SELECT esw.dst_key AS key, sum(p${i - 1}.vv) AS s
+         |  FROM esw JOIN p${i - 1} ON p${i - 1}.key = esw.src_key GROUP BY 1
+         |), p$i AS (
+         |  SELECT deg.key,
+         |         (1.0 - 0.85) * $tele + 0.85 * coalesce(s$i.s, 0) AS raw,
+         |         CASE WHEN deg.o > 0
+         |              THEN ((1.0 - 0.85) * $tele + 0.85 * coalesce(s$i.s, 0)) / deg.o
+         |              ELSE (1.0 - 0.85) * $tele + 0.85 * coalesce(s$i.s, 0) END AS vv
+         |  FROM deg LEFT JOIN s$i ON s$i.key = deg.key
+         |)""".stripMargin
+    "WITH " + prefixBody + symBody +
+      """, od AS (SELECT src_key AS key, count(*) AS o FROM esw GROUP BY 1)
+        |, deg AS (SELECT v.key, coalesce(od.o, 0) AS o FROM v LEFT JOIN od ON od.key = v.key)
+        |, p0 AS (
+        |  SELECT deg.key,
+        |         CASE WHEN deg.key = (SELECT rkey FROM rt) THEN 1.0 ELSE 0.0 END AS raw,
+        |         CASE WHEN deg.key = (SELECT rkey FROM rt)
+        |              THEN CASE WHEN deg.o > 0 THEN 1.0 / deg.o ELSE 1.0 END
+        |              ELSE 0.0 END AS vv
+        |  FROM deg)""".stripMargin +
       (1 to 5).map(iter).mkString +
       "\nSELECT key, cast(round(raw*100000) AS bigint) AS rank_e5 FROM p5"
   }
@@ -453,6 +497,7 @@ object SparkEntry {
     "q_pagerank" -> pagerankSql,
     "q_hits" -> hitsSql,
     "q_kcore" -> kcoreSql,
+    "q_ppr" -> pprSql,
     "q_cc" -> ccSql,
     "q_lp" -> ccSql,
     "q_triangles" -> (prefix +

@@ -1,0 +1,84 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.syntax._
+import graft.{LinkGraph, Superstep}
+
+/**
+ * Personalized PageRank (fixed iterations): the random walk teleports
+ * back to a SEED SET instead of everywhere —
+ *
+ *   p_i(v) = (1-d)·tele(v) + d·Σ_{u→v} p_{i-1}(u)/outdeg(u),
+ *   tele uniform on the seeds
+ *
+ * — the standard related-entity query on a link graph ("which turns /
+ * tools sit close to THIS one"). Beyond-reference (the reference's
+ * PageRank is global-teleport only); dangling mass is dropped, not
+ * redistributed, matching the reference's global-PageRank choice
+ * (pagerank.cpp:77-84 keeps sink mass un-redistributed).
+ *
+ * Unlike global PageRank (all vertices active ⇒ always dense,
+ * pagerank.cpp:32-33), PPR mass RADIATES from the seeds: the nonzero
+ * support starts at |S| vertices and grows one hop per iteration, so
+ * early supersteps ride the sparse/push path (broadcast frontier,
+ * zero edge-side shuffle) and the engine's adaptive mode switch —
+ * Gemini's |E|/20 rule (core/graph.hpp:1501-1508) — picks the
+ * crossover automatically. State stays sparse throughout: only
+ * nonzero rows are materialized per superstep; zeros are filled in
+ * once at the end.
+ */
+object PersonalizedPageRank {
+
+  final case class Result(scores: DataFrame, iterations: Int)
+
+  def run(
+      graph: LinkGraph,
+      seeds: Seq[Long],
+      iterations: Int = 5,
+      d: Double = 0.85): Result = {
+    require(seeds.nonEmpty, "PPR needs at least one seed")
+    require(iterations >= 1, "PPR needs at least one iteration")
+    val degs = graph.degrees.select(col("id"), col("out_degree"))
+
+    // sparse teleport vector (id, t), t = 1/|S|
+    val tele = graph.vertices
+      .where(col("id").isin(seeds: _*))
+      .select(col("id"), lit(1.0 / seeds.size).as("t"))
+
+    // state (id, raw, v): raw = score, v = raw/outdeg — nonzero rows only
+    var (curr, n) = tele.join(degs, "id")
+      .select(
+        col("id"), col("t").as("raw"),
+        when(col("out_degree") > 0, col("t") / col("out_degree"))
+          .otherwise(col("t")).as("v"))
+      .graftCutCount
+    var prev = curr
+
+    for (_ <- 1 to iterations) {
+      val mass = Superstep.massOrBound(graph, curr, n)
+      val msgs = Superstep.gather(
+        graph, curr.select(col("id"), col("v")), signal = col("v"), combine = sum,
+        activeEdges = mass, activeCount = n)
+      // support = seeds ∪ message receivers (sparse full-outer merge)
+      val (next, nNew) = tele
+        .join(msgs, Seq("id"), "full_outer")
+        .select(
+          col("id"),
+          (lit(1.0 - d) * coalesce(col("t"), lit(0.0)) +
+            lit(d) * coalesce(col("msg"), lit(0.0))).as("raw"))
+        .join(degs, "id")
+        .select(
+          col("id"), col("raw"),
+          when(col("out_degree") > 0, col("raw") / col("out_degree"))
+            .otherwise(col("raw")).as("v"))
+        .graftCutCount
+      prev.graftFree()
+      prev = next
+      curr = next
+      n = nNew
+    }
+    Result(curr.select(col("id"), col("raw").as("score")), iterations)
+  }
+}

@@ -130,6 +130,37 @@ class AlgoSpec extends SparkSpec {
       assert(math.abs(got(i).asInstanceOf[Double] - expected(i)) < 1e-9, s"vertex $i"))
   }
 
+  test("personalized PageRank matches a single-node oracle; support radiates from the seed") {
+    def oracle(n: Int, edges: Seq[(Int, Int)], seed: Int, iters: Int, d: Double = 0.85): Array[Double] = {
+      val out = Array.fill(n)(0)
+      edges.foreach { case (u, _) => out(u) += 1 }
+      def divDeg(raw: Array[Double]) =
+        raw.zipWithIndex.map { case (r, i) => if (out(i) > 0) r / out(i) else r }
+      var raw = Array.tabulate(n)(i => if (i == seed) 1.0 else 0.0)
+      var v = divDeg(raw)
+      for (_ <- 1 to iters) {
+        val s = Array.fill(n)(0.0)
+        edges.foreach { case (u, w) => s(w) += v(u) }
+        raw = Array.tabulate(n)(i => (1.0 - d) * (if (i == seed) 1.0 else 0.0) + d * s(i))
+        v = divDeg(raw)
+      }
+      raw
+    }
+    val g = graphOf(wikiEdges, symmetric = false)
+    val idx = indexOf(g)
+    val seedId = idx.collectFirst { case (id, 4) => id }.get
+    val r = PersonalizedPageRank.run(g, Seq(seedId), iterations = 5)
+    val got = byIndex(g, r.scores, "score")
+      .map { case (k, v) => k -> v.asInstanceOf[Double] }.withDefaultValue(0.0)
+    val exp = oracle(wikiN, wikiEdges, seed = 4, iters = 5)
+    (0 until wikiN).foreach(i =>
+      assert(math.abs(got(i) - exp(i)) < 1e-12, s"vertex $i: ${got(i)} vs ${exp(i)}"))
+    // vertices the walk cannot reach from 4 within 5 hops carry no row
+    val nRows = r.scores.count()
+    assert(wikiN - nRows == exp.count(_ == 0.0),
+      s"state must stay sparse: $nRows rows, ${exp.count(_ == 0.0)} zeros expected")
+  }
+
   test("k-core peeling: cliques survive, chains and tails peel away") {
     // 4-clique + pendant tail 3-8-9: 2-core = the clique (tail peels
     // in two rounds: 9 first, then 8), core degrees all 3
