@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.syntax._
-import graft.{LinkGraph, Superstep}
+import graft.{Checkpoint, LinkGraph, Superstep}
 
 /**
  * HITS (hubs & authorities, Kleinberg) — beyond-reference link-graph
@@ -34,18 +34,38 @@ object Hits {
 
   final case class Result(scores: DataFrame, iterations: Int)
 
-  def run(graph: LinkGraph, iterations: Int = 4, saltBuckets: Int = -1): Result = {
+  def run(
+      graph: LinkGraph,
+      iterations: Int = 4,
+      saltBuckets: Int = -1,
+      ckpt: Option[Checkpoint] = None,
+      ckptEvery: Int = 2,
+      resume: Boolean = false): Result = {
     require(iterations >= 1, "HITS needs at least one iteration")
     val salt = Superstep.resolveSalt(graph, saltBuckets)
     val ids = graph.vertices.select(col("id"))
     val rev = graph.transpose
 
-    var hub: DataFrame = ids.select(col("id"), lit(1L).as("v")).graftCut
+    // checkpoint carries BOTH vectors (id, auth, hub) per iteration
+    var hub: DataFrame = null
     var auth: DataFrame = null
+    var startIter = 0
+    val resumed = if (resume) ckpt.flatMap(_.latestIteration()) else None
+    resumed match {
+      case Some(iter) =>
+        val st = ckpt.get.load(graph.spark, iter)
+          .repartition(graph.numPartitions, col("id"))
+          .graftCut
+        auth = st.select(col("id"), col("auth").as("v"))
+        hub = st.select(col("id"), col("hub").as("v"))
+        startIter = iter
+      case None =>
+        hub = ids.select(col("id"), lit(1L).as("v")).graftCut
+    }
     var prevHub: DataFrame = hub
-    var prevAuth: DataFrame = null
+    var prevAuth: DataFrame = auth
 
-    for (_ <- 1 to iterations) {
+    for (i <- startIter + 1 to iterations) {
       val aMsgs = Superstep.gather(
         graph, hub, signal = col("v"), combine = sum,
         activeEdges = graph.numEdges, activeCount = graph.numVertices,
@@ -65,6 +85,11 @@ object Hits {
         .graftCut
       prevHub.graftFree()
       prevHub = hub
+      if (ckpt.nonEmpty && (i % ckptEvery == 0 || i == iterations))
+        ckpt.get.save(
+          auth.select(col("id"), col("v").as("auth"))
+            .join(hub.select(col("id"), col("v").as("hub")), "id"),
+          i, graph.numVertices)
     }
 
     val scores = auth.select(col("id"), col("v").as("auth"))

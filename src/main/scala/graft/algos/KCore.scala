@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.syntax._
-import graft.{LinkGraph, Superstep}
+import graft.{Checkpoint, LinkGraph, Superstep}
 
 /**
  * k-core decomposition (fixed k): the maximal subgraph in which every
@@ -30,16 +30,35 @@ object KCore {
 
   final case class Result(core: DataFrame, rounds: Int, aliveHistory: Seq[Long])
 
-  def run(graph: LinkGraph, k: Int, maxRounds: Int = 10000): Result = {
+  def run(
+      graph: LinkGraph,
+      k: Int,
+      maxRounds: Int = 10000,
+      ckpt: Option[Checkpoint] = None,
+      ckptEvery: Int = 5,
+      resume: Boolean = false): Result = {
     require(graph.symmetric, "k-core is defined on the undirected graph")
     require(k >= 1, "k must be >= 1")
 
-    var alive: DataFrame = graph.vertices.select(col("id"), lit(1L).as("v")).graftCut
+    var alive: DataFrame = null
+    var n = 0L
+    var rounds = 0
+    val resumed = if (resume) ckpt.flatMap(_.latestIteration()) else None
+    resumed match {
+      case Some(r) =>
+        val (a, cnt) = ckpt.get.load(graph.spark, r)
+          .repartition(graph.numPartitions, col("id"))
+          .graftCutCount
+        alive = a
+        n = cnt
+        rounds = r
+      case None =>
+        alive = graph.vertices.select(col("id"), lit(1L).as("v")).graftCut
+        n = graph.numVertices
+    }
     var prev: DataFrame = alive
-    var n = graph.numVertices
     val history = scala.collection.mutable.ArrayBuffer[Long]()
     var degNow: DataFrame = null
-    var rounds = 0
     var done = false
 
     while (!done && rounds < maxRounds) {
@@ -63,9 +82,12 @@ object KCore {
         prev = next
         alive = next.select(col("id"), col("v"))
         n = nNew
+        if (ckpt.nonEmpty && rounds % ckptEvery == 0)
+          ckpt.get.save(alive, rounds, n)
       }
       if (n == 0) done = true
     }
+    if (!done) ckpt.foreach(_.save(alive, rounds, n)) // maxRounds interrupt
     val core =
       if (degNow != null) degNow
       else alive.select(col("id"), lit(0L).as("deg")).limit(0) // empty core

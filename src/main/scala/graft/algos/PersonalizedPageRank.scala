@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.syntax._
-import graft.{LinkGraph, Superstep}
+import graft.{Checkpoint, LinkGraph, Superstep}
 
 /**
  * Personalized PageRank (fixed iterations): the random walk teleports
@@ -37,7 +37,10 @@ object PersonalizedPageRank {
       graph: LinkGraph,
       seeds: Seq[Long],
       iterations: Int = 5,
-      d: Double = 0.85): Result = {
+      d: Double = 0.85,
+      ckpt: Option[Checkpoint] = None,
+      ckptEvery: Int = 2,
+      resume: Boolean = false): Result = {
     require(seeds.nonEmpty, "PPR needs at least one seed")
     require(iterations >= 1, "PPR needs at least one iteration")
     val degs = graph.degrees.select(col("id"), col("out_degree"))
@@ -48,15 +51,31 @@ object PersonalizedPageRank {
       .select(col("id"), lit(1.0 / seeds.size).as("t"))
 
     // state (id, raw, v): raw = score, v = raw/outdeg — nonzero rows only
-    var (curr, n) = tele.join(degs, "id")
-      .select(
-        col("id"), col("t").as("raw"),
-        when(col("out_degree") > 0, col("t") / col("out_degree"))
-          .otherwise(col("t")).as("v"))
-      .graftCutCount
+    var curr: DataFrame = null
+    var n = 0L
+    var startIter = 0
+    val resumed = if (resume) ckpt.flatMap(_.latestIteration()) else None
+    resumed match {
+      case Some(k) =>
+        val (st, cnt) = ckpt.get.load(graph.spark, k)
+          .repartition(graph.numPartitions, col("id"))
+          .graftCutCount
+        curr = st
+        n = cnt
+        startIter = k
+      case None =>
+        val (st, cnt) = tele.join(degs, "id")
+          .select(
+            col("id"), col("t").as("raw"),
+            when(col("out_degree") > 0, col("t") / col("out_degree"))
+              .otherwise(col("t")).as("v"))
+          .graftCutCount
+        curr = st
+        n = cnt
+    }
     var prev = curr
 
-    for (_ <- 1 to iterations) {
+    for (i <- startIter + 1 to iterations) {
       val mass = Superstep.massOrBound(graph, curr, n)
       val msgs = Superstep.gather(
         graph, curr.select(col("id"), col("v")), signal = col("v"), combine = sum,
@@ -78,6 +97,8 @@ object PersonalizedPageRank {
       prev = next
       curr = next
       n = nNew
+      if (ckpt.nonEmpty && (i % ckptEvery == 0 || i == iterations))
+        ckpt.get.save(curr, i, n)
     }
     Result(curr.select(col("id"), col("raw").as("score")), iterations)
   }

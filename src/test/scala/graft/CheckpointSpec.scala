@@ -106,4 +106,45 @@ class CheckpointSpec extends SparkSpec {
     val b = resumed.labels.withColumnRenamed("lbl", "b")
     assert(a.join(b, "id").where(col("a") =!= col("b")).count() == 0)
   }
+
+  test("HITS: resume from the (auth, hub) snapshot yields identical scores") {
+    import graft.algos.Hits
+    val g = graphOf(edges, symmetric = false)
+    val full = Hits.run(g, iterations = 4)
+    val ck = Checkpoint(tmpDir())
+    Hits.run(g, iterations = 2, ckpt = Some(ck), ckptEvery = 2)
+    assert(ck.latestIteration().contains(2))
+    val resumed = Hits.run(g, iterations = 4, ckpt = Some(ck), ckptEvery = 2, resume = true)
+    val a = full.scores
+    val b = resumed.scores
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("PPR: resume mid-walk yields identical scores") {
+    import graft.algos.PersonalizedPageRank
+    val g = graphOf(edges, symmetric = false)
+    val full = PersonalizedPageRank.run(g, Seq(0L), iterations = 5)
+    val ck = Checkpoint(tmpDir())
+    PersonalizedPageRank.run(g, Seq(0L), iterations = 2, ckpt = Some(ck), ckptEvery = 2)
+    assert(ck.latestIteration().contains(2))
+    val resumed = PersonalizedPageRank.run(
+      g, Seq(0L), iterations = 5, ckpt = Some(ck), ckptEvery = 2, resume = true)
+    val a = full.scores.select(col("id"), round(col("score") * 1e9).as("s9"))
+    val b = resumed.scores.select(col("id"), round(col("score") * 1e9).as("s9"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("k-core: resume mid-peel yields the identical core") {
+    import graft.algos.KCore
+    val g = graphOf(edges :+ ((4, 1)), symmetric = true) // cycle + tails
+    val full = KCore.run(g, k = 2)
+    val ck = Checkpoint(tmpDir())
+    KCore.run(g, k = 2, maxRounds = 1, ckpt = Some(ck), ckptEvery = 1)
+    assert(ck.latestIteration().nonEmpty)
+    val resumed = KCore.run(g, k = 2, ckpt = Some(ck), ckptEvery = 1, resume = true)
+    val a = full.core
+    val b = resumed.core
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    assert(full.core.count() > 0, "fixture must have a nonempty 2-core")
+  }
 }
