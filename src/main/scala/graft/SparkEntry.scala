@@ -98,6 +98,18 @@ object SparkEntry {
         .select(col("key"),
           round(col("rank") * 100000).cast("long").as("rank_e5"))
     }),
+    // Weighted PageRank: rank drains along tool-call edges (w=2.0)
+    // twice as fast as the conversation spine (w=1.0). The +1e-6
+    // (in e5 units) nudge dodges exact .5 rounding boundaries: small
+    // rational weights make ranks like 0.228625 land EXACTLY on a
+    // half, where 1-ulp cross-engine noise flips round() — the same
+    // nudge in the oracle keeps both engines on the same side.
+    "q_pagerank_w" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = false)
+      WeightedPageRank.run(g, iterations = 5).ranks.join(g.vertices, "id")
+        .select(col("key"),
+          round(col("rank") * 100000 + lit(1e-6)).cast("long").as("rank_e5"))
+    }),
     "q_pagerank_conv" -> ((s, dir) => {
       val g = Graphs.get(s, dir, symmetric = false)
       val pr = PageRank.run(g, iterations = 0, maxIterations = 100, tol = 1e-6)
@@ -266,6 +278,30 @@ object SparkEntry {
         |, p0 AS (SELECT key, CASE WHEN o > 0 THEN 1.0/o ELSE 1.0 END AS v FROM deg)""".stripMargin +
       (1 to 5).map(iter).mkString +
       "\nSELECT key, cast(round(raw*100000) AS bigint) AS rank_e5 FROM p5"
+  }
+
+  /** Weighted PageRank, 5 unrolled iterations: flow ∝ w / Σ out-w,
+   * weights from the directed edge kinds (adj 1.0 / tool 2.0). */
+  private val pagerankWSql: String = {
+    val iter = (i: Int) =>
+      s""", s$i AS (
+         |  SELECT ew.dst_key AS key, sum(p${i - 1}.vv * ew.w) AS s
+         |  FROM ew JOIN p${i - 1} ON p${i - 1}.key = ew.src_key GROUP BY 1
+         |), p$i AS (
+         |  SELECT deg.key,
+         |         (1.0 - 0.85) + 0.85 * coalesce(s$i.s, 0) AS raw,
+         |         CASE WHEN deg.o > 0
+         |              THEN ((1.0 - 0.85) + 0.85 * coalesce(s$i.s, 0)) / deg.o
+         |              ELSE (1.0 - 0.85) + 0.85 * coalesce(s$i.s, 0) END AS vv
+         |  FROM deg LEFT JOIN s$i ON s$i.key = deg.key
+         |)""".stripMargin
+    prefix +
+      """, ew AS (SELECT src_key, dst_key, CASE WHEN kind = 'adj' THEN 1.0 ELSE 2.0 END AS w FROM e)
+        |, od AS (SELECT src_key AS key, sum(w) AS o FROM ew GROUP BY 1)
+        |, deg AS (SELECT v.key, coalesce(od.o, 0) AS o FROM v LEFT JOIN od ON od.key = v.key)
+        |, p0 AS (SELECT key, 1.0 AS raw, CASE WHEN o > 0 THEN 1.0/o ELSE 1.0 END AS vv FROM deg)""".stripMargin +
+      (1 to 5).map(iter).mkString +
+      "\nSELECT key, cast(round(raw*100000 + 0.000001) AS bigint) AS rank_e5 FROM p5"
   }
 
   /** Personalized PageRank, 5 unrolled iterations on the SYMMETRIC
@@ -498,6 +534,7 @@ object SparkEntry {
     "q_hits" -> hitsSql,
     "q_kcore" -> kcoreSql,
     "q_ppr" -> pprSql,
+    "q_pagerank_w" -> pagerankWSql,
     "q_cc" -> ccSql,
     "q_lp" -> ccSql,
     "q_triangles" -> (prefix +

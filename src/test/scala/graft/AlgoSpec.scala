@@ -130,6 +130,37 @@ class AlgoSpec extends SparkSpec {
       assert(math.abs(got(i).asInstanceOf[Double] - expected(i)) < 1e-9, s"vertex $i"))
   }
 
+  test("weighted PageRank: reduces to PageRank at w=1, matches oracle on weighted graph") {
+    // all weights 1 ⇒ wout = outdeg ⇒ identical to the reference loop
+    val g = graphOf(wikiEdges, symmetric = false)
+    val pr = byIndex(g, PageRank.run(g, iterations = 5).ranks, "rank")
+    val wpr = byIndex(g, WeightedPageRank.run(g, iterations = 5).ranks, "rank")
+    (0 until wikiN).foreach(i => assert(
+      math.abs(pr(i).asInstanceOf[Double] - wpr(i).asInstanceOf[Double]) < 1e-12, s"v$i"))
+
+    // weighted: single-node oracle on a 4-vertex graph with skewed weights
+    val wedges = Seq((0, 1), (0, 2), (1, 3), (2, 3))
+    val w = Map((0, 1) -> 3.0, (0, 2) -> 1.0, (1, 3) -> 2.0, (2, 3) -> 5.0)
+    def oracle(n: Int, iters: Int, d: Double = 0.85): Array[Double] = {
+      val wout = Array.fill(n)(0.0)
+      wedges.foreach { case (u, v) => wout(u) += w((u, v)) }
+      var raw = Array.fill(n)(1.0)
+      var vv = raw.zipWithIndex.map { case (r, i) => if (wout(i) > 0) r / wout(i) else r }
+      for (_ <- 1 to iters) {
+        val s = Array.fill(n)(0.0)
+        wedges.foreach { case (u, v2) => s(v2) += vv(u) * w((u, v2)) }
+        raw = s.map(x => (1.0 - d) + d * x)
+        vv = raw.zipWithIndex.map { case (r, i) => if (wout(i) > 0) r / wout(i) else r }
+      }
+      raw
+    }
+    val gw = graphOf(wedges, symmetric = false, weights = w)
+    val got = byIndex(gw, WeightedPageRank.run(gw, iterations = 4).ranks, "rank")
+    val exp = oracle(4, 4)
+    (0 until 4).foreach(i => assert(
+      math.abs(got(i).asInstanceOf[Double] - exp(i)) < 1e-12, s"v$i: ${got(i)} vs ${exp(i)}"))
+  }
+
   test("personalized PageRank matches a single-node oracle; support radiates from the seed") {
     def oracle(n: Int, edges: Seq[(Int, Int)], seed: Int, iters: Int, d: Double = 0.85): Array[Double] = {
       val out = Array.fill(n)(0)
