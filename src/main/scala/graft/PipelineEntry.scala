@@ -13,6 +13,12 @@ object PipelineEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Dedup.docs(s, dir))),
+    // the streaming dedup gate in batch mode: one slice per text hash
+    // ⇒ keeper = min doc_id = exact-dedup keepers (StreamingSpec
+    // proves the cross-batch stream semantics)
+    "q_stream_dedup" -> ((s, dir) =>
+      streaming.DocStream.dedup(Dedup.docs(s, dir)).toDF()
+        .select(col("doc_id"), col("text_md5"))),
     "q_minhash" -> ((s, dir) => Dedup.minhashPairs(Dedup.docs(s, dir))),
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(Dedup.docs(s, dir)).select(col("doc_id"), col("simhash"))),
@@ -520,6 +526,9 @@ object PipelineEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keeper_id
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS text_md5
+        |FROM documents GROUP BY md5(text)""".stripMargin,
     "q_minhash" -> minhashSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_decontam" -> decontamSql,

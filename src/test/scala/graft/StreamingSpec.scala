@@ -176,4 +176,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == batchAgg.filter(_._1 != "z"), "closed sessions must equal the batch merge; z still open")
     assert(got.find(_._1 == "a").get._3 == 3L, "cross-batch turn must merge into ONE session")
   }
+
+  test("streaming doc dedup: first text wins across batches, min doc_id within a batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batch1 = Seq(
+      (5L, "alpha beta gamma"),
+      (7L, "delta epsilon"), (3L, "delta epsilon")) // in-batch dup → keeper 3
+    val batch2 = Seq(
+      (9L, "alpha beta gamma"), // cross-batch dup of 5 → dropped
+      (1L, "alpha beta gamma"), // even a smaller id loses to first arrival
+      (8L, "zeta eta"))
+    val input = MemoryStream[(Long, String)]
+    val kept = streaming.DocStream.dedup(input.toDF().toDF("doc_id", "text"))
+    val q = kept.writeStream
+      .format("memory").queryName("doc_dedup_sink").outputMode("append").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("doc_dedup_sink").collect().map(_.getLong(0)).toSet
+    assert(got == Set(5L, 3L, 8L), s"kept $got")
+  }
+
+  test("streaming doc dedup in batch mode equals exact-dedup keepers") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "x y z"), (1L, "x y z"), (4L, "q r"), (2L, "q r"), (9L, "solo"))
+      .toDF("doc_id", "text")
+    val got = streaming.DocStream.dedup(docs).collect().map(_.doc_id).toSet
+    val expected = pipeline.Dedup.exact(docs).collect().map(_.getLong(2)).toSet
+    assert(got == expected && got == Set(0L, 2L, 9L))
+  }
 }
