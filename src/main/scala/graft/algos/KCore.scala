@@ -62,7 +62,13 @@ object KCore {
     var done = false
 
     while (!done && rounds < maxRounds) {
-      val mass = Superstep.massOrBound(graph, alive, n)
+      // While most vertices survive, the gather is dense with near
+      // certainty — skip the exact frontier-mass job (one job/round
+      // saved; mass only matters near the |E|/20 push threshold,
+      // unreachable when alive covers > 1/8 of the graph)
+      val mass =
+        if (n > graph.numVertices / 8) graph.numEdges
+        else Superstep.massOrBound(graph, alive, n)
       val msgs = Superstep.gather(
         graph, alive, signal = col("v"), combine = sum,
         activeEdges = mass, activeCount = n)

@@ -195,23 +195,21 @@ object Dedup {
       shingleN: Int = 3,
       numPartitions: Int = 8): DataFrame = {
     val pairs = minhashPairs(docs, numHashes, bands, threshold, shingleN)
-    val keyEdges = pairs.select(
-      concat(lit("d"), col("doc_a")).as("src_key"),
-      concat(lit("d"), col("doc_b")).as("dst_key"),
-      lit(1.0).as("weight"))
-    val g = graft.LinkGraph.fromKeyEdges(keyEdges, symmetric = true, numPartitions)
-    val cc = graft.algos.ConnectedComponents.run(g)
-    // component label (an internal id) → representative = min doc_id
-    val byDoc = cc.labels.join(g.vertices, "id")
-      .select(expr("cast(substring(key, 2) as long)").as("doc_id"), col("lbl"))
-    val reps = byDoc.groupBy(col("lbl")).agg(min(col("doc_id")).as("cluster_id"))
-    val clustered = byDoc.join(reps, "lbl").select(col("doc_id"), col("cluster_id"))
-    docs.select(col("doc_id"))
-      .join(clustered, Seq("doc_id"), "left")
+    // doc_ids are already Longs — feed them to the graph engine as-is
+    // (fromIdEdges, no vertex dictionary). With the identity id space,
+    // HashMin's fixpoint label IS the cluster id (min doc_id reachable)
+    // and singletons label themselves — no rep join, no singleton fill.
+    val edges = pairs.select(
+      col("doc_a").as("src"), col("doc_b").as("dst"), lit(1.0).as("weight"))
+    val nV = docs.agg(max(col("doc_id"))).first().getLong(0) + 1
+    val g = graft.LinkGraph.fromIdEdges(edges, nV, symmetric = true, numPartitions)
+    val labeled = graft.algos.ConnectedComponents.run(g).labels
       .select(
-        col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .withColumn("is_keeper", (col("doc_id") === col("cluster_id")).cast("long"))
+        col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("id") === col("lbl")).cast("long").as("is_keeper"))
+    // guard against non-dense doc_id spaces (range-synthesized vertices
+    // without a document row are dropped)
+    labeled.join(docs.select(col("doc_id")), "doc_id")
   }
 
   /** Exact pairwise word-n-gram Jaccard within a blocking key (same
