@@ -29,6 +29,10 @@ object PipelineEntry {
     "q_ann_cosine" -> ((s, dir) => Similarity.cosineTopK(Similarity.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(Similarity.embeddings(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(Similarity.embeddings(s, dir))),
+    // OR-amplified LSH: 2 independent 6-plane tables (recall per pair
+    // 1-(1-p^6)^2 vs p^6 of the single table, cost still linear)
+    "q_ann_lsh_multi" -> ((s, dir) =>
+      Similarity.lshTopKMulti(Similarity.embeddings(s, dir), numTables = 2)),
     // threshold 0.30: the synthetic embeddings hold no true near-dups
     // (max pairwise cosine ≈ 0.49), so the driver check runs at a
     // similarity level the data actually contains (253 pairs at
@@ -419,6 +423,48 @@ object PipelineEntry {
       |  FROM sims) r
       |WHERE rank <= 5""".stripMargin
 
+  /** Multi-table LSH: `tables` independent `planes`-plane families
+   * (the sign PRNG is seeded by the GLOBAL plane index pl, so table t
+   * covers pl ∈ [t·planes, (t+1)·planes)); candidates collide in ANY
+   * (tab, bucket), deduped before the exact kernel. */
+  private def annLshMultiSql(planes: Int = 6, tables: Int = 2, k: Int = 5): String =
+    s"""WITH vv AS (
+       |  SELECT vec_id, cast(unnest(embedding) AS double) AS x,
+       |         generate_subscripts(embedding, 1) - 1 AS i
+       |  FROM embeddings
+       |), proj AS (
+       |  SELECT vec_id, pl,
+       |         sum(cast(round(x * 1000000) AS bigint) *
+       |             (CASE WHEN ((i * 2654435761 + pl * 40503) % 1000003) % 2 = 0 THEN 1 ELSE -1 END)) AS p
+       |  FROM vv CROSS JOIN (SELECT unnest(generate_series(0, ${tables * planes - 1})) AS pl) pp
+       |  GROUP BY 1, 2
+       |), bk AS (
+       |  SELECT vec_id, pl // $planes AS tab,
+       |         cast(sum(CASE WHEN p >= 0 THEN (1::BIGINT << (pl % $planes)) ELSE 0 END) AS bigint) AS bucket
+       |  FROM proj GROUP BY vec_id, pl // $planes
+       |), norms AS (
+       |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM vv GROUP BY 1
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
+       |  FROM bk a JOIN bk b ON a.tab = b.tab AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |), dots AS (
+       |  SELECT c.vec_id, c.nbr_id, sum(va.x * vb.x) AS d
+       |  FROM cand c
+       |  JOIN vv va ON va.vec_id = c.vec_id
+       |  JOIN vv vb ON vb.vec_id = c.nbr_id AND vb.i = va.i
+       |  GROUP BY 1, 2
+       |), sims AS (
+       |  SELECT d.vec_id, d.nbr_id,
+       |         cast(round(d.d / (na.nrm * nb.nrm) * 10000) AS bigint) AS sim_e4
+       |  FROM dots d
+       |  JOIN norms na ON na.vec_id = d.vec_id
+       |  JOIN norms nb ON nb.vec_id = d.nbr_id
+       |)
+       |SELECT vec_id, nbr_id, sim_e4, cast(rank AS bigint) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_e4 DESC, nbr_id) AS rank
+       |  FROM sims) r
+       |WHERE rank <= $k""".stripMargin
+
   /** Mirrors Similarity.ivfTopK exactly: integer-quantized vectors,
    * seeded centroids (nlist smallest vec_ids), `lloydIters` exact-
    * integer Lloyd iterations with empty-cluster fallback, nprobe-probed
@@ -520,6 +566,7 @@ object PipelineEntry {
     "q_simhash" -> simhashSql,
     "q_simhash_pairs" -> simhashPairsSql,
     "q_ann_lsh" -> annLshSql,
+    "q_ann_lsh_multi" -> annLshMultiSql(),
     "q_ann_ivf" -> annIvfSql(),
     "q_embed_dedup" -> embedDedupSql,
     "q_media" -> mediaSql,

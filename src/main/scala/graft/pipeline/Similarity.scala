@@ -104,17 +104,27 @@ object Similarity {
 
   /** (bucket, vec_id, v, norm) with the quantized-integer hyperplane
    * bucket (see [[lshTopK]]); buckets above `maxBucket` are dropped. */
-  def bucketed(emb: DataFrame, planes: Int, maxBucket: Long = Long.MaxValue): DataFrame = {
-    val p0 = prepared(emb)
+  def bucketed(emb: DataFrame, planes: Int, maxBucket: Long = Long.MaxValue): DataFrame =
+    bucketedFrom(prepared(emb), planes, maxBucket)
+
+  /** [[bucketed]] over an already-[[prepared]] frame; `planeOffset`
+   * selects an independent hyperplane family (table t of a
+   * multi-table index uses offset t·planes — the PRNG seed is the
+   * GLOBAL plane index, so tables never share a hyperplane). */
+  private def bucketedFrom(
+      p: DataFrame, planes: Int, maxBucket: Long = Long.MaxValue,
+      planeOffset: Int = 0): DataFrame = {
+    val p0 = p
       .withColumn(
         "bucket", {
           val signs: Seq[Column] = (0 until planes).map { pl =>
+            val g = pl + planeOffset // global plane index
             val proj = aggregate(
               zip_with(
                 col("v"),
                 transform(col("v"), (_, i) => i.cast("long")),
                 (x, i) => round(x.cast("double") * lit(1000000.0)).cast("long") * when(
-                  pmod(i * lit(2654435761L) + lit(pl * 40503L), lit(1000003L)) % 2 === 0,
+                  pmod(i * lit(2654435761L) + lit(g * 40503L), lit(1000003L)) % 2 === 0,
                   lit(1L)).otherwise(lit(-1L))),
               lit(0L), (acc, x) => acc + x)
             when(proj >= 0, lit(1L << pl)).otherwise(lit(0L))
@@ -126,6 +136,42 @@ object Similarity {
       val sizes = p0.groupBy(col("bucket")).agg(count(lit(1)).as("bsz"))
       p0.join(broadcast(sizes.where(col("bsz") <= maxBucket)), "bucket").drop("bsz")
     }
+  }
+
+  /**
+   * Multi-table LSH cosine top-k — OR-amplification over `numTables`
+   * independent hyperplane families: a candidate pair needs to
+   * collide in ANY table, so recall per pair rises from pᵖ (p =
+   * 1 − θ/π per plane) to 1 − (1 − pᵖ)ᵀ while cost stays linear
+   * (T bucket joins over distinct-deduped candidates; the exact
+   * kernel runs once per candidate pair, not per collision). The
+   * standard recall/cost dial when a single table's `planes` is too
+   * selective — at corpus scale, tables shard trivially (the bucket
+   * join is keyed by (table, bucket)).
+   */
+  def lshTopKMulti(emb: DataFrame, planes: Int = 6, k: Int = 5,
+      numTables: Int = 2, maxBucket: Long = Long.MaxValue): DataFrame = {
+    require(numTables >= 1, "need at least one table")
+    val p = prepared(emb).persist()
+    val cands = (0 until numTables).map { t =>
+      val bk = bucketedFrom(p, planes, maxBucket, planeOffset = t * planes)
+        .select(col("bucket"), col("vec_id"))
+      bk.join(bk.select(col("bucket"), col("vec_id").as("nbr_id")), Seq("bucket"))
+        .where(col("vec_id") =!= col("nbr_id"))
+        .select(col("vec_id"), col("nbr_id"))
+    }.reduce(_ unionByName _).distinct()
+    val a = p.select(col("vec_id"), col("v"), col("norm"))
+    val b = p.select(col("vec_id").as("nbr_id"), col("v").as("w"), col("norm").as("nrm2"))
+    val sims = cands.join(a, "vec_id").join(b, "nbr_id")
+      .select(
+        col("vec_id"), col("nbr_id"),
+        round(dot(col("v"), col("w")) / (col("norm") * col("nrm2")) * 10000)
+          .cast("long").as("sim_e4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim_e4").desc, col("nbr_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("sim_e4"), col("rank"))
   }
 
   /**

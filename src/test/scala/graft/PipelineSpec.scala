@@ -109,6 +109,25 @@ class PipelineSpec extends SparkSpec {
     assert(r.get((0L, 1)).contains(4L) || r.get((4L, 1)).contains(0L))
   }
 
+  test("multi-table LSH: one table equals lshTopK; OR-amplification never loses a candidate") {
+    // numTables = 1 uses plane offset 0 = the single-table family →
+    // identical pair set, identical deterministic ranking
+    val single = Similarity.lshTopK(embFixture, planes = 4, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val one = Similarity.lshTopKMulti(embFixture, planes = 4, k = 2, numTables = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(one == single)
+    // more tables = superset candidates ⇒ per-query best sim never drops
+    val two = Similarity.lshTopKMulti(embFixture, planes = 4, k = 2, numTables = 2).collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), r.getLong(2))).toMap
+    single.filter(_._4 == 1).foreach { case (q, _, sim, _) =>
+      assert(two((q, 1)) >= sim, s"query $q: top-1 sim dropped with a second table")
+    }
+    // identical vectors still pair up
+    val pairs = two.keySet.map(_._1)
+    assert(pairs.contains(0L) || pairs.contains(4L))
+  }
+
   test("IVF with nprobe = nlist degenerates to exact brute force (full pipeline equality)") {
     // probing every inverted list makes IVF search exhaustive, so the
     // result must equal cosineTopK bit-for-bit — this exercises
