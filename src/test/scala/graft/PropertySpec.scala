@@ -131,4 +131,47 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(r1(orig).asInstanceOf[Double] - r2(remapped).asInstanceOf[Double]) < 1e-12)
     }
   }
+
+  test("weighted PageRank ≡ PageRank on random graphs with unit weights") {
+    check(Prop.forAll(graphGen) { edges =>
+      edges.nonEmpty ==> {
+        val g = graphOf(edges, symmetric = false)
+        val pr = byIndex(g, PageRank.run(g, iterations = 4).ranks, "rank")
+        val wpr = byIndex(g, graft.algos.WeightedPageRank.run(g, iterations = 4).ranks, "rank")
+        val same = pr.keySet == wpr.keySet && pr.forall { case (i, v) =>
+          math.abs(v.asInstanceOf[Double] - wpr(i).asInstanceOf[Double]) < 1e-12
+        }
+        g.unpersist()
+        same
+      }
+    })
+  }
+
+  test("HITS total hub mass equals total auth mass routed back through edges") {
+    // Σ_v hub_k(v) = Σ_(u→w) auth_k(w) by definition — an edge-mass
+    // conservation property any correct implementation must satisfy.
+    check(Prop.forAll(graphGen) { edges =>
+      edges.nonEmpty ==> {
+        val g = graphOf(edges, symmetric = false)
+        val r = graft.algos.Hits.run(g, iterations = 2).scores
+        val hubSum = r.agg(sum(col("hub"))).first().getLong(0)
+        val auth = byIndex(g, r, "auth").map { case (k, v) => k -> v.asInstanceOf[Long] }
+        val viaEdges = edges.map { case (_, w) => auth(w) }.sum
+        g.unpersist()
+        hubSum == viaEdges
+      }
+    })
+  }
+
+  test("k-core invariant: every member of the k-core has core_degree >= k") {
+    check(Prop.forAll(graphGen) { edges =>
+      edges.nonEmpty ==> {
+        val g = graphOf(edges, symmetric = true)
+        val core = graft.algos.KCore.run(g, k = 2).core.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        g.unpersist()
+        core.values.forall(_ >= 2)
+      }
+    })
+  }
 }
