@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Curate, Decontam, Dedup, Mix, Multimodal, Similarity, TextStats}
+import graft.pipeline.{Curate, Decontam, Dedup, Mix, Multimodal, Similarity, Sketch, TextStats, Vocab}
 
 /** Driver-contract entries for the training-data pipeline operators
  * (dedup / similarity / text analysis / multimodal) over the
@@ -56,6 +56,14 @@ object PipelineEntry {
         col("word_tokens").cast("long").as("word_tokens"),
         col("distinct_tokens").cast("long").as("distinct_tokens"))),
     "q_fingerprint" -> ((s, dir) => TextStats.fingerprint(Dedup.docs(s, dir))),
+    // Gopher-style repetition gates: per-doc duplicate/top n-gram
+    // counts, computed entirely inside the row (no shuffle)
+    "q_repetition" -> ((s, dir) => TextStats.repetition(Dedup.docs(s, dir))),
+    "q_vocab" -> ((s, dir) => Vocab.topVocab(Dedup.docs(s, dir))),
+    "q_tfidf" -> ((s, dir) => Vocab.distinctiveTerms(Dedup.docs(s, dir))),
+    // mergeable sketches: integer-exact register/counter tables
+    "q_hll" -> ((s, dir) => Sketch.hll(Dedup.docs(s, dir))),
+    "q_cms" -> ((s, dir) => Sketch.countMin(Dedup.docs(s, dir))),
     // the end-to-end curation pass: dedup keeper ∩ quality gates ∩ lang
     "q_curate" -> ((s, dir) => Curate.curate(Dedup.docs(s, dir))),
     // near-dup clusters = transitive closure of the MinHash pair graph
@@ -353,6 +361,90 @@ object PipelineEntry {
       |SELECT doc_id, string_agg(h, ',' ORDER BY h) AS fingerprint
       |FROM r WHERE rn <= 3 GROUP BY doc_id""".stripMargin
 
+  /** Word-n-gram repetition stats; LEFT JOIN keeps docs shorter than n
+   * tokens (all-zero rows), matching the Spark side's empty-array
+   * guard. */
+  private val repetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), i2 AS (
+      |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks
+      |), c2 AS (
+      |  SELECT doc_id, g, count(*) AS c FROM (
+      |    SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM i2) x GROUP BY 1, 2
+      |), a2 AS (
+      |  SELECT doc_id, sum(c) AS n2, count(*) AS d2, max(c) AS t2 FROM c2 GROUP BY 1
+      |), i3 AS (
+      |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
+      |), c3 AS (
+      |  SELECT doc_id, g, count(*) AS c FROM (
+      |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM i3) x GROUP BY 1, 2
+      |), a3 AS (
+      |  SELECT doc_id, sum(c) AS n3, count(*) AS d3, max(c) AS t3 FROM c3 GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      |       cast(coalesce(a2.n2, 0) AS bigint) AS n_grams2,
+      |       cast(coalesce(a2.d2, 0) AS bigint) AS distinct_grams2,
+      |       cast(coalesce(a2.t2, 0) AS bigint) AS top_gram2,
+      |       cast(coalesce(a3.n3, 0) AS bigint) AS n_grams3,
+      |       cast(coalesce(a3.d3, 0) AS bigint) AS distinct_grams3,
+      |       cast(coalesce(a3.t3, 0) AS bigint) AS top_gram3
+      |FROM documents d
+      |LEFT JOIN a2 ON a2.doc_id = d.doc_id
+      |LEFT JOIN a3 ON a3.doc_id = d.doc_id""".stripMargin
+
+  private val vocabSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+      |), a AS (
+      |  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df FROM t GROUP BY 1
+      |)
+      |SELECT term, cast(tf AS bigint) AS tf, cast(df AS bigint) AS df
+      |FROM a ORDER BY tf DESC, term LIMIT 50""".stripMargin
+
+  private val tfidfSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+      |), dfq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+      |), r AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+      |         row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfq.df, tf.term) AS rank
+      |  FROM tf JOIN dfq USING (term)
+      |)
+      |SELECT doc_id, term, cast(tf AS bigint) AS tf, cast(df AS bigint) AS df,
+      |       cast(rank AS bigint) AS rank
+      |FROM r WHERE rank <= 3""".stripMargin
+
+  /** HLL registers — mirrors Sketch.hll: 60-bit md5 token hash,
+   * bucket = low p bits, rho = 53 − bitlen(h >> p) (bin() is
+   * minimal-width on BIGINT, so length(bin(w)) = bitlen). */
+  private val hllSql: String =
+    """WITH t AS (
+      |  SELECT source, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM (
+      |    SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents) u
+      |), b AS (
+      |  SELECT source, h % 256 AS bucket, h // 256 AS w FROM t
+      |)
+      |SELECT source, cast(bucket AS bigint) AS bucket,
+      |       cast(max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS bigint) AS max_rho
+      |FROM b GROUP BY 1, 2""".stripMargin
+
+  /** Count-min counter cells — mirrors Sketch.countMin (md5 salted by
+   * the row index). */
+  private val cmsSql: String =
+    """WITH t AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents
+      |), r AS (
+      |  SELECT source, rw,
+      |         ('0x' || substr(md5(cast(rw AS varchar) || ':' || term), 1, 15))::BIGINT % 256 AS cl
+      |  FROM t CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS rw) d
+      |)
+      |SELECT source, cast(rw AS bigint) AS hrow, cast(cl AS bigint) AS hcol, count(*) AS cnt
+      |FROM r GROUP BY 1, 2, 3""".stripMargin
+
   /** SimHash signature per doc — mirrors Dedup.simhash exactly: 60-bit
    * md5-derived token hash (DuckDB `('0x'||hex)::BIGINT` ≡ Spark
    * `conv(hex,16,10)`), ±count votes per bit, sign vector packed. */
@@ -587,5 +679,10 @@ object PipelineEntry {
     "q_quality" -> qualitySql,
     "q_tokens" -> tokensSql,
     "q_fingerprint" -> fingerprintSql,
+    "q_repetition" -> repetitionSql,
+    "q_vocab" -> vocabSql,
+    "q_tfidf" -> tfidfSql,
+    "q_hll" -> hllSql,
+    "q_cms" -> cmsSql,
     "q_curate" -> curateSql)
 }

@@ -158,6 +158,46 @@ object SparkEntry {
       Betweenness.run(g, rootId(g)).bc.join(g.vertices, "id")
         .select(col("key"), col("sigma").cast("long").as("sigma"),
           round(col("bc") * 1000).cast("long").as("bc_e3"))
+    }),
+    // Multi-source BFS: the 4 busiest hubs searched in ONE frontier
+    // loop (K landmarks at O(diameter) total jobs — the batched form
+    // the per-root reference loop can't express)
+    "q_msbfs" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      MultiSourceBfs.run(g, rootIds(g, 4)).dists
+        .join(g.vertices.select(col("id").as("root"), col("key").as("root_key")), "root")
+        .join(g.vertices, "id")
+        .select(col("root_key"), col("key"), col("dist").cast("long").as("level"))
+    }),
+    // Per-vertex triangle counts + degree (local clustering coefficient
+    // = 2t/d(d-1), derivable from the integer pair)
+    "q_clustering" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      TriangleCount.perVertex(g).join(g.vertices, "id")
+        .select(col("key"), col("degree"), col("triangles"))
+    }),
+    // Luby MIS with fixed md5-key priorities (lexicographically-first
+    // MIS of that order — deterministic, so oracle-checkable)
+    "q_mis" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      Mis.run(g).mis.join(g.vertices, "id")
+        .select(col("key"), col("round").cast("long").as("round"))
+    }),
+    // Double-sweep diameter lower bound (2 BFS runs, O(2·diameter) jobs)
+    "q_diameter" -> ((s, dir) => {
+      import s.implicits._
+      val g = Graphs.get(s, dir, symmetric = true)
+      val r = Diameter.run(g, rootId(g))
+      Seq((r.startKey, r.farKey, r.eccStart, r.far2Key, r.eccFar))
+        .toDF("start_key", "far_key", "ecc_start", "far2_key", "ecc_far")
+    }),
+    // Harmonic closeness of the same 4 landmark roots (integer-exact
+    // Σ floor(1e4/d) export)
+    "q_closeness" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      MultiSourceBfs.harmonicCloseness(MultiSourceBfs.run(g, rootIds(g, 4)).dists)
+        .join(g.vertices.select(col("id").as("root"), col("key").as("root_key")), "root")
+        .select(col("root_key"), col("n_reached"), col("harmonic_e4"))
     })
   )
 
@@ -166,10 +206,14 @@ object SparkEntry {
    * busiest tool hub, whose component covers ~7% of vertices at every
    * sf — vs the old min-key root, a directed SINK that exercised
    * nothing (round-1 verdict "What's wrong" #1). */
-  private def rootId(g: LinkGraph): Long =
+  private def rootId(g: LinkGraph): Long = rootIds(g, 1).head
+
+  /** Top-k roots by (out_degree desc, key asc) — the k busiest hubs,
+   * deterministic. */
+  private def rootIds(g: LinkGraph, k: Int): Seq[Long] =
     g.degrees.join(g.vertices, "id")
       .orderBy(desc("out_degree"), asc("key"))
-      .select(col("id")).head().getLong(0)
+      .select(col("id")).limit(k).collect().toSeq.map(_.getLong(0))
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL. Shared CTE prefix derives the transcript table
@@ -196,7 +240,7 @@ object SparkEntry {
       |              ELSE 'tool' END AS role,
       |         concat(event_type, ' ', props) AS text,
       |         CASE WHEN event_type IN ('purchase','error')
-      |              THEN concat('tool_', cast(cast(floor(user_id/10.0)*5 + cast(floor(value) AS bigint)%5 AS bigint) AS varchar))
+      |              THEN concat('tool_', cast(cast(floor(user_id/10.0)*5 + ((cast(floor(value) AS bigint)%5)+5)%5 AS bigint) AS varchar))
       |              ELSE NULL END AS tool,
       |         ts
       |  FROM events
@@ -418,6 +462,100 @@ object SparkEntry {
       |)
       |SELECT key, cast(round(min(dist)*1000) AS bigint) AS dist_e3 FROM r GROUP BY key""".stripMargin
 
+  /** Multi-source BFS levels from the 4 busiest hubs (rootIds(g, 4))
+   * on the symmetric graph — the [[bfsSql]] label-correcting capped
+   * recursion, carrying the root key through the expansion. */
+  private val msbfsBody: String =
+    """, rt4 AS MATERIALIZED (
+      |  SELECT src_key AS rkey FROM esw GROUP BY src_key ORDER BY count(*) DESC, src_key LIMIT 4
+      |), r(root, key, lvl) AS (
+      |  SELECT rkey, rkey, 0 FROM rt4
+      |  UNION ALL
+      |  SELECT r.root, esw.dst_key, min(r.lvl) + 1 FROM r JOIN esw ON esw.src_key = r.key
+      |  WHERE r.lvl < 60 GROUP BY r.root, esw.dst_key
+      |)""".stripMargin
+
+  private val msbfsSql: String = "WITH RECURSIVE " + prefixBody + symBody + msbfsBody +
+    "\nSELECT root AS root_key, key, cast(min(lvl) AS bigint) AS level FROM r GROUP BY 1, 2"
+
+  /** Harmonic closeness of the 4 landmark roots: integer-exact
+   * Σ (10000 // dist) over the reached set. */
+  private val closenessSql: String = "WITH RECURSIVE " + prefixBody + symBody + msbfsBody +
+    """, d AS (
+      |  SELECT root, key, min(lvl) AS dd FROM r GROUP BY 1, 2
+      |)
+      |SELECT root AS root_key, cast(count(*) AS bigint) AS n_reached,
+      |       cast(sum(10000 // dd) AS bigint) AS harmonic_e4
+      |FROM d WHERE dd > 0 GROUP BY 1""".stripMargin
+
+  /** Luby MIS replay: one recursion step = one round; a row is
+   * (key, state, round) with state 'a'ctive or 'm'ember. Winners =
+   * active local minima of (md5-hash, key) among active neighbors;
+   * their neighbors drop out (simply not re-emitted); members copy
+   * forward until the cap. Mirrors algos.Mis exactly (same priority
+   * hash, same tie-break). Cap 60 ≫ the O(log|V|) round count. */
+  private val misSql: String = "WITH RECURSIVE " + prefixBody + symBody +
+    """, pri AS MATERIALIZED (
+      |  SELECT key, ('0x' || substr(md5(key), 1, 15))::BIGINT AS h FROM v
+      |), r(key, st, it) AS (
+      |  SELECT key, 'a', 0 FROM v
+      |  UNION ALL
+      |  SELECT a.key,
+      |    CASE WHEN a.st = 'm' THEN 'm'
+      |         WHEN NOT EXISTS (
+      |           SELECT 1 FROM r b JOIN esw e ON e.src_key = a.key AND e.dst_key = b.key
+      |           JOIN pri pb ON pb.key = b.key JOIN pri pa ON pa.key = a.key
+      |           WHERE b.it = a.it AND b.st = 'a'
+      |             AND (pb.h < pa.h OR (pb.h = pa.h AND b.key < a.key)))
+      |         THEN 'm' ELSE 'a' END,
+      |    a.it + 1
+      |  FROM r a
+      |  WHERE a.it < 60 AND (
+      |    a.st = 'm'
+      |    OR NOT EXISTS (
+      |      SELECT 1 FROM r b JOIN esw e ON e.src_key = a.key AND e.dst_key = b.key
+      |      JOIN pri pb ON pb.key = b.key JOIN pri pa ON pa.key = a.key
+      |      WHERE b.it = a.it AND b.st = 'a'
+      |        AND (pb.h < pa.h OR (pb.h = pa.h AND b.key < a.key)))
+      |    OR NOT EXISTS (
+      |      SELECT 1 FROM r b JOIN esw e ON e.src_key = a.key AND e.dst_key = b.key
+      |      WHERE b.it = a.it AND b.st = 'a'
+      |        AND NOT EXISTS (
+      |          SELECT 1 FROM r c JOIN esw e2 ON e2.src_key = b.key AND e2.dst_key = c.key
+      |          JOIN pri pc ON pc.key = c.key JOIN pri pb2 ON pb2.key = b.key
+      |          WHERE c.it = b.it AND c.st = 'a'
+      |            AND (pc.h < pb2.h OR (pc.h = pb2.h AND c.key < b.key)))))
+      |)
+      |SELECT key, cast(min(it) AS bigint) AS round FROM r WHERE st = 'm' GROUP BY key""".stripMargin
+
+  /** Double-sweep diameter: two chained capped BFS recursions;
+   * farthest-vertex selection (max level, min key) mirrors
+   * Diameter.farthest. */
+  private val diameterSql: String = "WITH RECURSIVE " + prefixBody + symBody +
+    """, r1(key, lvl) AS (
+      |  SELECT rkey, 0 FROM rt
+      |  UNION ALL
+      |  SELECT esw.dst_key, min(r1.lvl) + 1 FROM r1 JOIN esw ON esw.src_key = r1.key
+      |  WHERE r1.lvl < 60 GROUP BY esw.dst_key
+      |), l1 AS MATERIALIZED (
+      |  SELECT key, min(lvl) AS lvl FROM r1 GROUP BY key
+      |), far1 AS MATERIALIZED (
+      |  SELECT key, lvl FROM l1 ORDER BY lvl DESC, key LIMIT 1
+      |), r2(key, lvl) AS (
+      |  SELECT key, 0 FROM far1
+      |  UNION ALL
+      |  SELECT esw.dst_key, min(r2.lvl) + 1 FROM r2 JOIN esw ON esw.src_key = r2.key
+      |  WHERE r2.lvl < 60 GROUP BY esw.dst_key
+      |), l2 AS (
+      |  SELECT key, min(lvl) AS lvl FROM r2 GROUP BY key
+      |), far2 AS (
+      |  SELECT key, lvl FROM l2 ORDER BY lvl DESC, key LIMIT 1
+      |)
+      |SELECT (SELECT rkey FROM rt) AS start_key, (SELECT key FROM far1) AS far_key,
+      |       cast((SELECT lvl FROM far1) AS bigint) AS ecc_start,
+      |       (SELECT key FROM far2) AS far2_key,
+      |       cast((SELECT lvl FROM far2) AS bigint) AS ecc_far""".stripMargin
+
   /** 2-core by capped peeling recursion: each DuckDB recursion step
    * sees only the previous generation (the working table), so one
    * step = one peel round (keep vertices with ≥ k alive neighbors).
@@ -496,6 +634,10 @@ object SparkEntry {
     "q_pagerank_salted" -> pagerankSql,
     "q_pagerank_conv" -> pagerankConvSql,
     "q_bfs" -> bfsSql,
+    "q_msbfs" -> msbfsSql,
+    "q_closeness" -> closenessSql,
+    "q_diameter" -> diameterSql,
+    "q_mis" -> misSql,
     "q_sssp" -> ssspSql,
     "q_bc" -> bcSql,
     "q_transcripts" -> (prefix + "\nSELECT conv_id, turn_idx, role, text, tool FROM t"),
@@ -542,6 +684,24 @@ object SparkEntry {
         |  SELECT DISTINCT least(src_key, dst_key) AS a, greatest(src_key, dst_key) AS b FROM e
         |)
         |SELECT count(*) AS n_triangles
-        |FROM ud e1 JOIN ud e2 ON e2.a = e1.b JOIN ud e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin)
+        |FROM ud e1 JOIN ud e2 ON e2.a = e1.b JOIN ud e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin),
+    // per-vertex: the triangle SET is orientation-independent, so the
+    // key-ordered ud join reproduces the engine's degree-ordered count
+    "q_clustering" -> ("WITH " + prefixBody + symBody +
+      """, ud AS (
+        |  SELECT DISTINCT least(src_key, dst_key) AS a, greatest(src_key, dst_key) AS b FROM e
+        |), tri AS (
+        |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |  FROM ud e1 JOIN ud e2 ON e2.a = e1.b JOIN ud e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), cnt AS (
+        |  SELECT key, count(*) AS triangles FROM (
+        |    SELECT a AS key FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) u
+        |  GROUP BY 1
+        |), dg AS (
+        |  SELECT src_key AS key, count(*) AS degree FROM esw GROUP BY 1
+        |)
+        |SELECT dg.key AS key, cast(dg.degree AS bigint) AS degree,
+        |       cast(coalesce(cnt.triangles, 0) AS bigint) AS triangles
+        |FROM dg LEFT JOIN cnt ON cnt.key = dg.key""".stripMargin)
   ) ++ PipelineEntry.oracleSql
 }

@@ -1,0 +1,100 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.syntax._
+import graft.{LinkGraph, Superstep}
+
+/**
+ * Multi-source BFS: level-synchronous distances from K roots in ONE
+ * frontier loop — the batched form of the reference's per-root BFS
+ * (/root/reference/toolkits/bfs.cpp:22-109). State is the sparse set
+ * of (id, root, dist) triples: all K searches share every superstep's
+ * edge join, so K landmarks cost O(diameter) jobs total instead of
+ * K·O(diameter) — the standard building block for landmark/closeness/
+ * diameter estimation over a 10^12-edge graph, where per-root loops
+ * are unaffordable driver-job-wise.
+ *
+ * Plan per superstep (mirrors Bfs.run): frontier pairs join the
+ * src-clustered edge table (broadcast when the frontier's edge mass is
+ * under the |E|/20 switch, co-partitioned shuffle join otherwise),
+ * dedup to one row per (dst, root), anti-join the visited set
+ * (bfs.cpp:77's `dense_selective` skip), claim at dist = level+1.
+ * ONE materialization job per level (the lineage cut doubles as the
+ * frontier count); the visited union chain is compacted every
+ * [[Bfs.compactEvery]] levels and superseded cuts freed, so cached
+ * state stays O(K·|V|), not O(K·|V|·diameter).
+ */
+object MultiSourceBfs {
+
+  final case class Result(dists: DataFrame, iterations: Int, reached: Long)
+
+  /** @return dists: (id, root, dist) for REACHED (id, root) pairs only
+   *          (roots appear at dist 0). */
+  def run(
+      graph: LinkGraph,
+      roots: Seq[Long],
+      maxIterations: Int = 100000): Result = {
+    require(roots.nonEmpty && roots.distinct.size == roots.size, "roots must be distinct")
+    val spark = graph.spark
+    import spark.implicits._
+
+    var visited = roots.map(r => (r, r, 0)).toDF("id", "root", "dist")
+      .repartition(graph.numPartitions, col("id"), col("root"))
+      .graftCut
+    var frontier = visited
+    var level = 0
+    var frontierCount = roots.size.toLong
+
+    var base = visited
+    var pendingFree = List[DataFrame]()
+    while (frontierCount > 0 && level < maxIterations) {
+      // Edge mass of the frontier = Σ out_degree(id) over PAIRS (each
+      // pair signals along all of its id's out-edges independently).
+      val mass = Superstep.massOrBound(graph, frontier, frontierCount)
+      val sparse = mass < graph.numEdges / Superstep.denseThresholdFraction &&
+        frontierCount < Superstep.broadcastRowCap
+      val src = frontier.select(col("id").as("src"), col("root"))
+      val joined =
+        if (sparse) graph.edgesBySrc.join(broadcast(src), "src")
+        else graph.edgesBySrc.join(src.repartition(graph.numPartitions, col("src")), "src")
+      // distinct = the message combine (all messages this level carry
+      // the same dist, so combining is dedup); it also clusters the
+      // claims by (id, root) for the anti-join
+      val (claimed, n) = joined
+        .select(col("dst").as("id"), col("root")).distinct()
+        .join(visited, Seq("id", "root"), "left_anti")
+        .select(col("id"), col("root"), lit(level + 1).as("dist"))
+        .graftCutCount
+      frontierCount = n
+      level += 1
+      if (frontierCount > 0) {
+        pendingFree = frontier :: pendingFree
+        visited = visited.unionByName(claimed)
+        frontier = claimed
+        if (level % Bfs.compactEvery == 0) {
+          visited = visited.graftCut
+          (base :: pendingFree).filter(_ ne frontier).foreach(_.graftFree())
+          pendingFree = Nil
+          base = visited
+        }
+      }
+    }
+    val (dists, reached) = visited.graftCutCount
+    (base :: frontier :: pendingFree).filter(_ ne dists).distinct.foreach(_.graftFree())
+    Result(dists, level, reached)
+  }
+
+  /** Harmonic closeness centrality of each root over its reachable
+   * set: `n_reached` = vertices at dist ≥ 1, `harmonic_e4` =
+   * Σ floor(10⁴ / dist) — the integer-exact export of Σ 1/d (each
+   * term is an exact integer quotient, so the sum is order-independent
+   * and engine-portable, unlike a float Σ 1/d). */
+  def harmonicCloseness(dists: DataFrame): DataFrame =
+    dists.where(col("dist") > 0)
+      .groupBy(col("root"))
+      .agg(
+        count(lit(1)).as("n_reached"),
+        sum(floor(lit(10000) / col("dist")).cast("long")).as("harmonic_e4"))
+}

@@ -41,6 +41,34 @@ object TriangleCount {
       .select(col("src").as("a"), col("dst").as("b"))
   }
 
+  /**
+   * Per-vertex triangle counts + degree — the integer-exact export of
+   * the local clustering coefficient `2t / d(d−1)` (the float is the
+   * consumer's one division). Same oriented wedge join as [[count]];
+   * each closed wedge (a,b,c) is a distinct triangle credited to all
+   * three corners via a 3-way explode + one counting aggregate. The
+   * identical oriented subplan feeds all three join legs, so Spark's
+   * exchange reuse materializes it once.
+   *
+   * @return (id, degree, triangles) for every vertex
+   */
+  def perVertex(graph: LinkGraph): DataFrame = {
+    val o = orient(graph)
+    val wedges = o.as("e1").join(
+      o.select(col("a").as("b"), col("b").as("c")).as("e2"), "b")
+    val tris = wedges.join(
+      o.select(col("a"), col("b").as("c")),
+      Seq("a", "c"), "left_semi")
+    val counts = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles"))
+    graph.degrees.select(col("id"), col("out_degree").as("degree"))
+      .join(counts, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
   def count(graph: LinkGraph): Long = {
     val o = orient(graph).persist()
     try {

@@ -79,6 +79,54 @@ object TextStats {
       size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("word_tokens"),
       size(array_distinct(split(lower(col("text")), " "))).as("distinct_tokens"))
 
+  /** Word n-grams of `text` as an array column (empty when the doc has
+   * fewer than n tokens). */
+  private def gramArray(n: Int): Column = {
+    val toks = split(col("text"), " ")
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Max multiplicity of any element of `arr`: sort, then a single
+   * fold tracking the current and best run length — O(n log n) per
+   * row, zero shuffle. */
+  private def maxRun(arr: Column): Column = {
+    val folded = aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      })
+    folded("best")
+  }
+
+  /**
+   * Repetition signals (the Gopher/MassiveText repetition filters,
+   * adapted to word n-grams): for n ∈ {2, 3}, the total and distinct
+   * n-gram counts plus the occurrence count of the MOST FREQUENT
+   * n-gram. `(n_grams − distinct_grams) / n_grams` is the duplicate
+   * fraction and `top_gram / n_grams` the top-gram fraction — the two
+   * standard repetition gates; counts are exported raw so the compare
+   * is exact-integer and any threshold stays a consumer choice.
+   *
+   * Scale shape: pure per-row column expressions (sort + fold inside
+   * the row) — NO shuffle, no explode; the 100 TB plan is a single
+   * scan-project, embarrassing-parallel over document partitions.
+   */
+  def repetition(docs: DataFrame): DataFrame = {
+    def stats(n: Int): Seq[Column] = {
+      val g = gramArray(n)
+      Seq(
+        size(g).cast("long").as(s"n_grams$n"),
+        size(array_distinct(g)).cast("long").as(s"distinct_grams$n"),
+        maxRun(g).as(s"top_gram$n"))
+    }
+    docs.select(col("doc_id") +: (stats(2) ++ stats(3)): _*)
+  }
+
   /** Document fingerprint: the k smallest md5(3-gram shingle) hashes,
    * joined — a bottom-k sketch (winnowing-style) stable under small
    * edits. Identical in DuckDB (string-min over md5). */

@@ -101,6 +101,81 @@ class AlgoSpec extends SparkSpec {
     (1 to 8).filter(_ != 3).foreach(i => assert(gotS(i) == 2, s"leaf $i"))
   }
 
+  test("per-vertex triangles: 3 per clique vertex, 0 on cycle4; sums to 3·total") {
+    val g = graphOf(twoCliques, symmetric = true)
+    val r = TriangleCount.perVertex(g).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.forall { case (_, d, t) => d == 3 && t == 3 }) // C(3,2)=3 each
+    assert(r.map(_._3).sum == 3 * TriangleCount.count(g))
+    val c = graphOf(cycle4, symmetric = true)
+    assert(TriangleCount.perVertex(c).collect().forall(_.getLong(2) == 0L))
+  }
+
+  test("multi-source BFS equals per-root BFS on wiki digraph and twoCliques") {
+    for ((edges, rootIdxs) <- Seq(
+        (wikiEdges, Seq(3, 5, 9)), (twoCliques, Seq(0, 5)))) {
+      val g = graphOf(edges, symmetric = true)
+      val idx = indexOf(g)
+      val roots = rootIdxs.map(i => idx.collectFirst { case (id, j) if j == i => id }.get)
+      val ms = MultiSourceBfs.run(g, roots)
+      val got = ms.dists.collect()
+        .map(r => (r.getLong(1), r.getLong(0)) -> r.getInt(2)).toMap
+      for (root <- roots) {
+        val single = Bfs.run(g, root)
+        val exp = single.tree.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+        val mine = got.collect { case ((rt, id), d) if rt == root => id -> d }
+        assert(mine == exp, s"root index dists differ for root $root")
+      }
+    }
+  }
+
+  test("double-sweep diameter: exact on a path (lower bound = true diameter)") {
+    val g = graphOf(path5, symmetric = true)
+    val idx = indexOf(g)
+    val mid = idx.collectFirst { case (id, 2) => id }.get
+    val r = Diameter.run(g, mid)
+    assert(r.startKey == keyOf(2))
+    assert(r.farKey == keyOf(0) && r.eccStart == 2) // tie v0/v4 → min key
+    assert(r.far2Key == keyOf(4) && r.eccFar == 4) // true diameter
+  }
+
+  test("MIS: independent, maximal, deterministic on twoCliques and wiki") {
+    for (edges <- Seq(twoCliques, wikiEdges)) {
+      val g = graphOf(edges, symmetric = true)
+      val r = Mis.run(g)
+      val idx = indexOf(g)
+      val mis = r.mis.collect().map(x => idx(x.getLong(0))).toSet
+      val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+      // independence: no edge inside the set
+      assert(!sym.exists { case (a, b) => mis(a) && mis(b) })
+      // maximality: every non-member has a member neighbor
+      val nonMembers = idx.values.toSet -- mis
+      assert(nonMembers.forall(v => sym.exists { case (a, b) => a == v && mis(b) }))
+      // deterministic: a second run returns the identical set
+      assert(Mis.run(g).mis.collect().map(x => idx(x.getLong(0))).toSet == mis)
+    }
+    // each 4-clique contributes exactly one member
+    val g2 = graphOf(twoCliques, symmetric = true)
+    val idx2 = indexOf(g2)
+    val m2 = Mis.run(g2).mis.collect().map(x => idx2(x.getLong(0))).toSet
+    assert(m2.count(_ < 4) == 1 && m2.count(_ >= 4) == 1)
+  }
+
+  test("harmonic closeness: closed form on a star center and leaf") {
+    // star K1,8 symmetric: center reaches 8 at dist 1 → harmonic 8.0;
+    // a leaf reaches center at 1 and 7 leaves at 2 → 1 + 7·0.5 = 4.5
+    val star = (1 to 8).map(i => (0, i))
+    val g = graphOf(star, symmetric = true)
+    val idx = indexOf(g)
+    val center = idx.collectFirst { case (id, 0) => id }.get
+    val leaf = idx.collectFirst { case (id, 3) => id }.get
+    val r = MultiSourceBfs.run(g, Seq(center, leaf))
+    val h = MultiSourceBfs.harmonicCloseness(r.dists).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(h(center) == ((8L, 80000L)))
+    assert(h(leaf) == ((8L, 10000L + 7 * 5000L)))
+  }
+
   test("Betweenness matches oracle on path5, wiki digraph, and twoCliques (allclose 1e-6)") {
     for ((edges, n, rootIdx) <- Seq(
         (path5, 5, 0), (wikiEdges, wikiN, 4), (twoCliques, 8, 0))) {

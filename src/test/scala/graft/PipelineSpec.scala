@@ -177,6 +177,88 @@ class PipelineSpec extends SparkSpec {
     assert(l(t, 1) == 9L && l(t, 2) == 9L && l(t, 3) == 8L) // 'the' twice
   }
 
+  test("repetition: hand-checked n-gram duplicate and top-gram counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b a b", "en", "s0", 11L), // 2-grams: ab ba ab ba ab → n=5 d=2 top=3
+      (1L, "x y z w", "en", "s0", 7L), // all distinct: n=3 d=3 top=1
+      (2L, "q", "en", "s0", 1L) // shorter than n: all zero
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextStats.repetition(docs).collect()
+      .map(x => x.getLong(0) -> (1 to 6).map(i => x.getAs[Number](i).longValue())).toMap
+    assert(r(0L) == Seq(5L, 2L, 3L, 4L, 2L, 2L)) // 3-grams: aba bab aba bab
+    assert(r(1L) == Seq(3L, 3L, 1L, 2L, 2L, 1L))
+    assert(r(2L) == Seq(0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("vocab top-k: counts, doc frequency, deterministic tie-break") {
+    val v = Vocab.topVocab(docsFixture, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 'the' appears 2+2+2+1 = 7 times across docs 0,1,2,5 (fr 'the'? no) — compute: docs 0/1 have 'the' twice each, doc 2 twice, doc 5 none
+    assert(v.head._1 == "the")
+    assert(v.head._2 == 6L && v.head._3 == 3L)
+    // ties broken by term asc ⇒ result is deterministic
+    assert(v.length == 3)
+  }
+
+  test("tfidf distinctive terms: rare high-tf term outranks common terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple apple apple the the", "en", "s0", 1L),
+      (1L, "the banana pear", "en", "s0", 1L),
+      (2L, "the pear plum", "en", "s0", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val top = Vocab.distinctiveTerms(docs, k = 1).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(top(0L) == (("apple", 3L, 1L))) // tf 3, df 1 beats 'the' (tf 2, df 3)
+    assert(top(1L) == (("banana", 1L, 1L))) // df tie-break: banana(1) < pear(2) < the(3)
+    assert(top(2L) == (("plum", 1L, 1L)))
+  }
+
+  test("HLL: estimate within rate bound; registers merge by max across shards") {
+    import spark.implicits._
+    // 1500 distinct tokens over 50 docs, one source
+    val docs = (0 until 50).map { d =>
+      (d.toLong, (0 until 30).map(t => s"tok${d * 30 + t}").mkString(" "), "en", "s0", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val regs = Sketch.hll(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val est = Sketch.estimateHll(regs)
+    assert(math.abs(est - 1500.0) / 1500.0 < 0.15, s"estimate $est vs 1500")
+    // tiny cardinality → linear counting is near-exact
+    val small = Sketch.hll(docsFixture.where(col("doc_id") === 0)).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val estSmall = Sketch.estimateHll(small)
+    assert(math.abs(estSmall - 8.0) < 1.0, s"estimate $estSmall vs 8 distinct") // 8 distinct tokens
+    // mergeability: max-merge of two halves == whole
+    val h1 = Sketch.hll(docs.where(col("doc_id") < 25)).collect()
+    val h2 = Sketch.hll(docs.where(col("doc_id") >= 25)).collect()
+    val merged = (h1 ++ h2).map(r => (r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (b, v) => (b, v.map(_._2).max) }
+    val whole = regs.toMap
+    assert(merged == whole)
+  }
+
+  test("CMS: point query never under-counts and is exact on the fixture vocab") {
+    val cells = Sketch.countMin(docsFixture).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    def cellsOf(src: String) =
+      cells.collect { case ((s, r, c), n) if s == src => (r, c) -> n }.toMap
+    val s0 = cellsOf("s0")
+    // exact counts in source s0: 'the' appears 2+2+2 = 6 times
+    assert(Sketch.cmsQuery(s0, "s0", "the") == 6L)
+    assert(Sketch.cmsQuery(s0, "s0", "fox") == 3L)
+    // a term absent from s0 can only over-count (tiny grid collisions), never under
+    assert(Sketch.cmsQuery(s0, "s0", "zzz-not-present") >= 0L)
+    // every real token: query >= exact count
+    val exact = docsFixture.where(col("source") === "s0")
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1))
+    exact.foreach { case (t, n) =>
+      assert(Sketch.cmsQuery(s0, "s0", t) >= n, s"under-count for $t")
+    }
+  }
+
   test("fingerprint: equal for identical docs, stable, different for different docs") {
     val f = TextStats.fingerprint(docsFixture).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
