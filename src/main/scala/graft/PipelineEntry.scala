@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Curate, Decontam, Dedup, Mix, Multimodal, Similarity, Sketch, TextStats, Vocab}
+import graft.pipeline.{Curate, Decontam, Dedup, Mix, Multimodal, Quantiles, Similarity, Sketch, TextStats, Vocab}
 
 /** Driver-contract entries for the training-data pipeline operators
  * (dedup / similarity / text analysis / multimodal) over the
@@ -60,6 +60,9 @@ object PipelineEntry {
     // counts, computed entirely inside the row (no shuffle)
     "q_repetition" -> ((s, dir) => TextStats.repetition(Dedup.docs(s, dir))),
     "q_vocab" -> ((s, dir) => Vocab.topVocab(Dedup.docs(s, dir))),
+    // exact corpus length percentiles via the value-histogram trick
+    // (one scan, no global sort — see pipeline.Quantiles)
+    "q_quantiles" -> ((s, dir) => Quantiles.tokenCountQuantiles(Dedup.docs(s, dir))),
     "q_tfidf" -> ((s, dir) => Vocab.distinctiveTerms(Dedup.docs(s, dir))),
     // mergeable sketches: integer-exact register/counter tables
     "q_hll" -> ((s, dir) => Sketch.hll(Dedup.docs(s, dir))),
@@ -393,6 +396,26 @@ object PipelineEntry {
       |LEFT JOIN a2 ON a2.doc_id = d.doc_id
       |LEFT JOIN a3 ON a3.doc_id = d.doc_id""".stripMargin
 
+  /** Exact ceil-rank percentiles of ws token counts — mirrors
+   * Quantiles.tokenCountQuantiles (integer rank arithmetic). */
+  private val quantilesSql: String =
+    """WITH b AS (
+      |  SELECT len(string_split(text, ' ')) AS v FROM documents
+      |), h AS (
+      |  SELECT v, count(*) AS c FROM b GROUP BY 1
+      |), cc AS (
+      |  SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h
+      |), n AS (
+      |  SELECT count(*) AS n FROM b
+      |), p AS (
+      |  SELECT unnest([25, 50, 75, 90, 99]) AS pct
+      |), r AS (
+      |  SELECT cast(pct AS bigint) AS pct, (pct * n.n + 99) // 100 AS rank
+      |  FROM p CROSS JOIN n
+      |)
+      |SELECT r.pct, cast(r.rank AS bigint) AS rank, cast(min(cc.v) AS bigint) AS value
+      |FROM r JOIN cc ON cc.cum >= r.rank GROUP BY 1, 2""".stripMargin
+
   private val vocabSql: String =
     """WITH t AS (
       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
@@ -681,6 +704,7 @@ object PipelineEntry {
     "q_fingerprint" -> fingerprintSql,
     "q_repetition" -> repetitionSql,
     "q_vocab" -> vocabSql,
+    "q_quantiles" -> quantilesSql,
     "q_tfidf" -> tfidfSql,
     "q_hll" -> hllSql,
     "q_cms" -> cmsSql,

@@ -198,7 +198,21 @@ object SparkEntry {
       MultiSourceBfs.harmonicCloseness(MultiSourceBfs.run(g, rootIds(g, 4)).dists)
         .join(g.vertices.select(col("id").as("root"), col("key").as("root_key")), "root")
         .select(col("root_key"), col("n_reached"), col("harmonic_e4"))
-    })
+    }),
+    // Deterministic random walks (DeepWalk-style corpus sampling) from
+    // the 4 busiest hubs: step t moves to argmin md5(cur|t|nbr) — an
+    // md5-uniform but replayable choice, so the walk set is exact
+    "q_walks" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      RandomWalk.run(g, rootIds(g, 4), steps = 8).walks
+        .join(g.vertices.select(col("id").as("root"), col("key").as("root_key")), "root")
+        .join(g.vertices, "id")
+        .select(col("root_key"), col("step").cast("long").as("step"), col("key"))
+    }),
+    // Tool co-occurrence lift over conversations (association mining
+    // on the transcript table; integer-exact ⌊10⁴·lift⌋ export)
+    "q_tool_lift" -> ((s, dir) =>
+      pipeline.Cooccur.toolLift(Transcripts.fromEvents(s, dir)))
   )
 
   /** Deterministic, non-degenerate root: the max-degree vertex
@@ -488,6 +502,54 @@ object SparkEntry {
       |       cast(sum(10000 // dd) AS bigint) AS harmonic_e4
       |FROM d WHERE dd > 0 GROUP BY 1""".stripMargin
 
+  /** Deterministic random-walk replay, 8 unrolled steps: wᵗ picks per
+   * walker the neighbor with minimum (md5(cur|t|nbr), nbr) — mirrors
+   * algos.RandomWalk exactly (same seed string, same tie-break). */
+  private val walksSql: String = {
+    val step = (t: Int) =>
+      s""", w$t AS (
+         |  SELECT root, key FROM (
+         |    SELECT w.root, e.dst_key AS key,
+         |           row_number() OVER (PARTITION BY w.root
+         |             ORDER BY md5(concat(w.key, '|', '$t', '|', e.dst_key)), e.dst_key) AS rn
+         |    FROM w${t - 1} w JOIN esw e ON e.src_key = w.key) x
+         |  WHERE rn = 1
+         |)""".stripMargin
+    val union = (0 to 8).map(t =>
+      s"SELECT root AS root_key, cast($t AS bigint) AS step, key FROM w$t")
+      .mkString("\nUNION ALL\n")
+    prefix + symBody +
+      """, rt4 AS MATERIALIZED (
+        |  SELECT src_key AS rkey FROM esw GROUP BY src_key ORDER BY count(*) DESC, src_key LIMIT 4
+        |), w0 AS (
+        |  SELECT rkey AS root, rkey AS key FROM rt4
+        |)""".stripMargin +
+      (1 to 8).map(step).mkString + "\n" + union
+  }
+
+  /** Tool co-occurrence lift over conversations — mirrors
+   * pipeline.Cooccur.toolLift (integer floor division, hugeint-lifted
+   * so the oracle cannot overflow where the engine's long would not). */
+  private val toolLiftSql: String = prefix +
+    """, ct AS MATERIALIZED (
+      |  SELECT DISTINCT conv_id, tool FROM t WHERE tool IS NOT NULL
+      |), nc AS (
+      |  SELECT count(DISTINCT conv_id) AS n FROM t
+      |), marg AS (
+      |  SELECT tool, count(*) AS n FROM ct GROUP BY 1
+      |), pr AS (
+      |  SELECT a.tool AS tool_a, b.tool AS tool_b, count(*) AS n_ab
+      |  FROM ct a JOIN ct b ON a.conv_id = b.conv_id AND a.tool < b.tool
+      |  GROUP BY 1, 2
+      |)
+      |SELECT pr.tool_a, pr.tool_b, cast(pr.n_ab AS bigint) AS n_ab,
+      |       cast(ma.n AS bigint) AS n_a, cast(mb.n AS bigint) AS n_b,
+      |       cast((pr.n_ab::HUGEINT * 10000 * nc.n) // (ma.n::HUGEINT * mb.n) AS bigint) AS lift_e4
+      |FROM pr
+      |JOIN marg ma ON ma.tool = pr.tool_a
+      |JOIN marg mb ON mb.tool = pr.tool_b
+      |CROSS JOIN nc""".stripMargin
+
   /** Luby MIS replay: one recursion step = one round; a row is
    * (key, state, round) with state 'a'ctive or 'm'ember. Winners =
    * active local minima of (md5-hash, key) among active neighbors;
@@ -636,6 +698,8 @@ object SparkEntry {
     "q_bfs" -> bfsSql,
     "q_msbfs" -> msbfsSql,
     "q_closeness" -> closenessSql,
+    "q_walks" -> walksSql,
+    "q_tool_lift" -> toolLiftSql,
     "q_diameter" -> diameterSql,
     "q_mis" -> misSql,
     "q_sssp" -> ssspSql,

@@ -1,0 +1,84 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.LinkGraph
+import graft.syntax._
+
+/**
+ * Deterministic random-walk sampling (DeepWalk/node2vec-style corpus
+ * generation for graph-embedding training data): from each root, a
+ * T-step walk where step t moves to the neighbor minimizing
+ * `md5(cur_key || '|' || t || '|' || nbr_key)` — an md5-uniform but
+ * fully deterministic choice, so the walk set is reproducible across
+ * engines and oracle-checkable (the same rule replays in SQL). The
+ * per-(vertex,step) seed means different walkers leaving the same
+ * vertex at different steps diverge like independent draws.
+ *
+ * Beyond-reference operator (the reference's process_edges could
+ * express a frontier walk but its toolkits don't sample walks); at
+ * corpus scale this runs with MILLIONS of simultaneous walkers —
+ * per step: one join of the walker frontier against the co-partitioned
+ * out-edge table (broadcast while the frontier is small), one
+ * min-struct combine per walker, no job whose cost depends on |V|.
+ * Per-step work is O(Σ out_degree(cur)); the walker state never
+ * exceeds (numWalkers) rows.
+ *
+ * Spark shape per step: frontier ⋈ edgesBySrc (broadcast: the frontier
+ * is ≤ numWalkers rows) → attach neighbor keys from the vertex dict
+ * (broadcast of the candidate rows, so the big table never shuffles)
+ * → groupBy(walker).agg(min(struct(prio, nbr_key, nbr_id))).
+ */
+object RandomWalk {
+
+  final case class Result(walks: DataFrame, steps: Int)
+
+  /** @param roots walk start vertex ids (one walker per root)
+   *  @return walks: (root, step, id) — step 0 is the root itself;
+   *          a walk stops early only if the current vertex has no
+   *          out-neighbor (impossible on the symmetric graph). */
+  def run(graph: LinkGraph, roots: Seq[Long], steps: Int): Result = {
+    val spark = graph.spark
+    import spark.implicits._
+
+    // (root, id, key) of each walker's current position. Every
+    // frontier goes through graftCut — persisted AND plan-truncated to
+    // a LogicalRDD leaf, so the step-t plan doesn't nest the whole
+    // step-(t-1) join chain (9 nested chains OOM'd plan printing) and
+    // the final union is a flat union of leaves.
+    val rootDf = roots.toDF("id")
+    var cur = graph.vertices.join(broadcast(rootDf), "id")
+      .select(col("id").as("root"), col("id"), col("key"))
+      .graftCut
+    var out = cur.select(col("root"), lit(0).as("step"), col("id"))
+    var frontiers = List(cur)
+
+    for (t <- 1 to steps) {
+      // frontier ⋈ out-edges: broadcast the ≤|roots| walker rows
+      val nbrs = graph.edgesBySrc
+        .join(broadcast(cur.withColumnRenamed("id", "src")), "src")
+        .select(col("root"), col("key").as("cur_key"), col("dst"))
+      // neighbor keys: broadcast the (small) candidate set against the
+      // vertex dict so the dict never shuffles
+      val keyed = graph.vertices
+        .select(col("id").as("dst"), col("key").as("nbr_key"))
+        .join(broadcast(nbrs), "dst")
+      cur = keyed
+        .select(col("root"),
+          struct(
+            md5(concat_ws("|", col("cur_key"), lit(t), col("nbr_key"))).as("prio"),
+            col("nbr_key").as("k"),
+            col("dst").as("i")).as("cand"))
+        .groupBy(col("root"))
+        .agg(min(col("cand")).as("c"))
+        .select(col("root"), col("c.i").as("id"), col("c.k").as("key"))
+        .graftCut
+      frontiers = cur :: frontiers
+      out = out.unionByName(cur.select(col("root"), lit(t).as("step"), col("id")))
+    }
+    val walks = out.graftCut
+    frontiers.foreach(_.graftFree())
+    Result(walks, steps)
+  }
+}

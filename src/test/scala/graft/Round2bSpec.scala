@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.algos.RandomWalk
+import graft.pipeline.{Cooccur, Quantiles}
+
+/** Specs for the round-2b additions: deterministic random walks,
+ * exact histogram quantiles, tool co-occurrence lift. Each compares
+ * the distributed result against a direct single-node replay. */
+class Round2bSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("random walk replays the md5-argmin rule exactly") {
+    // braid: cycle 0..7 plus chords — every vertex has ≥2 neighbors
+    val pairs = (0 until 8).map(i => (i, (i + 1) % 8)) ++
+      Seq((0, 4), (1, 5), (2, 6))
+    val g = graphOf(pairs, symmetric = true)
+    val idx = indexOf(g)
+    val keyToIdx = idx.map { case (id, i) => keyOf(i) -> i }
+    val idOf = idx.map(_.swap)
+
+    // symmetric neighbor map on keys (deduped, no self-loops)
+    val nbrs = (pairs ++ pairs.map(_.swap)).distinct
+      .filter { case (a, b) => a != b }
+      .groupBy(_._1).map { case (a, bs) => keyOf(a) -> bs.map(x => keyOf(x._2)) }
+
+    val roots = Seq(0, 3)
+    val steps = 5
+    val r = RandomWalk.run(g, roots.map(i => idOf(i)), steps)
+    val got = r.walks.collect()
+      .map(x => (idx(x.getLong(0)), x.getInt(1)) -> idx(x.getLong(2))).toMap
+
+    for (root <- roots) {
+      var cur = keyOf(root)
+      assert(got((root, 0)) === root)
+      for (t <- 1 to steps) {
+        val next = nbrs(cur).minBy(n => (md5hex(s"$cur|$t|$n"), n))
+        assert(got((root, t)) === keyToIdx(next), s"root=$root step=$t")
+        cur = next
+      }
+    }
+    r.walks.unpersist()
+  }
+
+  test("exact quantiles equal the sorted ceil-rank selection") {
+    import spark.implicits._
+    // adversarial: duplicates, a gap, a heavy mode
+    val lens = Seq(1, 1, 1, 2, 2, 5, 5, 5, 5, 5, 9, 40, 40, 41, 100)
+    val docs = lens.zipWithIndex
+      .map { case (k, i) => (i.toLong, Seq.fill(k)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val pcts = Seq(10, 25, 50, 75, 90, 99, 100)
+    val got = Quantiles.tokenCountQuantiles(docs, pcts).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sorted = lens.sorted
+    val n = lens.size
+    for (p <- pcts) {
+      val rank = (p.toLong * n + 99L) / 100L
+      assert(got(p.toLong) === ((rank, sorted(rank.toInt - 1).toLong)), s"pct=$p")
+    }
+  }
+
+  test("tool lift equals the brute-force conversation counts") {
+    import spark.implicits._
+    // c1:{A,B} c2:{A,B,C} c3:{A} c4:{} c5:{B,C} — incl. a tool-free conv
+    val rows = Seq(
+      ("c1", "A"), ("c1", "B"), ("c1", "A"), // duplicate use in one conv
+      ("c2", "A"), ("c2", "B"), ("c2", "C"),
+      ("c3", "A"), ("c5", "B"), ("c5", "C"),
+      ("c4", null))
+    val tr = rows.toDF("conv_id", "tool")
+    val got = Cooccur.toolLift(tr).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+
+    val convTools = rows.filter(_._2 != null).distinct.groupBy(_._1).map {
+      case (c, ts) => c -> ts.map(_._2).toSet }
+    val nConvs = rows.map(_._1).distinct.size.toLong
+    val tools = convTools.values.flatten.toSeq.distinct.sorted
+    val marg = tools.map(t => t -> convTools.values.count(_.contains(t)).toLong).toMap
+    val expected = (for {
+      a <- tools; b <- tools if a < b
+      nab = convTools.values.count(s => s.contains(a) && s.contains(b)).toLong
+      if nab > 0
+    } yield (a, b) -> ((nab, marg(a), marg(b),
+      nab * 10000L * nConvs / (marg(a) * marg(b))))).toMap
+    assert(got === expected)
+  }
+}
