@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.syntax._
-import graft.{LinkGraph, Superstep}
+import graft.{Checkpoint, LinkGraph, Superstep}
 
 /**
  * Multi-source BFS: level-synchronous distances from K roots in ONE
@@ -35,17 +35,34 @@ object MultiSourceBfs {
   def run(
       graph: LinkGraph,
       roots: Seq[Long],
-      maxIterations: Int = 100000): Result = {
+      maxIterations: Int = 100000,
+      ckpt: Option[Checkpoint] = None,
+      ckptEvery: Int = 8,
+      resume: Boolean = false): Result = {
     require(roots.nonEmpty && roots.distinct.size == roots.size, "roots must be distinct")
     val spark = graph.spark
     import spark.implicits._
 
-    var visited = roots.map(r => (r, r, 0)).toDF("id", "root", "dist")
-      .repartition(graph.numPartitions, col("id"), col("root"))
-      .graftCut
-    var frontier = visited
+    var visited: DataFrame = null // (id, root, dist) — lazy union chain
+    var frontier: DataFrame = null
     var level = 0
-    var frontierCount = roots.size.toLong
+    var frontierCount = 0L
+    val resumed = if (resume) ckpt.flatMap(_.latestIteration()) else None
+    resumed match {
+      case Some(k) =>
+        visited = ckpt.get.load(spark, k)
+          .repartition(graph.numPartitions, col("id"), col("root")).graftCut
+        level = k
+        val (f, n) = visited.where(col("dist") === k).graftCutCount
+        frontier = f
+        frontierCount = n
+      case None =>
+        visited = roots.map(r => (r, r, 0)).toDF("id", "root", "dist")
+          .repartition(graph.numPartitions, col("id"), col("root"))
+          .graftCut
+        frontier = visited
+        frontierCount = roots.size.toLong
+    }
 
     var base = visited
     var pendingFree = List[DataFrame]()
@@ -79,10 +96,13 @@ object MultiSourceBfs {
           pendingFree = Nil
           base = visited
         }
+        if (ckpt.nonEmpty && (level % ckptEvery == 0))
+          ckpt.get.save(visited, level, frontierCount)
       }
     }
     val (dists, reached) = visited.graftCutCount
     (base :: frontier :: pendingFree).filter(_ ne dists).distinct.foreach(_.graftFree())
+    ckpt.foreach(_.save(dists, level, 0L))
     Result(dists, level, reached)
   }
 

@@ -134,6 +134,36 @@ class CheckpointSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("MSBFS: resume from checkpoint yields identical landmark distances") {
+    import graft.algos.MultiSourceBfs
+    val g = graphOf(edges, symmetric = true)
+    val roots = Seq(0L, 8L).map(i => indexOf(g).collectFirst {
+      case (id, idx) if idx == i => id }.get)
+    val full = MultiSourceBfs.run(g, roots)
+    val ck = Checkpoint(tmpDir())
+    MultiSourceBfs.run(g, roots, maxIterations = 2, ckpt = Some(ck), ckptEvery = 1)
+    assert(ck.latestIteration().contains(2))
+    val resumed = MultiSourceBfs.run(g, roots, ckpt = Some(ck), ckptEvery = 1, resume = true)
+    assert(resumed.reached == full.reached)
+    val a = full.dists
+    val b = resumed.dists
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("MIS: resume mid-round yields the identical member set") {
+    import graft.algos.Mis
+    val g = graphOf(edges, symmetric = true)
+    val full = Mis.run(g)
+    val ck = Checkpoint(tmpDir())
+    Mis.run(g, maxRounds = 1, ckpt = Some(ck), ckptEvery = 1)
+    assert(ck.latestIteration().contains(1))
+    val resumed = Mis.run(g, ckpt = Some(ck), ckptEvery = 1, resume = true)
+    val a = full.mis
+    val b = resumed.mis
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    assert(full.size > 0)
+  }
+
   test("k-core: resume mid-peel yields the identical core") {
     import graft.algos.KCore
     val g = graphOf(edges :+ ((4, 1)), symmetric = true) // cycle + tails
