@@ -63,6 +63,10 @@ object PipelineEntry {
     // exact corpus length percentiles via the value-histogram trick
     // (one scan, no global sort — see pipeline.Quantiles)
     "q_quantiles" -> ((s, dir) => Quantiles.tokenCountQuantiles(Dedup.docs(s, dir))),
+    // grouped variant: the cumulative window partitions by source, so
+    // even the histogram scan stage is a plain grouped shuffle
+    "q_quantiles_src" -> ((s, dir) =>
+      Quantiles.tokenCountQuantilesBy(Dedup.docs(s, dir), "source")),
     "q_tfidf" -> ((s, dir) => Vocab.distinctiveTerms(Dedup.docs(s, dir))),
     // mergeable sketches: integer-exact register/counter tables
     "q_hll" -> ((s, dir) => Sketch.hll(Dedup.docs(s, dir))),
@@ -416,6 +420,25 @@ object PipelineEntry {
       |SELECT r.pct, cast(r.rank AS bigint) AS rank, cast(min(cc.v) AS bigint) AS value
       |FROM r JOIN cc ON cc.cum >= r.rank GROUP BY 1, 2""".stripMargin
 
+  /** Per-source exact percentiles — mirrors tokenCountQuantilesBy. */
+  private val quantilesSrcSql: String =
+    """WITH b AS (
+      |  SELECT source AS grp, len(string_split(text, ' ')) AS v FROM documents
+      |), h AS (
+      |  SELECT grp, v, count(*) AS c FROM b GROUP BY 1, 2
+      |), cc AS (
+      |  SELECT grp, v, sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+      |         sum(c) OVER (PARTITION BY grp) AS n
+      |  FROM h
+      |), p AS (
+      |  SELECT unnest([25, 50, 75, 90, 99]) AS pct
+      |)
+      |SELECT cc.grp AS source, cast(p.pct AS bigint) AS pct,
+      |       cast((p.pct * cc.n + 99) // 100 AS bigint) AS rank,
+      |       cast(min(cc.v) AS bigint) AS value
+      |FROM cc JOIN p ON cc.cum >= (p.pct * cc.n + 99) // 100
+      |GROUP BY 1, 2, 3""".stripMargin
+
   private val vocabSql: String =
     """WITH t AS (
       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
@@ -705,6 +728,7 @@ object PipelineEntry {
     "q_repetition" -> repetitionSql,
     "q_vocab" -> vocabSql,
     "q_quantiles" -> quantilesSql,
+    "q_quantiles_src" -> quantilesSrcSql,
     "q_tfidf" -> tfidfSql,
     "q_hll" -> hllSql,
     "q_cms" -> cmsSql,

@@ -209,6 +209,23 @@ object SparkEntry {
         .join(g.vertices, "id")
         .select(col("root_key"), col("step").cast("long").as("step"), col("key"))
     }),
+    // Weight-proportional walks (node2vec-style bias): the hash picks
+    // a slot on the cumulative integer-weight line — exact + replayable
+    "q_walks_w" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      RandomWalk.run(g, rootIds(g, 4), steps = 8, weighted = true).walks
+        .join(g.vertices.select(col("id").as("root"), col("key").as("root_key")), "root")
+        .join(g.vertices, "id")
+        .select(col("root_key"), col("step").cast("long").as("step"), col("key"))
+    }),
+    // Degree histogram in power-of-two buckets (exact bit-length
+    // bucketing, no float log)
+    "q_deg_hist" -> ((s, dir) =>
+      DegreeStats.histogram(Graphs.get(s, dir, symmetric = true))),
+    // Component-size census (giant-component check) over the CC labels
+    "q_cc_sizes" -> ((s, dir) =>
+      DegreeStats.sizeHistogram(
+        ConnectedComponents.run(Graphs.get(s, dir, symmetric = true)).labels)),
     // Tool co-occurrence lift over conversations (association mining
     // on the transcript table; integer-exact ⌊10⁴·lift⌋ export)
     "q_tool_lift" -> ((s, dir) =>
@@ -295,7 +312,7 @@ object SparkEntry {
    * components of the tiny conversation-level graph (convs linked by
    * shared tools), expanded back to turn/tool vertices. An
    * independent structural check, not a re-implementation. */
-  private val ccSql: String = "WITH RECURSIVE " + prefixBody +
+  private val ccBody: String =
     """, tooluse AS (
       |  SELECT DISTINCT conv_id, concat('T#', tool) AS tkey FROM k WHERE tool IS NOT NULL
       |), convedge AS (
@@ -315,8 +332,22 @@ object SparkEntry {
       |  ) u JOIN v USING (key)
       |), rep AS (
       |  SELECT lc, min(key) AS component FROM vc GROUP BY lc
+      |)""".stripMargin
+
+  private val ccSql: String = "WITH RECURSIVE " + prefixBody + ccBody +
+    "\nSELECT vc.key AS key, rep.component AS component FROM vc JOIN rep USING (lc)"
+
+  /** Component-size histogram in power-of-two buckets (same exact
+   * bit-length bucketing as [[degHistSql]]). */
+  private val ccSizesSql: String = "WITH RECURSIVE " + prefixBody + ccBody +
+    """, szs AS (
+      |  SELECT lc, count(*) AS sz FROM vc GROUP BY lc
       |)
-      |SELECT vc.key AS key, rep.component AS component FROM vc JOIN rep USING (lc)""".stripMargin
+      |SELECT cast(length(bin(sz)) AS bigint) AS bucket,
+      |       cast(count(*) AS bigint) AS n_components,
+      |       cast(min(sz) AS bigint) AS min_size,
+      |       cast(max(sz) AS bigint) AS max_size
+      |FROM szs GROUP BY 1""".stripMargin
 
   private val pagerankSql: String = {
     val iter = (i: Int) =>
@@ -527,6 +558,51 @@ object SparkEntry {
       (1 to 8).map(step).mkString + "\n" + union
   }
 
+  /** Weight-proportional walk replay: at step t, walker at `key`
+   * draws h = 60-bit md5(key|t) and takes the neighbor whose slot on
+   * the key-ordered cumulative integer-weight line contains
+   * h mod Σwq — mirrors algos.RandomWalk(weighted = true) exactly. */
+  private val walksWSql: String = {
+    val step = (t: Int) =>
+      s""", q$t AS (
+         |  SELECT w.root, e.dst_key,
+         |         sum(cast(round(e.w * 1000) AS bigint))
+         |           OVER (PARTITION BY w.root ORDER BY e.dst_key) AS cum,
+         |         sum(cast(round(e.w * 1000) AS bigint))
+         |           OVER (PARTITION BY w.root) AS tot,
+         |         ('0x' || substr(md5(concat(w.key, '|', '$t')), 1, 15))::BIGINT AS h
+         |  FROM w${t - 1} w JOIN esw e ON e.src_key = w.key
+         |), w$t AS (
+         |  SELECT root, key FROM (
+         |    SELECT root, dst_key AS key,
+         |           row_number() OVER (PARTITION BY root ORDER BY cum) AS rn
+         |    FROM q$t WHERE cum > h % tot) x
+         |  WHERE rn = 1
+         |)""".stripMargin
+    val union = (0 to 8).map(t =>
+      s"SELECT root AS root_key, cast($t AS bigint) AS step, key FROM w$t")
+      .mkString("\nUNION ALL\n")
+    prefix + symBody +
+      """, rt4 AS MATERIALIZED (
+        |  SELECT src_key AS rkey FROM esw GROUP BY src_key ORDER BY count(*) DESC, src_key LIMIT 4
+        |), w0 AS (
+        |  SELECT rkey AS root, rkey AS key FROM rt4
+        |)""".stripMargin +
+      (1 to 8).map(step).mkString + "\n" + union
+  }
+
+  /** Power-of-two degree histogram — bucket = minimal binary width of
+   * the symmetric degree (bin() ↔ Spark conv(d,10,2)). */
+  private val degHistSql: String = prefix + symBody +
+    """, od AS (
+      |  SELECT src_key, count(*) AS d FROM esw GROUP BY 1
+      |)
+      |SELECT cast(length(bin(d)) AS bigint) AS bucket,
+      |       cast(count(*) AS bigint) AS n_vertices,
+      |       cast(min(d) AS bigint) AS min_degree,
+      |       cast(max(d) AS bigint) AS max_degree
+      |FROM od GROUP BY 1""".stripMargin
+
   /** Tool co-occurrence lift over conversations — mirrors
    * pipeline.Cooccur.toolLift (integer floor division, hugeint-lifted
    * so the oracle cannot overflow where the engine's long would not). */
@@ -699,6 +775,9 @@ object SparkEntry {
     "q_msbfs" -> msbfsSql,
     "q_closeness" -> closenessSql,
     "q_walks" -> walksSql,
+    "q_walks_w" -> walksWSql,
+    "q_deg_hist" -> degHistSql,
+    "q_cc_sizes" -> ccSizesSql,
     "q_tool_lift" -> toolLiftSql,
     "q_diameter" -> diameterSql,
     "q_mis" -> misSql,

@@ -1,0 +1,46 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.LinkGraph
+
+/**
+ * Degree-distribution histogram in power-of-two buckets — the
+ * first-look web-graph statistic (power-law exponent eyeball, hub
+ * census, partitioner sizing input for [[graft.sources.BucketedLayout]]).
+ *
+ * Bucket = bit length of the degree (`floor(log2 d) + 1`), computed
+ * EXACTLY as the length of the minimal binary representation
+ * (`conv(d, 10, 2)` ↔ DuckDB `bin(d)`) — no floating-point log whose
+ * rounding could differ across engines. One aggregation over the
+ * (|V|-row) degree table; output is ≤ 64 rows regardless of scale.
+ */
+object DegreeStats {
+
+  /** @return (bucket, n_vertices, min_degree, max_degree) over
+   *          vertices with out_degree ≥ 1; bucket b covers degrees
+   *          [2^(b-1), 2^b). */
+  def histogram(graph: LinkGraph): DataFrame =
+    graph.degrees
+      .where(col("out_degree") > 0)
+      .withColumn("bucket", length(conv(col("out_degree"), 10, 2)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_vertices"),
+        min(col("out_degree")).as("min_degree"),
+        max(col("out_degree")).as("max_degree"))
+
+  /** Component-size histogram over CC labels (id, lbl) — same exact
+   * power-of-two bucketing; the giant-component census that drives
+   * partitioner and sampler decisions on web graphs. ≤ 64 output rows
+   * at any scale. */
+  def sizeHistogram(labels: DataFrame): DataFrame =
+    labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+      .withColumn("bucket", length(conv(col("sz"), 10, 2)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_components"),
+        min(col("sz")).as("min_size"),
+        max(col("sz")).as("max_size"))
+}

@@ -1,6 +1,7 @@
 package graft.algos
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.LinkGraph
@@ -34,11 +35,24 @@ object RandomWalk {
 
   final case class Result(walks: DataFrame, steps: Int)
 
-  /** @param roots walk start vertex ids (one walker per root)
+  /** @param roots    walk start vertex ids (one walker per root)
+   *  @param weighted  false: uniform-flavored argmin-hash choice.
+   *                   true: EDGE-WEIGHT-PROPORTIONAL choice — the
+   *                   per-(walker, step) 60-bit hash h picks the
+   *                   neighbor whose slot in the cumulative
+   *                   integer-weight line (neighbors in key order)
+   *                   contains `h mod Σw_q` — exact integer
+   *                   arithmetic, so still fully replayable, but the
+   *                   selection probability of each neighbor is
+   *                   ∝ its edge weight (node2vec-style biased walk).
    *  @return walks: (root, step, id) — step 0 is the root itself;
    *          a walk stops early only if the current vertex has no
    *          out-neighbor (impossible on the symmetric graph). */
-  def run(graph: LinkGraph, roots: Seq[Long], steps: Int): Result = {
+  def run(
+      graph: LinkGraph,
+      roots: Seq[Long],
+      steps: Int,
+      weighted: Boolean = false): Result = {
     val spark = graph.spark
     import spark.implicits._
 
@@ -58,18 +72,36 @@ object RandomWalk {
       // frontier ⋈ out-edges: broadcast the ≤|roots| walker rows
       val nbrs = graph.edgesBySrc
         .join(broadcast(cur.withColumnRenamed("id", "src")), "src")
-        .select(col("root"), col("key").as("cur_key"), col("dst"))
+        .select(col("root"), col("key").as("cur_key"), col("dst"), col("weight"))
       // neighbor keys: broadcast the (small) candidate set against the
       // vertex dict so the dict never shuffles
       val keyed = graph.vertices
         .select(col("id").as("dst"), col("key").as("nbr_key"))
         .join(broadcast(nbrs), "dst")
-      cur = keyed
-        .select(col("root"),
+      cur = (if (weighted) {
+        // cumulative integer weights along the key-ordered neighbor
+        // line; the hash threshold lands in one neighbor's slot. The
+        // window partitions by walker over the (small) joined frontier.
+        val byWalker = Window.partitionBy(col("root"))
+        keyed
+          .withColumn("wq", round(col("weight") * 1000).cast("long"))
+          .withColumn("cum", sum(col("wq")).over(
+            byWalker.orderBy(col("nbr_key"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("th", pmod(
+            conv(substring(md5(concat_ws("|", col("cur_key"), lit(t))), 1, 15), 16, 10)
+              .cast("long"),
+            sum(col("wq")).over(byWalker)))
+          .where(col("cum") > col("th"))
+          .select(col("root"),
+            struct(col("cum"), col("nbr_key").as("k"), col("dst").as("i")).as("cand"))
+      } else {
+        keyed.select(col("root"),
           struct(
             md5(concat_ws("|", col("cur_key"), lit(t), col("nbr_key"))).as("prio"),
             col("nbr_key").as("k"),
             col("dst").as("i")).as("cand"))
+      })
         .groupBy(col("root"))
         .agg(min(col("cand")).as("c"))
         .select(col("root"), col("c.i").as("id"), col("c.k").as("key"))

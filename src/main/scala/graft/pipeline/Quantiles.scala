@@ -54,4 +54,35 @@ object Quantiles {
     hist.unpersist(blocking = false)
     out
   }
+
+  /** Per-GROUP exact quantiles — same value-histogram scheme but the
+   * cumulative window partitions by the group column, so there is no
+   * single-partition step at all: every stage is a grouped shuffle.
+   * Rank arithmetic stays exact-integer per group.
+   *
+   * @return (group, pct, rank, value) */
+  def tokenCountQuantilesBy(
+      docs: DataFrame,
+      groupCol: String,
+      pcts: Seq[Int] = Seq(25, 50, 75, 90, 99)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val hist = docs
+      .select(col(groupCol).as("grp"), size(split(col("text"), " ")).cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+    val cum = hist.select(
+      col("grp"), col("v"), col("c"),
+      sum(col("c")).over(Window.partitionBy(col("grp")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      sum(col("c")).over(Window.partitionBy(col("grp"))).as("n"))
+    val pctDf = broadcast(pcts.map(_.toLong).toDF("pct"))
+    // integer ceil((pct·n)/100) = (pct·n + 99) div 100 — exact per group
+    cum.join(pctDf, col("cum") >= expr("(pct * n + 99) div 100"))
+      .groupBy(col("grp").as(groupCol), col("pct"),
+        expr("(pct * n + 99) div 100").as("rank"))
+      .agg(min(col("v")).as("value"))
+      .select(col(groupCol), col("pct"), col("rank"), col("value"))
+  }
 }

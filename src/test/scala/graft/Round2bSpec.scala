@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.algos.RandomWalk
+import graft.algos.{DegreeStats, RandomWalk}
 import graft.pipeline.{Cooccur, Quantiles}
 
 /** Specs for the round-2b additions: deterministic random walks,
@@ -46,6 +46,70 @@ class Round2bSpec extends SparkSpec {
     r.walks.unpersist()
   }
 
+  test("weighted walk replays the cumulative-weight-slot rule exactly") {
+    val pairs = (0 until 8).map(i => (i, (i + 1) % 8)) ++
+      Seq((0, 4), (1, 5), (2, 6))
+    // asymmetric-looking weights; graph build takes min per symmetric pair
+    val w = pairs.map { case (a, b) => (a, b) -> (1.0 + (a * 3 + b) % 4) }.toMap
+    val g = graphOf(pairs, symmetric = true, weights = w)
+    val idx = indexOf(g)
+    val keyToIdx = idx.map { case (id, i) => keyOf(i) -> i }
+    val idOf = idx.map(_.swap)
+
+    // symmetric deduped neighbor->weight map on keys (min weight per pair)
+    val sym = (pairs.map { case (a, b) => (a, b, w((a, b))) } ++
+      pairs.map { case (a, b) => (b, a, w((a, b))) })
+      .filter { case (a, b, _) => a != b }
+      .groupBy(x => (x._1, x._2)).map { case ((a, b), xs) =>
+        (keyOf(a), keyOf(b)) -> xs.map(_._3).min }
+    val nbrs = sym.keys.groupBy(_._1).map { case (a, ks) =>
+      a -> ks.map(_._2).toSeq.sorted }
+
+    val roots = Seq(2, 7)
+    val steps = 5
+    val r = RandomWalk.run(g, roots.map(i => idOf(i)), steps, weighted = true)
+    val got = r.walks.collect()
+      .map(x => (idx(x.getLong(0)), x.getInt(1)) -> idx(x.getLong(2))).toMap
+
+    for (root <- roots) {
+      var cur = keyOf(root)
+      for (t <- 1 to steps) {
+        val line = nbrs(cur).map(n => n -> math.round(sym((cur, n)) * 1000))
+        val tot = line.map(_._2).sum
+        val h = BigInt(md5hex(s"$cur|$t").take(15), 16) mod BigInt(tot)
+        var cum = 0L
+        val next = line.find { case (_, wq) => cum += wq; cum > h.toLong }.get._1
+        assert(got((root, t)) === keyToIdx(next), s"root=$root step=$t")
+        cur = next
+      }
+    }
+    r.walks.unpersist()
+  }
+
+  test("degree histogram buckets by exact bit length") {
+    val pairs = Seq((0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (1, 2), (3, 4))
+    val g = graphOf(pairs, symmetric = true)
+    val got = DegreeStats.histogram(g).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // symmetric degrees: v0=5, v1=2, v2=2, v3=2, v4=2, v5=1
+    val degs = Seq(5L, 2L, 2L, 2L, 2L, 1L)
+    val expected = degs.groupBy(d => 64L - java.lang.Long.numberOfLeadingZeros(d))
+      .map { case (b, ds) => b -> ((ds.size.toLong, ds.min, ds.max)) }
+    assert(got === expected)
+  }
+
+  test("component-size histogram matches the known component census") {
+    import graft.algos.ConnectedComponents
+    // component {0..7} (size 8) + triangle {8,9,10} (size 3)
+    val pairs = Seq((0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0), (2, 6), (6, 7),
+      (8, 9), (9, 10), (10, 8))
+    val g = graphOf(pairs, symmetric = true)
+    val labels = ConnectedComponents.run(g).labels
+    val got = DegreeStats.sizeHistogram(labels).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(4L -> ((1L, 8L, 8L)), 2L -> ((1L, 3L, 3L))))
+  }
+
   test("exact quantiles equal the sorted ceil-rank selection") {
     import spark.implicits._
     // adversarial: duplicates, a gap, a heavy mode
@@ -61,6 +125,26 @@ class Round2bSpec extends SparkSpec {
     for (p <- pcts) {
       val rank = (p.toLong * n + 99L) / 100L
       assert(got(p.toLong) === ((rank, sorted(rank.toInt - 1).toLong)), s"pct=$p")
+    }
+  }
+
+  test("grouped quantiles equal the per-group sorted ceil-rank selection") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1), ("a", 3), ("a", 3), ("a", 7), ("a", 20),
+      ("b", 2), ("b", 2), ("b", 9))
+    val docs = rows.zipWithIndex.map { case ((s, k), i) =>
+      (i.toLong, s, Seq.fill(k)("w").mkString(" ")) }
+      .toDF("doc_id", "source", "text")
+    val pcts = Seq(50, 90, 100)
+    val got = Quantiles.tokenCountQuantilesBy(docs, "source", pcts).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    for ((src, lens) <- rows.groupBy(_._1).view.mapValues(_.map(_._2.toLong).sorted)) {
+      val n = lens.size
+      for (p <- pcts) {
+        val rank = (p.toLong * n + 99L) / 100L
+        assert(got((src, p.toLong)) === ((rank, lens(rank.toInt - 1))), s"$src p$p")
+      }
     }
   }
 
