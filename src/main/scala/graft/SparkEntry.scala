@@ -222,6 +222,10 @@ object SparkEntry {
     // bucketing, no float log)
     "q_deg_hist" -> ((s, dir) =>
       DegreeStats.histogram(Graphs.get(s, dir, symmetric = true))),
+    // Link prediction: resource-allocation neighborhood overlap of
+    // non-adjacent pairs (wedge-center degree cap, integer-exact RA)
+    "q_linkpred" -> ((s, dir) =>
+      LinkPredict.topOverlap(Graphs.get(s, dir, symmetric = true), k = 100)),
     // Component-size census (giant-component check) over the CC labels
     "q_cc_sizes" -> ((s, dir) =>
       DegreeStats.sizeHistogram(
@@ -603,6 +607,30 @@ object SparkEntry {
       |       cast(max(d) AS bigint) AS max_degree
       |FROM od GROUP BY 1""".stripMargin
 
+  /** RA link prediction replay — wedge centers capped at degree 64,
+   * slot = 10^6 div deg(z), key-oriented pairs, anti-join vs esw;
+   * mirrors algos.LinkPredict.topOverlap exactly. */
+  private val linkpredSql: String = prefix + symBody +
+    """, dgc AS (
+      |  SELECT src_key AS z, 1000000 // count(*) AS slot, count(*) AS d
+      |  FROM esw GROUP BY 1
+      |), zn AS (
+      |  SELECT e.src_key AS z, dgc.slot, e.dst_key AS nk
+      |  FROM esw e JOIN dgc ON dgc.z = e.src_key WHERE dgc.d BETWEEN 2 AND 64
+      |), sc AS (
+      |  SELECT l.nk AS u_key, r.nk AS v_key,
+      |         count(*) AS common_nbrs, sum(l.slot) AS ra
+      |  FROM zn l JOIN zn r ON l.z = r.z AND l.nk < r.nk
+      |  GROUP BY 1, 2
+      |), na AS (
+      |  SELECT sc.* FROM sc LEFT JOIN esw e
+      |    ON e.src_key = sc.u_key AND e.dst_key = sc.v_key
+      |  WHERE e.src_key IS NULL
+      |)
+      |SELECT u_key, v_key, cast(common_nbrs AS bigint) AS common_nbrs,
+      |       cast(ra AS bigint) AS ra_e6
+      |FROM na ORDER BY ra DESC, u_key, v_key LIMIT 100""".stripMargin
+
   /** Tool co-occurrence lift over conversations — mirrors
    * pipeline.Cooccur.toolLift (integer floor division, hugeint-lifted
    * so the oracle cannot overflow where the engine's long would not). */
@@ -777,6 +805,7 @@ object SparkEntry {
     "q_walks" -> walksSql,
     "q_walks_w" -> walksWSql,
     "q_deg_hist" -> degHistSql,
+    "q_linkpred" -> linkpredSql,
     "q_cc_sizes" -> ccSizesSql,
     "q_tool_lift" -> toolLiftSql,
     "q_diameter" -> diameterSql,

@@ -110,6 +110,35 @@ class Round2bSpec extends SparkSpec {
     assert(got === Map(4L -> ((1L, 8L, 8L)), 2L -> ((1L, 3L, 3L))))
   }
 
+  test("link prediction equals the brute-force RA index over non-adjacent pairs") {
+    import graft.algos.LinkPredict
+    // two hubs (1, 2) sharing leaves + a path tail — plenty of
+    // non-adjacent pairs with 1-2 common neighbors
+    val pairs = Seq((0, 1), (0, 2), (0, 3), (1, 2), (3, 4), (4, 5), (2, 5),
+      (1, 6), (2, 6), (1, 7), (2, 7))
+    val g = graphOf(pairs, symmetric = true)
+
+    val und = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def brute(cap: Int): Map[(String, String), (Long, Long)] = {
+      val verts = nbrs.keys.toSeq.sorted
+      (for {
+        u <- verts; v <- verts
+        if keyOf(u) < keyOf(v) && !nbrs(u).contains(v)
+        zs = (nbrs(u) & nbrs(v)).filter(z => nbrs(z).size >= 2 && nbrs(z).size <= cap)
+        if zs.nonEmpty
+      } yield (keyOf(u), keyOf(v)) ->
+        ((zs.size.toLong, zs.toSeq.map(z => 1000000L / nbrs(z).size).sum))).toMap
+    }
+
+    for (cap <- Seq(64, 3)) { // 3 excludes the degree-4+ hubs as centers
+      val got = LinkPredict.topOverlap(g, k = 1000, maxHubDegree = cap).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got === brute(cap), s"cap=$cap")
+    }
+  }
+
   test("exact quantiles equal the sorted ceil-rank selection") {
     import spark.implicits._
     // adversarial: duplicates, a gap, a heavy mode
