@@ -226,6 +226,10 @@ object SparkEntry {
     // non-adjacent pairs (wedge-center degree cap, integer-exact RA)
     "q_linkpred" -> ((s, dir) =>
       LinkPredict.topOverlap(Graphs.get(s, dir, symmetric = true), k = 100)),
+    // Per-edge neighborhood Jaccard (structural near-dup signal;
+    // triangles-per-edge via the degree-oriented wedge join, no cap)
+    "q_edge_jaccard" -> ((s, dir) =>
+      LinkPredict.edgeJaccard(Graphs.get(s, dir, symmetric = true))),
     // Component-size census (giant-component check) over the CC labels
     "q_cc_sizes" -> ((s, dir) =>
       DegreeStats.sizeHistogram(
@@ -631,6 +635,32 @@ object SparkEntry {
       |       cast(ra AS bigint) AS ra_e6
       |FROM na ORDER BY ra DESC, u_key, v_key LIMIT 100""".stripMargin
 
+  /** Per-edge neighborhood Jaccard replay — common = neighbor-set
+   * intersection per key-oriented edge, union = du+dv−2−common,
+   * jaccard_e6 = 10⁶·common // union; mirrors LinkPredict.edgeJaccard. */
+  private val edgeJaccardSql: String = prefix + symBody +
+    """, eo AS (
+      |  SELECT src_key AS u, dst_key AS v FROM esw WHERE src_key < dst_key
+      |), dg AS (
+      |  SELECT src_key AS k, count(*) AS d FROM esw GROUP BY 1
+      |), tc AS (
+      |  SELECT eo.u, eo.v, count(*) AS c
+      |  FROM eo
+      |  JOIN esw a ON a.src_key = eo.u
+      |  JOIN esw b ON b.src_key = eo.v AND b.dst_key = a.dst_key
+      |  GROUP BY 1, 2
+      |)
+      |SELECT eo.u AS u_key, eo.v AS v_key,
+      |       cast(coalesce(tc.c, 0) AS bigint) AS common_nbrs,
+      |       cast(du.d + dv.d - 2 - coalesce(tc.c, 0) AS bigint) AS union_nbrs,
+      |       cast(CASE WHEN du.d + dv.d - 2 - coalesce(tc.c, 0) > 0
+      |            THEN 1000000 * coalesce(tc.c, 0) // (du.d + dv.d - 2 - coalesce(tc.c, 0))
+      |            ELSE 0 END AS bigint) AS jaccard_e6
+      |FROM eo
+      |LEFT JOIN tc ON tc.u = eo.u AND tc.v = eo.v
+      |JOIN dg du ON du.k = eo.u
+      |JOIN dg dv ON dv.k = eo.v""".stripMargin
+
   /** Tool co-occurrence lift over conversations — mirrors
    * pipeline.Cooccur.toolLift (integer floor division, hugeint-lifted
    * so the oracle cannot overflow where the engine's long would not). */
@@ -806,6 +836,7 @@ object SparkEntry {
     "q_walks_w" -> walksWSql,
     "q_deg_hist" -> degHistSql,
     "q_linkpred" -> linkpredSql,
+    "q_edge_jaccard" -> edgeJaccardSql,
     "q_cc_sizes" -> ccSizesSql,
     "q_tool_lift" -> toolLiftSql,
     "q_diameter" -> diameterSql,

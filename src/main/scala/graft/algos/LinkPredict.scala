@@ -70,4 +70,57 @@ object LinkPredict {
       .orderBy(desc("ra_e6"), col("u_key"), col("v_key"))
       .limit(k)
   }
+
+  /**
+   * Per-EDGE neighborhood Jaccard — `|N(u)∩N(v)| / |N(u)\{v} ∪ N(v)\{u}|`
+   * for every existing undirected edge, the structural near-duplicate
+   * signal (mirror pages link to the same set of pages).
+   *
+   * Common-neighbor counts are triangles-per-edge, so the enumeration
+   * reuses the degree-ordered oriented wedge join of [[TriangleCount]]
+   * — bounded by Σ d_min(e), NO hub cap needed — and each triangle is
+   * exploded onto its three edges. Jaccard is exported as the exact
+   * integer `10⁶·common div union` (0 where the union is empty).
+   *
+   * @return (u_key, v_key, common_nbrs, union_nbrs, jaccard_e6),
+   *         one row per undirected edge, key-oriented u < v. */
+  def edgeJaccard(graph: LinkGraph): DataFrame = {
+    require(graph.symmetric, "edge Jaccard expects the symmetrized graph")
+    val o = TriangleCount.orient(graph)
+    val wedges = o.as("e1").join(
+      o.select(col("a").as("b"), col("b").as("c")).as("e2"), "b")
+    val tris = wedges.join(
+      o.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+
+    val vk = (n: String) =>
+      graph.vertices.select(col("id").as(n), col("key").as(n + "k"))
+    // each triangle credits its three edges with one common neighbor
+    val triEdges = tris.select(explode(array(
+      struct(col("a").as("x"), col("b").as("y")),
+      struct(col("b").as("x"), col("c").as("y")),
+      struct(col("a").as("x"), col("c").as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+      .join(vk("x"), "x").join(vk("y"), "y")
+    val common = triEdges
+      .groupBy(least(col("xk"), col("yk")).as("u_key"),
+        greatest(col("xk"), col("yk")).as("v_key"))
+      .agg(count(lit(1)).as("common_nbrs"))
+
+    val deg = graph.degrees.select(col("id"), col("out_degree").as("d"))
+    val edges = graph.edgesBySrc
+      .join(deg.withColumnRenamed("id", "src").withColumnRenamed("d", "du"), "src")
+      .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("d", "dv"), "dst")
+      .join(vk("src"), "src").join(vk("dst"), "dst")
+      .where(col("srck") < col("dstk")) // one key-oriented row per edge
+      .select(col("srck").as("u_key"), col("dstk").as("v_key"),
+        col("du"), col("dv"))
+
+    edges.join(common, Seq("u_key", "v_key"), "left")
+      .withColumn("common_nbrs", coalesce(col("common_nbrs"), lit(0L)))
+      .withColumn("union_nbrs", col("du") + col("dv") - lit(2L) - col("common_nbrs"))
+      .select(col("u_key"), col("v_key"), col("common_nbrs"), col("union_nbrs"),
+        when(col("union_nbrs") > 0,
+          expr("(1000000L * common_nbrs) div union_nbrs"))
+          .otherwise(lit(0L)).as("jaccard_e6"))
+  }
 }

@@ -139,6 +139,28 @@ class Round2bSpec extends SparkSpec {
     }
   }
 
+  test("edge Jaccard equals the brute-force neighbor-set computation") {
+    import graft.algos.LinkPredict
+    // triangle-rich core + a degree-1 tail (5-4) whose edge has
+    // union > 0 but common = 0, + an isolated edge (8-9): union = 0
+    val pairs = Seq((0, 1), (0, 2), (0, 3), (1, 2), (3, 4), (4, 5), (2, 5),
+      (1, 6), (2, 6), (8, 9))
+    val g = graphOf(pairs, symmetric = true)
+    val und = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = pairs.map { case (x, y) =>
+      val (a, b) = if (keyOf(x) < keyOf(y)) (x, y) else (y, x)
+      val common = (nbrs(a) & nbrs(b)).size.toLong
+      val union = (nbrs(a).size - 1) + (nbrs(b).size - 1) - common
+      val jac = if (union > 0) 1000000L * common / union else 0L
+      (keyOf(a), keyOf(b)) -> ((common, union, jac))
+    }.toMap
+    val got = LinkPredict.edgeJaccard(g).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+  }
+
   test("exact quantiles equal the sorted ceil-rank selection") {
     import spark.implicits._
     // adversarial: duplicates, a gap, a heavy mode
