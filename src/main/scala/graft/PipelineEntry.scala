@@ -80,6 +80,9 @@ object PipelineEntry {
     // synthetic docs; production would run 8-13)
     "q_decontam" -> ((s, dir) => Decontam.contamination(Dedup.docs(s, dir))),
     "q_sample" -> ((s, dir) => Mix.stratifiedSample(Dedup.docs(s, dir))),
+    // temperature-2 source mixing: keep rate ∝ 1/√count_s, realized
+    // share ∝ √count_s — integer-exact thresholds, hash-replayable
+    "q_mix_temp" -> ((s, dir) => Mix.temperatureMix(Dedup.docs(s, dir))),
     "q_pack" -> ((s, dir) => Mix.pack(Dedup.docs(s, dir))),
     "q_media" -> ((s, dir) => {
       val m = Multimodal.mediaTable(s, dir)
@@ -201,6 +204,24 @@ object PipelineEntry {
       |SELECT d.doc_id, d.source
       |FROM documents d JOIN th ON th.source = d.source
       |WHERE ('0x' || substr(md5(concat('s|', d.source, '|', cast(d.doc_id AS varchar))), 1, 8))::BIGINT < th.thresh""".stripMargin
+
+  /** Temperature-2 mix replay — ⌊√cnt⌋ weights, integer thresholds,
+   * salt 't'; mirrors Mix.temperatureMix exactly. */
+  private val mixTempSql: String =
+    """WITH cnt AS (
+      |  SELECT source, count(*) AS cnt FROM documents GROUP BY 1
+      |), w AS (
+      |  SELECT source, cast(floor(sqrt(cnt)) AS bigint) AS isq FROM cnt
+      |), s AS (
+      |  SELECT sum(isq) AS tot FROM w
+      |), th AS (
+      |  SELECT w.source,
+      |         least(120 * 4294967296 // (s.tot * w.isq), 4294967296) AS thresh
+      |  FROM w, s
+      |)
+      |SELECT d.doc_id, d.source
+      |FROM documents d JOIN th ON th.source = d.source
+      |WHERE ('0x' || substr(md5(concat('t|', d.source, '|', cast(d.doc_id AS varchar))), 1, 8))::BIGINT < th.thresh""".stripMargin
 
   private val packSql: String =
     """WITH b AS (
@@ -718,6 +739,7 @@ object PipelineEntry {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_decontam" -> decontamSql,
     "q_sample" -> sampleSql,
+    "q_mix_temp" -> mixTempSql,
     "q_pack" -> packSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_ann_cosine" -> annCosineSql,

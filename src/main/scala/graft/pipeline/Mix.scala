@@ -52,6 +52,43 @@ object Mix {
   }
 
   /**
+   * Temperature-flattened source mixing (T = 2): keep probability per
+   * document ∝ 1/√count_s, so a source's realized share of the mix is
+   * ∝ √count_s — the standard up-weighting of small/rare sources in a
+   * pretraining mix (against raw-proportional sampling that lets one
+   * giant crawl dominate).
+   *
+   * Exactness contract: the per-source weight is `isqrt = ⌊√count_s⌋`.
+   * IEEE-754 sqrt is correctly rounded and count_s ≪ 2^52, so the
+   * floor is the true integer square root in every engine; from there
+   * the threshold `⌊target·2^32 / (Σ isqrt · isqrt_s)⌋` is pure
+   * integer arithmetic. T = 2 is hardcoded BECAUSE `pow` (any other
+   * temperature) is not correctly rounded and would break the
+   * cross-engine bit-for-bit replay contract.
+   *
+   * Same scale shape as [[stratifiedSample]]: one tiny per-source
+   * aggregate (the only driver scalar is Σ isqrt — an exact integer
+   * Allreduce), broadcast back, codegen'd hash filter. NO sort, NO
+   * window.
+   */
+  def temperatureMix(docs: DataFrame, totalTarget: Long = 120): DataFrame = {
+    val w = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      .select(col("source"),
+        floor(sqrt(col("cnt").cast("double"))).cast("long").as("isq"))
+    val tot = w.agg(sum(col("isq"))).first().getLong(0)
+    val thresh = w.select(
+      col("source"),
+      least(expr(s"(${totalTarget}L * 4294967296L) div (${tot}L * isq)"),
+        lit(4294967296L)).as("thresh"))
+    docs
+      .join(broadcast(thresh), "source")
+      .where(
+        conv(substring(md5(concat_ws("|", lit("t"), col("source"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") < col("thresh"))
+      .select(col("doc_id"), col("source"))
+  }
+
+  /**
    * Sequence packing: concat-then-chunk documents into context windows
    * of `capacity` tokens, per source, in stable doc_id order — the
    * standard pretraining batcher (a true first-fit bin pack is a

@@ -350,6 +350,33 @@ class PipelineSpec extends SparkSpec {
     assert(all.count() == 6)
   }
 
+  test("temperature mix: keep rate prop to 1/isqrt(count), exact hash replay") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // 100-doc hub source vs a 4-doc rare source: isq 10 vs 2, tot 12
+    val docs = ((0 until 100).map(i => (i.toLong, s"w$i", "big")) ++
+      (100 until 104).map(i => (i.toLong, s"w$i", "small")))
+      .toDF("doc_id", "text", "source")
+    val got = Mix.temperatureMix(docs, totalTarget = 12).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val isq = Map("big" -> 10L, "small" -> 2L)
+    val expected = (0 until 104).flatMap { i =>
+      val src = if (i < 100) "big" else "small"
+      val h = java.lang.Long.parseLong(md5hex(s"t|$src|$i").take(8), 16)
+      val thresh = math.min(12L * 4294967296L / (12L * isq(src)), 4294967296L)
+      if (h < thresh) Some((i.toLong, src)) else None
+    }.toSet
+    assert(got === expected)
+    assert(expected.nonEmpty, "fixture must actually keep something")
+    // the flattening property itself: per-doc keep rate of the rare
+    // source is ~5x the hub's (1/2 vs 1/10 of the hash space, exact
+    // up to the floor in each threshold)
+    val (tSmall, tBig) = (12L * 4294967296L / (12L * 2L), 12L * 4294967296L / (12L * 10L))
+    assert(tSmall / tBig === 5L && tSmall % tBig < 5L)
+  }
+
   test("pack: concat-then-chunk window assignment with exact offsets") {
     import spark.implicits._
     val docs = Seq(

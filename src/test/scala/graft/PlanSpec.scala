@@ -192,4 +192,40 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan) <= 1, // at most the degrees side re-shuffle
       s"cut state must retain hash partitioning (got ${shuffles(plan)}):\n$plan")
   }
+
+  test("temperature mix prunes scans + broadcasts thresholds; wedge ops never go cartesian") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-temp-plan").toString
+    Seq(
+      (0L, "a b c", "s0"), (1L, "d e f", "s0"), (2L, "g h i", "s1"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+
+    val mixPlan = executed(pipeline.Mix.temperatureMix(docs))
+    collectNodes(mixPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.foreach { f =>
+      val read = f.requiredSchema.fieldNames.toSet
+      assert(read.subsetOf(Set("doc_id", "source")),
+        s"temperature mix must read only (doc_id, source), read $read")
+    }
+    // the per-source threshold table reaches the corpus via broadcast
+    // (explicit hint — holds with autoBroadcast disabled above)
+    assert(collectNodes(mixPlan).exists(_.isInstanceOf[BroadcastExchangeLike]),
+      s"expected a broadcast of the threshold table in:\n$mixPlan")
+
+    // the wedge enumerations are pure equi-joins — a cartesian product
+    // anywhere would be the 100 TB killer
+    val gs = graphOf(Seq((0, 1), (1, 2), (2, 0), (0, 3), (3, 4)), symmetric = true)
+    Seq(
+      algos.LinkPredict.topOverlap(gs, k = 10),
+      algos.LinkPredict.edgeJaccard(gs)
+    ).foreach { df =>
+      val nodes = collectNodes(executed(df))
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+        "wedge join must stay an equi-join, got a cartesian product")
+    }
+  }
 }
