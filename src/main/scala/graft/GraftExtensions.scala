@@ -40,6 +40,27 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, s"graft_dot expects 2 arguments, got ${children.length}")
         DotProduct(children.head, children(1))
+      }),
+    (
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(
+        classOf[DotProduct].getName,
+        null,
+        "graft_cosine",
+        "graft_cosine(a, b) - cosine similarity of two array<float|double> vectors " +
+          "(composed from three codegen'd dot products; NULL-safe, 0-norm yields NULL)",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"graft_cosine expects 2 arguments, got ${children.length}")
+        // dot(a,b) / sqrt(dot(a,a) * dot(b,b)) as a Catalyst tree —
+        // all three dots share one whole-stage-codegen scope (locals
+        // are freshName'd, so janino compiles the fused stage)
+        import org.apache.spark.sql.catalyst.expressions.{Divide, EvalMode, Multiply, Sqrt}
+        val (a, b) = (children.head, children(1))
+        // TRY division: a zero-norm vector yields NULL under ANSI
+        // (default in Spark 4) instead of DIVIDE_BY_ZERO
+        Divide(DotProduct(a, b),
+          Sqrt(Multiply(DotProduct(a, a), DotProduct(b, b))), EvalMode.TRY)
       }))
 
   /** Register on a live session (tests, notebooks — no restart). */

@@ -24,7 +24,23 @@ class ExtensionsSpec extends SparkSpec {
     // which the shared-session harness cannot build — the builders are
     // the same objects exercised through register() above
     new GraftExtensions().apply(new SparkSessionExtensions)
-    assert(GraftExtensions.functions.map(_._1.funcName) == Seq("graft_dot"))
+    assert(GraftExtensions.functions.map(_._1.funcName) == Seq("graft_dot", "graft_cosine"))
+  }
+
+  test("graft_cosine fuses three dots in one codegen scope (freshName'd locals)") {
+    GraftExtensions.register(spark)
+    // cos((1,0),(1,1)) = 1/sqrt(2); three DotProducts share the stage —
+    // duplicate locals would janino-fail and fall back to interpreted
+    val r = spark.sql(
+      """SELECT graft_cosine(array(cast(1.0 AS double), 0.0),
+        |                    array(cast(1.0 AS double), 1.0)) AS c""".stripMargin)
+    assert(math.abs(r.collect().head.getDouble(0) - 1.0 / math.sqrt(2.0)) < 1e-15)
+    // zero-norm vector: TRY-mode division yields NULL under ANSI, never a crash
+    val z = spark.sql(
+      """SELECT graft_cosine(array(cast(0.0 AS double), 0.0),
+        |                    array(cast(1.0 AS double), 1.0)) AS c""".stripMargin)
+    val row = z.collect().head
+    assert(row.isNullAt(0) || row.getDouble(0).isNaN)
   }
 
   test("null vector yields null, not a crash") {
