@@ -37,7 +37,10 @@ object Bench {
       .config("spark.ui.retainedStages", "100")
       .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR not WARN: the per-superstep localCheckpoint unpersists emit
+    // thousands of "lineage has been truncated" WARN lines that flood
+    // the driver's captured tail and can push the JSON line out of it.
+    spark.sparkContext.setLogLevel("ERROR")
 
     def timed[T](name: String)(f: => T): (T, Double) = {
       System.err.println(s"[bench] $name ...")
@@ -94,6 +97,7 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     results += "pagerank_converge" -> prSec
     results += "cc" -> isolated(timed("cc")(algos.ConnectedComponents.run(gSym))._2)
+    results += "cc_star" -> isolated(timed("cc_star")(algos.CCStar.run(gSym))._2)
     results += "lp" -> isolated(timed("lp")(algos.LabelPropagation.run(gSym))._2)
     results += "triangles" -> isolated(timed("triangles")(algos.TriangleCount.count(gSym))._2)
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -106,8 +110,15 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(
-      s"""{"metric":"pagerank_edges_per_sec_per_iter","value":$edgesPerSecIter,"unit":"edges/sec/iter","pr_iterations":$prIters,"pr_seconds":$prSec,"num_edges":${gDir.numEdges},"num_vertices":${gDir.numVertices},"build_seconds":${buildDirSec + buildSymSec},"total_query_seconds":$total,"queries":$qs,"cpus":$cpus,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"pagerank_edges_per_sec_per_iter","value":$edgesPerSecIter,"unit":"edges/sec/iter","pr_iterations":$prIters,"pr_seconds":$prSec,"num_edges":${gDir.numEdges},"num_vertices":${gDir.numVertices},"build_seconds":${buildDirSec + buildSymSec},"total_query_seconds":$total,"queries":$qs,"cpus":$cpus,"sf":"$sfDir"}"""
+    println(json)
+    // Belt-and-braces: also leave the JSON on disk in case the stdout
+    // line gets lost in logger noise (both prior rounds parsed null).
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
+      json.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -42,10 +42,12 @@ object Cooccur {
       .join(broadcast(marginals.select(col("tool").as("tool_b"), col("n").as("n_b"))), "tool_b")
       .select(
         col("tool_a"), col("tool_b"), col("n_ab"), col("n_a"), col("n_b"),
-        // `div` = integer floor division on longs (Spark's `/` is
-        // double division); counts at 10^12-turn scale would move
-        // this to decimal(38,0) — same expression
-        expr(s"(n_ab * 10000L * ${nConvs}L) div (n_a * n_b)")
+        // `div` = integer floor division (Spark's `/` is double
+        // division). The products run in decimal(38,0): at 10^12-turn
+        // scale n_ab·10⁴·nConvs overflows a long and ANSI mode would
+        // abort the job where the DuckDB oracle (HUGEINT) succeeds.
+        expr(s"(cast(n_ab AS decimal(38,0)) * 10000 * cast(${nConvs}L AS decimal(38,0)))" +
+          s" div (cast(n_a AS decimal(38,0)) * cast(n_b AS decimal(38,0)))")
           .cast("long").as("lift_e4"))
     convTools.unpersist(blocking = false)
     out

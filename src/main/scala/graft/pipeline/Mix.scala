@@ -75,7 +75,11 @@ object Mix {
     val w = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
       .select(col("source"),
         floor(sqrt(col("cnt").cast("double"))).cast("long").as("isq"))
-    val tot = w.agg(sum(col("isq"))).first().getLong(0)
+    // coalesce: sum() over zero rows is NULL — an empty corpus must
+    // yield an empty mix, not a driver NPE / div-by-zero threshold
+    val tot = w.agg(coalesce(sum(col("isq")), lit(0L))).first().getLong(0)
+    if (tot == 0L)
+      return docs.select(col("doc_id"), col("source")).limit(0)
     val thresh = w.select(
       col("source"),
       least(expr(s"(${totalTarget}L * 4294967296L) div (${tot}L * isq)"),
