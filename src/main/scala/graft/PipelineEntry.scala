@@ -71,6 +71,13 @@ object PipelineEntry {
     // mergeable sketches: integer-exact register/counter tables
     "q_hll" -> ((s, dir) => Sketch.hll(Dedup.docs(s, dir))),
     "q_cms" -> ((s, dir) => Sketch.countMin(Dedup.docs(s, dir))),
+    // Bloom membership registers (third mergeable sketch; 60-bit words)
+    "q_bloom" -> ((s, dir) => Sketch.bloom(Dedup.docs(s, dir))),
+    // SemDeDup: IVF k-means clusters + within-cluster cosine keeper
+    "q_semdedup" -> ((s, dir) => Similarity.semDedup(Similarity.embeddings(s, dir))),
+    // ROLLUP aggregation over (source, predicted language) — the
+    // grouping-sets member of the relational surface (SURVEY §2.6)
+    "q_rollup" -> ((s, dir) => TextStats.langRollup(Dedup.docs(s, dir))),
     // the end-to-end curation pass: dedup keeper ∩ quality gates ∩ lang
     "q_curate" -> ((s, dir) => Curate.curate(Dedup.docs(s, dir))),
     // near-dup clusters = transitive closure of the MinHash pair graph
@@ -283,7 +290,9 @@ object PipelineEntry {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
-  private val langidSql: String = {
+  /** Shared language-ID CTE chain ending in `lang(doc_id, pred_lang,
+   * stop_hits)` — used by both q_langid and q_rollup. */
+  private val langCtes: String = {
     val cases = Seq("en", "de", "fr", "es").map(l =>
       s"sum(CASE WHEN tok IN ${inList(TextStats.stopwords(l))} THEN 1 ELSE 0 END) AS s_$l")
       .mkString(",\n    ")
@@ -295,16 +304,44 @@ object PipelineEntry {
        |  FROM tok GROUP BY 1
        |), g AS (
        |  SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM sc
-       |)
-       |SELECT doc_id,
+       |), lang AS (
+       |  SELECT doc_id,
        |       CASE WHEN best = 0 THEN 'und'
        |            WHEN s_en = best THEN 'en'
        |            WHEN s_de = best THEN 'de'
        |            WHEN s_fr = best THEN 'fr'
        |            ELSE 'es' END AS pred_lang,
        |       cast(best AS bigint) AS stop_hits
-       |FROM g""".stripMargin
+       |  FROM g
+       |)""".stripMargin
   }
+
+  private val langidSql: String =
+    langCtes + "\nSELECT doc_id, pred_lang, stop_hits FROM lang"
+
+  /** Mirrors TextStats.langRollup: ROLLUP over (source, pred_lang). */
+  private val rollupSql: String = langCtes +
+    """
+      |SELECT d.source, l.pred_lang,
+      |       cast(count(*) AS bigint) AS n_docs,
+      |       cast(sum(length(d.text)) AS bigint) AS tot_chars
+      |FROM documents d JOIN lang l ON l.doc_id = d.doc_id
+      |GROUP BY ROLLUP (d.source, l.pred_lang)""".stripMargin
+
+  /** Mirrors Sketch.bloom: 3 disjoint 12-bit slices of the 60-bit text
+   * hash, packed into 60-bit words (bit 63 would trip DuckDB's
+   * overflow-checked `<<`). */
+  private val bloomSql: String =
+    s"""WITH hs AS (
+       |  SELECT source, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents
+       |), ps AS (
+       |  SELECT source,
+       |         unnest([h % 4096, (h >> 12) % 4096, (h >> 24) % 4096]) AS pos
+       |  FROM hs
+       |)
+       |SELECT source, pos // 60 AS word,
+       |       bit_or(1::BIGINT << cast(pos % 60 AS int)) AS bits
+       |FROM ps GROUP BY 1, 2""".stripMargin
 
   private val qualitySql: String = {
     val en = inList(TextStats.stopwords("en"))
@@ -631,7 +668,57 @@ object PipelineEntry {
    * is integer (or a floor of an exact double quotient ≪ 2^53), so the
    * replayed training is bit-identical to the Spark side. */
   private def annIvfSql(nlist: Int = 16, nprobe: Int = 2, k: Int = 5,
-      lloydIters: Int = 2, maxQueries: Long = 500): String = {
+      lloydIters: Int = 2, maxQueries: Long = 500): String =
+    ivfTrainCtes(nlist, lloydIters) +
+      s""", lists AS (
+         |  SELECT vec_id AS nbr_id, cid FROM rk WHERE rn = 1
+         |), probes AS (
+         |  SELECT vec_id, cid FROM rk WHERE rn <= $nprobe AND vec_id < $maxQueries
+         |), dots AS (
+         |  SELECT p.vec_id, l.nbr_id, sum(va.x * vb.x) AS d
+         |  FROM probes p JOIN lists l ON l.cid = p.cid AND l.nbr_id <> p.vec_id
+         |  JOIN vv va ON va.vec_id = p.vec_id
+         |  JOIN vv vb ON vb.vec_id = l.nbr_id AND vb.i = va.i
+         |  GROUP BY 1, 2
+         |), sims AS (
+         |  SELECT d.vec_id, d.nbr_id,
+         |         cast(round(d.d / (na.nrm * nb.nrm) * 10000) AS bigint) AS sim_e4
+         |  FROM dots d
+         |  JOIN norms na ON na.vec_id = d.vec_id
+         |  JOIN norms nb ON nb.vec_id = d.nbr_id
+         |)
+         |SELECT vec_id, nbr_id, sim_e4, cast(rank AS bigint) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_e4 DESC, nbr_id) AS rank
+         |  FROM sims) r
+         |WHERE rank <= $k""".stripMargin
+
+  /** Mirrors Similarity.semDedup: same Lloyd training as q_ann_ivf,
+   * then drop every vector with a smaller-id cluster-mate at
+   * cosine ≥ thr. */
+  private def semDedupSql(nlist: Int = 16, lloydIters: Int = 2, thr: Long = 3000): String =
+    ivfTrainCtes(nlist, lloydIters) +
+      s""", asg AS (
+         |  SELECT vec_id, cid FROM rk WHERE rn = 1
+         |), sdots AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id, sum(va.x * vb.x) AS d
+         |  FROM asg a JOIN asg b ON b.cid = a.cid AND b.vec_id < a.vec_id
+         |  JOIN vv va ON va.vec_id = a.vec_id
+         |  JOIN vv vb ON vb.vec_id = b.vec_id AND vb.i = va.i
+         |  GROUP BY 1, 2
+         |), drops AS (
+         |  SELECT DISTINCT d.vec_id
+         |  FROM sdots d
+         |  JOIN norms na ON na.vec_id = d.vec_id
+         |  JOIN norms nb ON nb.vec_id = d.nbr_id
+         |  WHERE cast(round(d.d / (na.nrm * nb.nrm) * 10000) AS bigint) >= $thr
+         |)
+         |SELECT vec_id, cast(cid AS bigint) AS cid FROM asg
+         |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
+
+  /** The exact-integer Lloyd training replay shared by q_ann_ivf and
+   * q_semdedup: CTE chain ending in `rk(vec_id, cid, rn)` (rn ranked
+   * by squared-L2, rn = 1 is the assignment), plus `vv`/`vq`/`norms`. */
+  private def ivfTrainCtes(nlist: Int, lloydIters: Int): String = {
     val iters = (1 to lloydIters).map { t =>
       val prev = s"c${t - 1}"
       s"""dist$t AS (
@@ -670,27 +757,7 @@ object PipelineEntry {
        |), rk AS (
        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
        |  FROM distF
-       |), lists AS (
-       |  SELECT vec_id AS nbr_id, cid FROM rk WHERE rn = 1
-       |), probes AS (
-       |  SELECT vec_id, cid FROM rk WHERE rn <= $nprobe AND vec_id < $maxQueries
-       |), dots AS (
-       |  SELECT p.vec_id, l.nbr_id, sum(va.x * vb.x) AS d
-       |  FROM probes p JOIN lists l ON l.cid = p.cid AND l.nbr_id <> p.vec_id
-       |  JOIN vv va ON va.vec_id = p.vec_id
-       |  JOIN vv vb ON vb.vec_id = l.nbr_id AND vb.i = va.i
-       |  GROUP BY 1, 2
-       |), sims AS (
-       |  SELECT d.vec_id, d.nbr_id,
-       |         cast(round(d.d / (na.nrm * nb.nrm) * 10000) AS bigint) AS sim_e4
-       |  FROM dots d
-       |  JOIN norms na ON na.vec_id = d.vec_id
-       |  JOIN norms nb ON nb.vec_id = d.nbr_id
-       |)
-       |SELECT vec_id, nbr_id, sim_e4, cast(rank AS bigint) AS rank FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_e4 DESC, nbr_id) AS rank
-       |  FROM sims) r
-       |WHERE rank <= $k""".stripMargin
+       |)""".stripMargin
   }
 
   /** Mirrors Similarity.cosineDupPairs at threshold 0.30 (q_embed_dedup). */
@@ -754,5 +821,8 @@ object PipelineEntry {
     "q_tfidf" -> tfidfSql,
     "q_hll" -> hllSql,
     "q_cms" -> cmsSql,
+    "q_bloom" -> bloomSql,
+    "q_semdedup" -> semDedupSql(),
+    "q_rollup" -> rollupSql,
     "q_curate" -> curateSql)
 }

@@ -61,6 +61,36 @@ object SparkEntry {
     // session-window sessionization (30-min inactivity gap), batch mode
     "q_conv_sessions" -> ((s, dir) =>
       streaming.EdgeStream.convSessions(Transcripts.fromEvents(s, dir))),
+    // merge as-of join: each tool turn ⋈ the latest strictly-earlier
+    // user turn of its conversation (operators.Temporal — one hash
+    // shuffle + running max, no nested-loop join)
+    "q_asof" -> ((s, dir) => {
+      val t = Transcripts.fromEvents(s, dir)
+      val probes = t.where(col("role") === "tool")
+        .select(col("conv_id"), col("turn_idx"))
+      val quotes = t.where(col("role") === "user")
+        .select(col("conv_id"), col("turn_idx"), col("text"))
+      operators.Temporal.asOfJoin(probes, quotes, "conv_id", "turn_idx", Seq("text"))
+        .select(col("conv_id"), col("turn_idx"),
+          col("asof.q_turn_idx").as("user_turn_idx"),
+          col("asof.text").as("user_text"))
+    }),
+    // bucketed range join: tool invocations (any conversation) counted
+    // into the 10-minute incident window after every error turn — a
+    // genuinely keyless interval join, blocked into 5-minute time
+    // buckets so every exchange stays an equi-hash shuffle
+    "q_range" -> ((s, dir) => {
+      val t = Transcripts.fromEvents(s, dir)
+      def tsUs = unix_micros(col("ts").cast("timestamp"))
+      val incidents = t.where(col("text").startsWith("error"))
+        .select(col("conv_id"), col("turn_idx"),
+          tsUs.as("t0"), (tsUs + lit(600000000L)).as("t1"))
+      val points = t.where(col("tool").isNotNull).select(tsUs.as("tp"))
+      operators.Temporal.rangeJoin(points, incidents, "tp", "t0", "t1",
+        bucketWidth = 300000000L)
+        .groupBy(col("conv_id"), col("turn_idx"))
+        .agg(count(lit(1)).as("n_tool_calls"))
+    }),
     "q_degrees" -> ((s, dir) => {
       val g = Graphs.get(s, dir, symmetric = false)
       g.degrees.join(g.vertices, "id")
@@ -77,6 +107,13 @@ object SparkEntry {
     "q_cc" -> ((s, dir) => {
       val g = Graphs.get(s, dir, symmetric = true)
       labelsToKeyed(g, ConnectedComponents.run(g).labels)
+    }),
+    // same fixpoint via O(log|V|)-round star contraction (CCStar) —
+    // shares q_cc's independent structural oracle, so a green row is
+    // hard evidence both CC algorithms agree at driver scale
+    "q_cc_fast" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      labelsToKeyed(g, CCStar.run(g).labels)
     }),
     "q_lp" -> ((s, dir) => {
       val g = Graphs.get(s, dir, symmetric = true)
@@ -583,7 +620,7 @@ object SparkEntry {
          |), w$t AS (
          |  SELECT root, key FROM (
          |    SELECT root, dst_key AS key,
-         |           row_number() OVER (PARTITION BY root ORDER BY cum) AS rn
+         |           row_number() OVER (PARTITION BY root ORDER BY cum, dst_key) AS rn
          |    FROM q$t WHERE cum > h % tot) x
          |  WHERE rn = 1
          |)""".stripMargin
@@ -843,6 +880,32 @@ object SparkEntry {
     "q_mis" -> misSql,
     "q_sssp" -> ssspSql,
     "q_bc" -> bcSql,
+    "q_cc_fast" -> ccSql,
+    // as-of join: latest strictly-earlier user turn per tool turn,
+    // then join back for its text ((conv, turn) rows are unique)
+    "q_asof" -> (prefix +
+      """
+        |SELECT x.conv_id, x.turn_idx, x.user_turn_idx, q.text AS user_text
+        |FROM (
+        |  SELECT p.conv_id, p.turn_idx, max(u.turn_idx) AS user_turn_idx
+        |  FROM t p JOIN t u ON u.conv_id = p.conv_id AND u.role = 'user'
+        |                   AND u.turn_idx < p.turn_idx
+        |  WHERE p.role = 'tool'
+        |  GROUP BY 1, 2) x
+        |JOIN t q ON q.conv_id = x.conv_id AND q.turn_idx = x.user_turn_idx""".stripMargin),
+    // range join: tool calls inside [error ts, +10 min) across ALL
+    // conversations — the plain inequality-join spelling the bucketed
+    // engine plan must reproduce exactly
+    "q_range" -> (prefix +
+      """
+        |, errw AS (
+        |  SELECT conv_id, turn_idx, epoch_us(ts) AS t0 FROM t WHERE text LIKE 'error%'
+        |), pts AS (
+        |  SELECT epoch_us(ts) AS tp FROM t WHERE tool IS NOT NULL
+        |)
+        |SELECT e.conv_id, e.turn_idx, cast(count(*) AS bigint) AS n_tool_calls
+        |FROM errw e JOIN pts p ON p.tp >= e.t0 AND p.tp < e.t0 + 600000000
+        |GROUP BY 1, 2""".stripMargin),
     "q_transcripts" -> (prefix + "\nSELECT conv_id, turn_idx, role, text, tool FROM t"),
     "q_edges" -> (prefix + "\nSELECT src_key, dst_key, kind FROM e"),
     "q_stream_edges" -> (prefix + "\nSELECT src_key, dst_key, kind FROM e"),

@@ -201,6 +201,32 @@ object Similarity {
    */
   def ivfTopK(emb: DataFrame, nlist: Int = 16, nprobe: Int = 2, k: Int = 5,
       lloydIters: Int = 2, maxQueries: Long = 500): DataFrame = {
+    val (p, fin) = ivfTrained(emb, nlist, lloydIters)
+    val lists = fin.where(col("rn") === 1).select(col("vec_id").as("nbr_id"), col("cid"))
+    val probes = fin.where(col("rn") <= nprobe && col("vec_id") < maxQueries)
+      .select(col("vec_id"), col("cid"))
+    val a = probes.join(p.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+    val b = lists.join(
+      p.select(col("vec_id").as("nbr_id"), col("v").as("w"), col("norm").as("nrm2")), "nbr_id")
+    val sims = a.join(b, Seq("cid")).where(col("vec_id") =!= col("nbr_id"))
+      .select(
+        col("vec_id"), col("nbr_id"),
+        round(dot(col("v"), col("w")) / (col("norm") * col("nrm2")) * 10000)
+          .cast("long").as("sim_e4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim_e4").desc, col("nbr_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("sim_e4"), col("rank"))
+  }
+
+  /** Train the IVF coarse quantizer (see [[ivfTopK]] for the exactness
+   * contract). @return (p, fin): `p` = prepared vectors + quantized
+   * `vq` (persisted); `fin` = exact-integer centroid ranking
+   * (vec_id, vq, cid, d2, rn) after `lloydIters` Lloyd iterations
+   * (persisted; rn = 1 is the cluster assignment). */
+  private def ivfTrained(
+      emb: DataFrame, nlist: Int, lloydIters: Int): (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
     import spark.implicits._
     val p = prepared(emb)
@@ -243,22 +269,39 @@ object Similarity {
     }
 
     val fin = ranked(cents).persist()
-    val lists = fin.where(col("rn") === 1).select(col("vec_id").as("nbr_id"), col("cid"))
-    val probes = fin.where(col("rn") <= nprobe && col("vec_id") < maxQueries)
-      .select(col("vec_id"), col("cid"))
-    val a = probes.join(p.select(col("vec_id"), col("v"), col("norm")), "vec_id")
-    val b = lists.join(
-      p.select(col("vec_id").as("nbr_id"), col("v").as("w"), col("norm").as("nrm2")), "nbr_id")
-    val sims = a.join(b, Seq("cid")).where(col("vec_id") =!= col("nbr_id"))
-      .select(
-        col("vec_id"), col("nbr_id"),
-        round(dot(col("v"), col("w")) / (col("norm") * col("nrm2")) * 10000)
-          .cast("long").as("sim_e4"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("sim_e4").desc, col("nbr_id").asc)
-    sims.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("vec_id"), col("nbr_id"), col("sim_e4"), col("rank"))
+    (p, fin)
+  }
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540): k-means-cluster the embedding space — the IVF
+   * coarse quantizer reused verbatim — then inside each cluster drop
+   * every vector that has a SMALLER-id cluster-mate with cosine ≥
+   * threshold. Returns the kept vectors with their cluster:
+   * (vec_id, cid).
+   *
+   * The scale contract is the clustering: the quadratic cosine kernel
+   * runs per cluster (nlist partitions the corpus), never all-pairs,
+   * and the min-id keeper rule is a single anti-join — no sequential
+   * scan-order dependence, unlike the paper's greedy sweep, so the
+   * result is deterministic under any parallelism. Exactness: same
+   * integer-quantized Lloyd as [[ivfTopK]], so the DuckDB oracle
+   * replays training bit-for-bit.
+   */
+  def semDedup(emb: DataFrame, nlist: Int = 16, lloydIters: Int = 2,
+      simThresholdE4: Long = 3000): DataFrame = {
+    val (p, fin) = ivfTrained(emb, nlist, lloydIters)
+    val assign = fin.where(col("rn") === 1).select(col("vec_id"), col("cid"))
+      .join(p.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+    val mates = assign.select(
+      col("cid"), col("vec_id").as("nbr_id"), col("v").as("w"), col("norm").as("nrm2"))
+    val drops = assign.join(mates, Seq("cid"))
+      .where(col("nbr_id") < col("vec_id"))
+      .where(round(dot(col("v"), col("w")) / (col("norm") * col("nrm2")) * 10000)
+        .cast("long") >= simThresholdE4)
+      .select(col("vec_id")).distinct()
+    assign.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
   }
 
   /** Embedding-cosine near-duplicate pairs — the dedup-flavored twin

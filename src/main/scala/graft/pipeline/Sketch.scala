@@ -94,6 +94,55 @@ object Sketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Bloom geometry: 2^12 bit positions, 3 hash slices. Words pack 60
+   * bits, not 64: DuckDB's `<<` is overflow-checked, so a mask at bit
+   * 63 (sign bit) would error in the oracle replay; 60-bit words keep
+   * every mask positive in both engines. */
+  val bloomBits = 4096
+  val bloomK = 3
+  val bloomWordBits = 60
+
+  /**
+   * Bloom-filter register table for per-source document membership:
+   * element = the doc's 60-bit text hash; its `bloomK` bit positions
+   * are disjoint 12-bit slices of that hash; registers = the packed
+   * words `(source, word, bits)` with `bits = OR of set-bit masks`.
+   *
+   * The third mergeable sketch next to [[hll]]/[[countMin]] — filters
+   * from different shards/days merge by word-wise `bit_or`, and a
+   * membership probe ([[bloomContains]]) never false-negatives. At
+   * 100 TB this is the cheap "have we already ingested this doc?"
+   * pre-gate in front of exact dedup: ≤ 69 words per source cross the
+   * wire regardless of corpus size, one groupBy with map-side combine.
+   */
+  def bloom(docs: DataFrame): DataFrame = {
+    val h = h60(col("text"))
+    val slices: Seq[Column] = (0 until bloomK).map { i =>
+      pmod(shiftright(h, i * 12), lit(bloomBits.toLong))
+    }
+    docs
+      .select(col("source"), explode(array(slices: _*)).as("pos"))
+      .select(
+        col("source"),
+        expr(s"pos div $bloomWordBits").as("word"),
+        expr(s"shiftleft(cast(1 as bigint), cast(pos % $bloomWordBits as int))").as("mask"))
+      .groupBy(col("source"), col("word"))
+      .agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** Driver-side membership probe: true iff all `bloomK` bits are set
+   * (may false-positive, never false-negative). */
+  def bloomContains(words: Map[Long, Long], text: String): Boolean = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    (0 until bloomK).forall { i =>
+      val pos = (h >> (i * 12)) % bloomBits
+      val mask = 1L << (pos % bloomWordBits).toInt
+      (words.getOrElse(pos / bloomWordBits, 0L) & mask) != 0L
+    }
+  }
+
   /** Driver-side point query: min over the depth rows' counters. */
   def cmsQuery(cells: Map[(Long, Long), Long], source: String, term: String): Long = {
     (0 until cmsDepth).map { r =>

@@ -50,6 +50,21 @@ object TextStats {
       .select(col("doc_id"), col("pred_lang"), col("best").as("stop_hits"))
   }
 
+  /** Corpus census with subtotal rows: doc counts and char mass by
+   * (source, predicted language), ROLLUP'd — per-(source, lang),
+   * per-source, and grand-total rows in one pass (Spark plans the
+   * grouping sets as a single expanded aggregate, not three scans).
+   * The grouping-sets member of the relational surface the reference
+   * lacks entirely (SURVEY §2.6). */
+  def langRollup(docs: DataFrame): DataFrame = {
+    val lang = langId(docs).select(col("doc_id"), col("pred_lang"))
+    docs.select(col("doc_id"), col("source"), length(col("text")).cast("long").as("nc"))
+      .join(lang, "doc_id")
+      .rollup(col("source"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("tot_chars"))
+      .select(col("source"), col("pred_lang"), col("n_docs"), col("tot_chars"))
+  }
+
   /** Quality signals: char length, token count, mean token length,
    * punctuation ratio, stopword ratio, distinct-token ratio — the
    * standard cheap filters for corpus curation, ×10⁴ integers. */

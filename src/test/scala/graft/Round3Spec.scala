@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.algos.{CCStar, ConnectedComponents}
+import graft.operators.Temporal
+import graft.pipeline.{Similarity, Sketch, TextStats}
+
+/** Round-3 operators: star-contraction CC, temporal joins (as-of /
+ * range), Bloom sketch, SemDeDup, ROLLUP census. */
+class Round3Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- CCStar ----
+
+  private def ccAgree(pairs: Seq[(Int, Int)]): Unit = {
+    val g = graphOf(pairs, symmetric = true)
+    val star = CCStar.run(g)
+    val hashmin = ConnectedComponents.run(g).labels.withColumnRenamed("lbl", "hm")
+    assert(star.labels.join(hashmin, "id").where(col("lbl") =!= col("hm")).count() == 0)
+    g.unpersist()
+  }
+
+  test("CCStar labels equal HashMin CC on cliques, paths, and isolated pairs") {
+    ccAgree((for { a <- 0 until 4; b <- 0 until 4 if a < b } yield (a, b)) ++
+      Seq((8, 9)) ++ Seq((10, 11), (11, 12), (12, 13), (13, 14)))
+  }
+
+  test("CCStar converges in O(log n) rounds on a long path (HashMin needs O(n))") {
+    val n = 96
+    val path = (0 until n - 1).map(i => (i, i + 1))
+    val g = graphOf(path, symmetric = true)
+    val r = CCStar.run(g)
+    assert(r.labels.select(col("lbl")).distinct().count() == 1)
+    // star contraction halves remaining structure per alternation:
+    // well under the ~95 supersteps HashMin pays on this path
+    assert(r.rounds <= 14, s"took ${r.rounds} rounds")
+    g.unpersist()
+  }
+
+  test("CCStar equals HashMin on a deterministic random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 160).map(_ => (rnd.nextInt(60), rnd.nextInt(60)))
+      .filter { case (a, b) => a != b }
+    ccAgree(edges.distinct)
+  }
+
+  // ---- as-of join ----
+
+  test("asOfJoin picks the latest strictly-earlier quote per key") {
+    val probes = Seq(("a", 5), ("a", 2), ("a", 1), ("b", 4))
+      .toDF("k", "ord")
+    val quotes = Seq(("a", 1, "q1"), ("a", 3, "q3"), ("a", 5, "q5"), ("b", 9, "q9"))
+      .toDF("k", "ord", "txt")
+    val got = Temporal.asOfJoin(probes, quotes, "k", "ord", Seq("txt"))
+      .select(col("k"), col("ord"), col("asof.q_ord"), col("asof.txt"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    // probe a@5: quote@5 is EXCLUDED (strict), latest earlier is q3;
+    // probe a@1: no earlier quote -> dropped; b@4: quote@9 later -> dropped
+    assert(got == Set(("a", 5, 3, "q3"), ("a", 2, 1, "q1")))
+  }
+
+  test("asOfJoin breaks equal-ord quote ties deterministically (max payload)") {
+    val probes = Seq(("k", 10)).toDF("k", "ord")
+    val quotes = Seq(("k", 4, "aa"), ("k", 4, "zz")).toDF("k", "ord", "txt")
+    val got = Temporal.asOfJoin(probes, quotes, "k", "ord", Seq("txt"))
+      .select(col("asof.txt")).as[String].collect().toSeq
+    assert(got == Seq("zz"))
+  }
+
+  // ---- range join ----
+
+  test("rangeJoin: half-open bounds, multi-bucket intervals, exactly-once pairs") {
+    val points = Seq(0L, 9L, 10L, 25L, 34L, 35L).toDF("pt")
+    // [10, 35) spans buckets 1..3 at width 10; [0, 10) exactly bucket 0
+    val intervals = Seq(("w1", 10L, 35L), ("w0", 0L, 10L)).toDF("name", "s", "e")
+    val got = Temporal.rangeJoin(points, intervals, "pt", "s", "e", bucketWidth = 10L)
+      .groupBy(col("name")).agg(count(lit(1)).as("n"), sum(col("pt")).as("ps"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // w1 gets {10, 25, 34} (35 excluded: half-open); w0 gets {0, 9}
+    assert(got == Set(("w1", 3L, 69L), ("w0", 2L, 9L)))
+  }
+
+  // ---- Bloom sketch ----
+
+  test("bloom: packed registers give zero false negatives and merge by bit_or") {
+    val docs = (0 until 40).map(i => (i.toLong, s"document number $i body", s"s${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val regs = Sketch.bloom(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySource = regs.groupBy(_._1).view
+      .mapValues(_.map(x => x._2 -> x._3).toMap).toMap
+    (0 until 40).foreach { i =>
+      assert(Sketch.bloomContains(bySource(s"s${i % 2}"), s"document number $i body"),
+        s"false negative for doc $i")
+    }
+    // merged filter (bit_or across sources) still contains everything
+    val merged = regs.groupBy(_._2).view
+      .mapValues(_.map(_._3).reduce(_ | _)).toMap
+    (0 until 40).foreach { i =>
+      assert(Sketch.bloomContains(merged, s"document number $i body"))
+    }
+    // word index stays within the 4096-bit geometry
+    assert(regs.forall { case (_, w, _) => w >= 0 && w < (4096 + 59) / 60 })
+  }
+
+  // ---- SemDeDup ----
+
+  test("semDedup drops exactly the vectors with a smaller-id cluster-mate above threshold") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.999f, 0.01f, 0.0f)), // near-dup of 0
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f)),
+      (4L, Seq(0.01f, 0.999f, 0.0f)) // near-dup of 2
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(emb, nlist = 2, lloydIters = 1, simThresholdE4 = 9500)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // invariants that hold under ANY clustering: a vector whose only
+    // cosine≥τ partner has a LARGER id can never drop (0, 2), and an
+    // all-orthogonal vector has no partner at all (3)
+    assert(Set(0L, 2L, 3L).subsetOf(kept.keySet))
+    // a near-dup twin survives ONLY by landing in a different cluster
+    kept.get(1L).foreach(c => assert(c != kept(0L), "1 kept while co-clustered with 0"))
+    kept.get(4L).foreach(c => assert(c != kept(2L), "4 kept while co-clustered with 2"))
+  }
+
+  // ---- ROLLUP census ----
+
+  test("langRollup emits per-(source,lang), per-source, and grand-total rows") {
+    val docs = Seq(
+      (0L, "the and is with that", "s0"),
+      (1L, "der und die das ist", "s0"),
+      (2L, "the of to in it", "s1")
+    ).toDF("doc_id", "text", "source")
+    val rows = TextStats.langRollup(docs).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2), r.getLong(3)))
+    val total = rows.filter(r => r._1.isEmpty && r._2.isEmpty)
+    assert(total.length == 1 && total.head._3 == 3L)
+    val s0 = rows.filter(r => r._1.contains("s0") && r._2.isEmpty)
+    assert(s0.length == 1 && s0.head._3 == 2L)
+    assert(rows.count(r => r._1.nonEmpty && r._2.nonEmpty) == 3)
+    // char mass adds up
+    assert(total.head._4 == rows.filter(r => r._1.nonEmpty && r._2.nonEmpty).map(_._4).sum)
+  }
+}
