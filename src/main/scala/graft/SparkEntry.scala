@@ -58,6 +58,9 @@ object SparkEntry {
     // as the streaming leg, StreamingSpec proves the stream semantics)
     "q_tool_windows" -> ((s, dir) =>
       streaming.EdgeStream.toolWindows(Transcripts.fromEvents(s, dir))),
+    // hopping-window variant (1 h window / 30 min slide), batch mode
+    "q_tool_sliding" -> ((s, dir) =>
+      streaming.EdgeStream.toolSliding(Transcripts.fromEvents(s, dir))),
     // session-window sessionization (30-min inactivity gap), batch mode
     "q_conv_sessions" -> ((s, dir) =>
       streaming.EdgeStream.convSessions(Transcripts.fromEvents(s, dir))),
@@ -179,6 +182,12 @@ object SparkEntry {
       val g = Graphs.get(s, dir, symmetric = true)
       KCore.run(g, k = 2).core.join(g.vertices, "id")
         .select(col("key"), col("core_degree"))
+    }),
+    // 3-truss: edges surviving the triangle-support peel, with their
+    // fixpoint support (cohesion one notch above k-core)
+    "q_truss" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      Truss.keyed(g, k = 3)
     }),
     "q_bfs" -> ((s, dir) => {
       val g = Graphs.get(s, dir, symmetric = true)
@@ -816,6 +825,36 @@ object SparkEntry {
       |)
       |SELECT key, cast(deg AS bigint) AS core_degree FROM cd WHERE deg >= 2""".stripMargin
 
+  /** 3-truss peel replay. The recursive CTE carries the full surviving
+   * SYMMETRIC edge set per iteration; support(a,b) = common neighbors
+   * z via a double self-join of the working table (same multi-ref
+   * trick as kcoreSql). The final row set is taken at it = 11 EXACTLY:
+   * a nonempty fixpoint plateaus up to the cap (rows at 11 = fixpoint),
+   * while an empty truss kills the recursion early (no rows at 11 =
+   * empty result) — matching Truss.run's converged set either way. */
+  private val trussSql: String = "WITH RECURSIVE " + prefixBody + symBody +
+    """, r(a, b, it) AS (
+      |  SELECT src_key, dst_key, 0 FROM esw
+      |  UNION ALL
+      |  SELECT e.a, e.b, e.it + 1
+      |  FROM r e
+      |  JOIN r w1 ON w1.a = e.a AND w1.it = e.it
+      |  JOIN r w2 ON w2.a = e.b AND w2.b = w1.b AND w2.it = e.it
+      |  WHERE e.it < 11
+      |  GROUP BY e.a, e.b, e.it
+      |  HAVING count(*) >= 1
+      |), lastt AS MATERIALIZED (
+      |  SELECT a, b FROM r WHERE it = 11
+      |), fsup AS (
+      |  SELECT e.a, e.b, count(*) AS sup
+      |  FROM lastt e
+      |  JOIN lastt w1 ON w1.a = e.a
+      |  JOIN lastt w2 ON w2.a = e.b AND w2.b = w1.b
+      |  GROUP BY 1, 2
+      |)
+      |SELECT a AS u_key, b AS v_key, cast(sup AS bigint) AS support
+      |FROM fsup WHERE a < b""".stripMargin
+
   /** Betweenness from the max-degree root (bc.cpp:24-196 semantics):
    * forward = ONE level-synchronous recursion carrying the full
    * (key, lvl, σ) state per step — NOT EXISTS against the carried
@@ -915,6 +954,17 @@ object SparkEntry {
     "q_tool_windows" -> (prefix +
       "\nSELECT cast(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS bigint) AS w_start," +
       " tool, count(*) AS n FROM t WHERE tool IS NOT NULL GROUP BY 1, 2"),
+    // a 1h/30min hopping window holds ts iff its start is one of the
+    // two 30-min buckets at or before ts — exactly len/slide = 2 rows
+    "q_tool_sliding" -> (prefix +
+      """
+        |, tw AS (
+        |  SELECT tool, cast(epoch(time_bucket(INTERVAL 30 MINUTE, ts)) AS bigint) AS tb
+        |  FROM t WHERE tool IS NOT NULL
+        |)
+        |SELECT w_start, tool, count(*) AS n FROM (
+        |  SELECT tool, unnest([tb - 1800, tb]) AS w_start FROM tw) u
+        |GROUP BY 1, 2""".stripMargin),
     // gaps-and-islands = session_window: a new session starts when the
     // gap to the previous turn is >= 30 min (Spark merges sessions
     // only while next.ts < prev.ts + gap — strict inequality on both
@@ -941,6 +991,7 @@ object SparkEntry {
     "q_pagerank" -> pagerankSql,
     "q_hits" -> hitsSql,
     "q_kcore" -> kcoreSql,
+    "q_truss" -> trussSql,
     "q_ppr" -> pprSql,
     "q_pagerank_w" -> pagerankWSql,
     "q_cc" -> ccSql,

@@ -160,6 +160,26 @@ object EdgeStream {
         col("tool"),
         col("n"))
 
+  /** Sliding-window twin of [[toolWindows]]: 1-hour windows advancing
+   * every 30 minutes, so each invocation lands in exactly
+   * len/slide = 2 overlapping windows (hopping count smoothing — the
+   * third member of the window family after tumbling and session).
+   * Same one-code-path batch/stream contract and epoch-seconds export. */
+  def toolSliding(
+      transcripts: DataFrame,
+      windowLen: String = "1 hour",
+      slide: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    transcripts
+      .filter(col("tool").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("tool"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        unix_timestamp(col("window.start")).as("w_start"),
+        col("tool"),
+        col("n"))
+
   /**
    * Session-window sessionization: turns of one conversation merge
    * into a session while consecutive event times are closer than

@@ -46,6 +46,22 @@ class Round3Spec extends SparkSpec {
     ccAgree(edges.distinct)
   }
 
+  test("Truss: 3-truss keeps the cliques with exact support, peels the tail; 5-truss empty") {
+    val cliques = (for { a <- 0 until 4; b <- 0 until 4 if a < b } yield (a, b)) ++
+      (for { a <- 4 until 8; b <- 4 until 8 if a < b } yield (a, b))
+    val tail = Seq((3, 8), (8, 9), (9, 10)) // tree fringe off clique 1
+    val g = graphOf(cliques ++ tail, symmetric = true)
+    val t3 = algos.Truss.keyed(g, k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // survivors: exactly the 12 clique edges, each closing 2 triangles
+    assert(t3.length == 12)
+    assert(t3.forall(_._3 == 2L))
+    assert(!t3.exists(e => e._1 == keyOf(9) || e._2 == keyOf(9)))
+    val t5 = algos.Truss.run(g, k = 5)
+    assert(t5.edges.count() == 0)
+    g.unpersist()
+  }
+
   // ---- as-of join ----
 
   test("asOfJoin picks the latest strictly-earlier quote per key") {
@@ -81,6 +97,21 @@ class Round3Spec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     // w1 gets {10, 25, 34} (35 excluded: half-open); w0 gets {0, 9}
     assert(got == Set(("w1", 3L, 69L), ("w0", 2L, 9L)))
+  }
+
+  test("toolSliding: each invocation lands in exactly len/slide = 2 hopping windows") {
+    val mk = (s: String) => java.sql.Timestamp.valueOf(s)
+    val t = Seq(
+      ("c0", 0, "tool", "x", Some("t1"), mk("2026-01-01 10:05:00")),
+      ("c0", 1, "tool", "x", Some("t1"), mk("2026-01-01 10:40:00")),
+      ("c1", 0, "user", "x", None, mk("2026-01-01 10:06:00")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val rows = streaming.EdgeStream.toolSliding(t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == 4, "2 invocations x 2 windows")
+    val base = rows.map(_._1).min
+    assert(rows.map(r => (r._1 - base, r._3)).toSet == Set((0L, 1L), (1800L, 2L), (3600L, 1L)))
+    assert(rows.forall(_._2 == "t1"))
   }
 
   // ---- Bloom sketch ----
