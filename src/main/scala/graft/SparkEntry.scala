@@ -199,6 +199,13 @@ object SparkEntry {
       Sssp.run(g, rootId(g)).distances.join(g.vertices, "id")
         .select(col("key"), round(col("dist") * 1000).cast("long").as("dist_e3"))
     }),
+    // same distances via delta-stepping's bucketed schedule (the
+    // long-weighted-diameter scale path) — shares q_sssp's oracle
+    "q_sssp_delta" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      DeltaStepping.run(g, rootId(g), delta = 2.0).distances.join(g.vertices, "id")
+        .select(col("key"), round(col("dist") * 1000).cast("long").as("dist_e3"))
+    }),
     "q_bc" -> ((s, dir) => {
       val g = Graphs.get(s, dir, symmetric = true)
       Betweenness.run(g, rootId(g)).bc.join(g.vertices, "id")
@@ -277,13 +284,18 @@ object SparkEntry {
     "q_edge_jaccard" -> ((s, dir) =>
       LinkPredict.edgeJaccard(Graphs.get(s, dir, symmetric = true))),
     // Component-size census (giant-component check) over the CC labels
+    // size census over the star-contraction labels (same min-id
+    // fixpoint as HashMin, O(log|V|) rounds — see CCStar)
     "q_cc_sizes" -> ((s, dir) =>
       DegreeStats.sizeHistogram(
-        ConnectedComponents.run(Graphs.get(s, dir, symmetric = true)).labels)),
+        CCStar.run(Graphs.get(s, dir, symmetric = true)).labels)),
     // Tool co-occurrence lift over conversations (association mining
     // on the transcript table; integer-exact ⌊10⁴·lift⌋ export)
     "q_tool_lift" -> ((s, dir) =>
-      pipeline.Cooccur.toolLift(Transcripts.fromEvents(s, dir)))
+      pipeline.Cooccur.toolLift(Transcripts.fromEvents(s, dir))),
+    // degree-assortativity sufficient statistics (exact integer sums)
+    "q_assort" -> ((s, dir) =>
+      DegreeStats.assortativity(Graphs.get(s, dir, symmetric = true)))
   )
 
   /** Deterministic, non-degenerate root: the max-degree vertex
@@ -911,6 +923,15 @@ object SparkEntry {
     "q_walks" -> walksSql,
     "q_walks_w" -> walksWSql,
     "q_deg_hist" -> degHistSql,
+    "q_assort" -> ("WITH " + prefixBody + symBody +
+      """
+        |, od AS (SELECT src_key, count(*) AS d FROM esw GROUP BY 1)
+        |SELECT cast(count(*) AS bigint) AS m,
+        |       cast(sum(a.d * b.d) AS bigint) AS sxy,
+        |       cast(sum(a.d) AS bigint) AS sx,
+        |       cast(sum(a.d * a.d) AS bigint) AS sx2
+        |FROM esw e JOIN od a ON a.src_key = e.src_key
+        |           JOIN od b ON b.src_key = e.dst_key""".stripMargin),
     "q_linkpred" -> linkpredSql,
     "q_edge_jaccard" -> edgeJaccardSql,
     "q_cc_sizes" -> ccSizesSql,
@@ -918,6 +939,7 @@ object SparkEntry {
     "q_diameter" -> diameterSql,
     "q_mis" -> misSql,
     "q_sssp" -> ssspSql,
+    "q_sssp_delta" -> ssspSql,
     "q_bc" -> bcSql,
     "q_cc_fast" -> ccSql,
     // as-of join: latest strictly-earlier user turn per tool turn,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.syntax._
-import graft.LinkGraph
+import graft.{Checkpoint, LinkGraph}
 
 /**
  * Connected components by alternating star contraction — the
@@ -43,20 +43,40 @@ object CCStar {
 
   final case class Result(labels: DataFrame, rounds: Int)
 
-  def run(graph: LinkGraph, maxRounds: Int = 64): Result = {
+  def run(
+      graph: LinkGraph,
+      maxRounds: Int = 64,
+      ckpt: Option[Checkpoint] = None,
+      ckptEvery: Int = 2,
+      resume: Boolean = false): Result = {
     require(graph.symmetric, "star-contraction CC expects a symmetrized graph")
     val np = graph.numPartitions
 
-    // Canonical big→small orientation; the symmetric build carries
-    // both directions of each pair, so the filter keeps each once.
-    var e = graph.edgesBySrc
-      .where(col("src") > col("dst"))
-      .select(col("src").as("u"), col("dst").as("v"))
-      .repartition(np, col("u"))
-      .graftCut
+    // The checkpointable state IS the contracting edge set — saved as
+    // (id = u, v) rows per Checkpoint's id-bucketed lineage contract.
+    // Star contraction is a pure function of that set, so a resumed
+    // run replays bit-identically (CheckpointSpec).
+    var e: DataFrame = null
+    var rounds = 0
+    val resumed = if (resume) ckpt.flatMap(_.latestIteration()) else None
+    resumed match {
+      case Some(k) =>
+        e = ckpt.get.load(graph.spark, k)
+          .select(col("id").as("u"), col("v"))
+          .repartition(np, col("u"))
+          .graftCut
+        rounds = k
+      case None =>
+        // Canonical big→small orientation; the symmetric build carries
+        // both directions of each pair, so the filter keeps each once.
+        e = graph.edgesBySrc
+          .where(col("src") > col("dst"))
+          .select(col("src").as("u"), col("dst").as("v"))
+          .repartition(np, col("u"))
+          .graftCut
+    }
     var fp = fingerprint(e)
 
-    var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       // ---- large-star ----
@@ -85,7 +105,10 @@ object CCStar {
       e = e2
       fp = fp2
       rounds += 1
+      if (ckpt.nonEmpty && !converged && rounds % ckptEvery == 0)
+        ckpt.get.save(e.select(col("u").as("id"), col("v")), rounds, fp._1)
     }
+    ckpt.foreach(_.save(e.select(col("u").as("id"), col("v")), rounds, fp._1))
 
     // Fixpoint is a star forest (member → component-min root); isolated
     // vertices and the roots themselves label to their own id.

@@ -31,6 +31,27 @@ object DegreeStats {
         min(col("out_degree")).as("min_degree"),
         max(col("out_degree")).as("max_degree"))
 
+  /** Degree-assortativity sufficient statistics over the symmetric
+   * edge set — the "do hubs link to hubs?" web-graph coefficient, as
+   * EXACT INTEGER sums: m (directed edge rows), Σ du·dv, Σ du, Σ du²
+   * (src-side sums; symmetry makes dst-side identical). Pearson
+   * r = (m·Σdudv − (Σdu)²) / (m·Σdu² − (Σdu)²) is the consumer's one
+   * float division, driver-side — only integers cross the oracle
+   * boundary. One co-clustered degree join each way + a 4-column
+   * global aggregate: a single reduce at any scale. */
+  def assortativity(graph: LinkGraph): DataFrame = {
+    require(graph.symmetric, "assortativity is defined on the undirected graph")
+    val deg = graph.degrees.select(col("id"), col("out_degree").as("d"))
+    graph.edgesBySrc
+      .join(deg.withColumnRenamed("id", "src").withColumnRenamed("d", "du"), "src")
+      .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("d", "dv"), "dst")
+      .agg(
+        count(lit(1)).as("m"),
+        sum(col("du") * col("dv")).as("sxy"),
+        sum(col("du")).as("sx"),
+        sum(col("du") * col("du")).as("sx2"))
+  }
+
   /** Component-size histogram over CC labels (id, lbl) — same exact
    * power-of-two bucketing; the giant-component census that drives
    * partitioner and sampler decisions on web graphs. ≤ 64 output rows

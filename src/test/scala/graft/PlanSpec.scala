@@ -228,4 +228,34 @@ class PlanSpec extends SparkSpec {
         "wedge join must stay an equi-join, got a cartesian product")
     }
   }
+
+  test("asOfJoin: ONE hash exchange, no join node at all") {
+    import spark.implicits._
+    val probes = (0 until 60).map(i => (s"k${i % 5}", i)).toDF("k", "ord")
+    val quotes = (0 until 60).map(i => (s"k${i % 5}", i, s"q$i")).toDF("k", "ord", "txt")
+    val plan = executed(
+      operators.Temporal.asOfJoin(probes, quotes, "k", "ord", Seq("txt")))
+    val nodes = collectNodes(plan)
+    assert(!nodes.exists(n => n.nodeName.contains("Join")),
+      s"merge as-of join must not plan a join operator:\n$plan")
+    assert(shuffles(plan) == 1,
+      s"expected exactly the one by-key exchange, got ${shuffles(plan)}:\n$plan")
+  }
+
+  test("rangeJoin: keyless interval join plans as an equi-join on the bucket") {
+    import spark.implicits._
+    val points = (0L until 200L).map(i => i * 7L).toDF("pt")
+    val intervals = (0L until 20L).map(i => (s"w$i", i * 60L, i * 60L + 90L))
+      .toDF("name", "s", "e")
+    val plan = executed(
+      operators.Temporal.rangeJoin(points, intervals, "pt", "s", "e", bucketWidth = 50L))
+    val nodes = collectNodes(plan)
+    assert(!nodes.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+        n.nodeName.contains("BroadcastNestedLoop")),
+      s"bucketed range join must never fall back to a nested loop:\n$plan")
+    assert(nodes.exists(n =>
+      n.nodeName.contains("SortMergeJoin") || n.nodeName.contains("ShuffledHashJoin")),
+      s"expected an equi-join on the time bucket:\n$plan")
+  }
 }

@@ -39,11 +39,47 @@ class Round3Spec extends SparkSpec {
     g.unpersist()
   }
 
+  test("CCStar: interrupted and resumed run yields the identical labels") {
+    val edges = Seq((0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),
+      (8, 9), (9, 10), (10, 8), (11, 12))
+    val g = graphOf(edges, symmetric = true)
+    val full = CCStar.run(g)
+    val ck = Checkpoint(java.nio.file.Files.createTempDirectory("graft-ccstar").toString)
+    CCStar.run(g, maxRounds = 2, ckpt = Some(ck), ckptEvery = 1) // "kill" after 2 rounds
+    assert(ck.latestIteration().contains(2))
+    val resumed = CCStar.run(g, ckpt = Some(ck), ckptEvery = 1, resume = true)
+    val a = full.labels.select(col("id"), col("lbl"))
+    val b = resumed.labels.select(col("id"), col("lbl"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    g.unpersist()
+  }
+
   test("CCStar equals HashMin on a deterministic random graph") {
     val rnd = new scala.util.Random(7)
     val edges = (0 until 160).map(_ => (rnd.nextInt(60), rnd.nextInt(60)))
       .filter { case (a, b) => a != b }
     ccAgree(edges.distinct)
+  }
+
+  test("DeltaStepping distances equal label-correcting SSSP at every Δ") {
+    val edges = Seq((0, 1), (1, 2), (2, 3), (0, 4), (4, 3), (3, 5), (5, 6), (2, 6), (7, 8))
+    val w = Map((0, 1) -> 1.0, (1, 2) -> 1.0, (2, 3) -> 2.0, (0, 4) -> 2.0,
+      (4, 3) -> 2.0, (3, 5) -> 1.0, (5, 6) -> 2.0, (2, 6) -> 5.0, (7, 8) -> 3.0)
+    val g = graphOf(edges, symmetric = true, weights = w)
+    val root = indexOf(g).collectFirst { case (id, 0) => id }.get
+    val want = byIndex(g, algos.Sssp.run(g, root).distances, "dist")
+      .view.mapValues(_.asInstanceOf[Double]).toMap
+    // Δ spans the Dijkstra-like (< min weight), mixed, and
+    // Bellman-Ford-like (> max weight) regimes — same fixpoint in all
+    for (d <- Seq(0.5, 2.0, 100.0)) {
+      val got = byIndex(g, algos.DeltaStepping.run(g, root, delta = d).distances, "dist")
+        .view.mapValues(_.asInstanceOf[Double]).toMap
+      assert(got.keySet == want.keySet, s"reached set differs at delta=$d")
+      want.foreach { case (i, v) =>
+        assert(math.abs(got(i) - v) < 1e-12, s"vertex $i at delta=$d")
+      }
+    }
+    g.unpersist()
   }
 
   test("Truss: 3-truss keeps the cliques with exact support, peels the tail; 5-truss empty") {
@@ -59,6 +95,15 @@ class Round3Spec extends SparkSpec {
     assert(!t3.exists(e => e._1 == keyOf(9) || e._2 == keyOf(9)))
     val t5 = algos.Truss.run(g, k = 5)
     assert(t5.edges.count() == 0)
+    g.unpersist()
+  }
+
+  test("assortativity sums: closed form on a star") {
+    val g = graphOf(Seq((0, 1), (0, 2), (0, 3), (0, 4)), symmetric = true)
+    val r = algos.DegreeStats.assortativity(g).collect().head
+    // hub degree 4, leaves 1: 8 directed rows; Σdudv = 8·4; Σdu = 4·4+4;
+    // Σdu² = 16·4+4
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == (8L, 32L, 20L, 68L))
     g.unpersist()
   }
 
