@@ -64,6 +64,11 @@ object SparkEntry {
     // session-window sessionization (30-min inactivity gap), batch mode
     "q_conv_sessions" -> ((s, dir) =>
       streaming.EdgeStream.convSessions(Transcripts.fromEvents(s, dir))),
+    // stream-stream interval join in batch mode: error turns ⋈ same-conv
+    // tool calls within the following 10 minutes (watermark-bounded
+    // state on streams; StreamingSpec proves stream ≡ batch)
+    "q_err_tools" -> ((s, dir) =>
+      streaming.EdgeStream.errorToolJoin(Transcripts.fromEvents(s, dir))),
     // merge as-of join: each tool turn ⋈ the latest strictly-earlier
     // user turn of its conversation (operators.Temporal — one hash
     // shuffle + running max, no nested-loop join)
@@ -942,6 +947,13 @@ object SparkEntry {
     "q_sssp_delta" -> ssspSql,
     "q_bc" -> bcSql,
     "q_cc_fast" -> ccSql,
+    "q_err_tools" -> (prefix +
+      """
+        |SELECT e.conv_id, e.turn_idx AS err_turn, p.turn_idx AS tool_turn, p.tool
+        |FROM t e JOIN t p ON p.conv_id = e.conv_id
+        |  AND epoch_us(p.ts) >= epoch_us(e.ts)
+        |  AND epoch_us(p.ts) < epoch_us(e.ts) + 600000000
+        |WHERE e.text LIKE 'error%' AND p.tool IS NOT NULL""".stripMargin),
     // as-of join: latest strictly-earlier user turn per tool turn,
     // then join back for its text ((conv, turn) rows are unique)
     "q_asof" -> (prefix +

@@ -160,6 +160,39 @@ object EdgeStream {
         col("tool"),
         col("n"))
 
+  /**
+   * Stream-stream interval join — the last member of the streaming
+   * surface next to the stateful ingest, windows, and the dedup gate:
+   * every error turn joined to the tool invocations of the SAME
+   * conversation within the `horizonMinutes` that follow (error
+   * blast-radius attribution). Both sides carry watermarks and the
+   * join condition bounds the event-time range, so Spark buffers each
+   * side only until the other side's watermark passes the horizon —
+   * state is O(rows inside one horizon), independent of stream length.
+   * On static input the watermarks are no-ops and this is a plain
+   * equi+range join (`q_err_tools` shares a one-line DuckDB oracle).
+   */
+  def errorToolJoin(
+      transcripts: DataFrame,
+      horizonMinutes: Int = 10,
+      watermark: String = "10 minutes"): DataFrame = {
+    val errs = transcripts
+      .where(col("text").startsWith("error"))
+      .select(col("conv_id"), col("turn_idx").as("err_turn"),
+        col("ts").cast("timestamp").as("err_ts"))
+      .withWatermark("err_ts", watermark)
+    val tools = transcripts
+      .where(col("tool").isNotNull)
+      .select(col("conv_id").as("t_conv"), col("tool"),
+        col("turn_idx").as("tool_turn"), col("ts").cast("timestamp").as("tool_ts"))
+      .withWatermark("tool_ts", watermark)
+    errs.join(tools,
+      col("conv_id") === col("t_conv") &&
+        col("tool_ts") >= col("err_ts") &&
+        col("tool_ts") < col("err_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("conv_id"), col("err_turn"), col("tool_turn"), col("tool"))
+  }
+
   /** Sliding-window twin of [[toolWindows]]: 1-hour windows advancing
    * every 30 minutes, so each invocation lands in exactly
    * len/slide = 2 overlapping windows (hopping count smoothing — the

@@ -210,4 +210,38 @@ class StreamingSpec extends SparkSpec {
     val expected = pipeline.Dedup.exact(docs).collect().map(_.getLong(2)).toSet
     assert(got == expected && got == Set(0L, 2L, 9L))
   }
+
+  test("stream-stream interval join equals the batch join across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // (conv_id, turn_idx, text, tool, ts)
+    val batch1 = Seq(
+      ("a", 0, "error boom", Some("tx"), ts("2024-01-01 10:00:00")),
+      ("a", 1, "purchase ok", Some("ty"), ts("2024-01-01 10:04:00")),
+      ("b", 0, "purchase ok", Some("tz"), ts("2024-01-01 10:05:00")))
+    val batch2 = Seq(
+      ("a", 2, "purchase ok", Some("tw"), ts("2024-01-01 10:09:00")), // inside horizon, cross-batch
+      ("a", 3, "purchase ok", Some("tv"), ts("2024-01-01 10:30:00"))) // outside 10-min horizon
+    val input = MemoryStream[(String, Int, String, Option[String], java.sql.Timestamp)]
+    val joined = EdgeStream.errorToolJoin(
+      input.toDF().toDF("conv_id", "turn_idx", "text", "tool", "ts"))
+    val q = joined.writeStream
+      .format("memory").queryName("err_tools_sink").outputMode("append").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("err_tools_sink").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    val expected = EdgeStream.errorToolJoin(
+      (batch1 ++ batch2).toDF("conv_id", "turn_idx", "text", "tool", "ts")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(got == expected, s"stream $got vs batch $expected")
+    // error's own tool call, +4 min, and the cross-batch +9 min match;
+    // conversation b and the +30 min call do not
+    assert(got == Set(("a", 0, 0, "tx"), ("a", 0, 1, "ty"), ("a", 0, 2, "tw")))
+  }
 }
