@@ -97,7 +97,38 @@ object ScalingBench {
       numVertices, numEdges, parts, symmetric = false)
   }
 
+  /** Single-cell mode for hosts that cap command runtimes: run ONE
+   * (level, repeat) cell — fresh session, load cached table, 1 untimed
+   * warmup + 1 timed pass — and print one `[cell]` line. An external
+   * driver interleaves cells and computes the efficiency, preserving
+   * the exact interleaved-A/B protocol semantics. Usage:
+   * `runMain graft.ScalingBench cell <cpus> <partsPerCore> [numConvs] [turnsPerConv] [iters]`
+   * (the prebuild cache must already exist). */
+  private def cellMain(args: Array[String]): Unit = {
+    val cpus = args(1).toInt
+    val partsPerCore = args(2).toInt
+    val numConvs = args.lift(3).map(_.toLong).getOrElse(1000000L)
+    val turnsPerConv = args.lift(4).map(_.toInt).getOrElse(20)
+    val iters = args.lift(5).map(_.toInt).getOrElse(5)
+    val cacheDir = s"/tmp/graft_scale_${numConvs}x$turnsPerConv"
+    require(new java.io.File(s"$cacheDir/degrees/_SUCCESS").exists(),
+      s"prebuild cache missing at $cacheDir — run the full main once first")
+    val parts = cpus * partsPerCore
+    val spark = session(cpus, parts, s"cell-$cpus")
+    val g = loadGraph(spark, cacheDir, parts)
+    // 2-iteration untimed warmup (codegen + persisted-layout heat —
+    // shorter than the timed pass so a narrow cell fits host runtime
+    // caps; identical at both levels, so it cancels)
+    algos.PageRank.run(g, iterations = math.min(2, iters))
+    val t0 = System.nanoTime()
+    algos.PageRank.run(g, iterations = iters)
+    val s = (System.nanoTime() - t0) / 1e9
+    println(f"""[cell] {"cpus":$cpus,"parts_per_core":$partsPerCore,"sec":$s%.2f,"edges":${g.numEdges},"iters":$iters}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("cell")) return cellMain(args)
     // 2M convs × 20 turns → 52M edges: large enough that per-superstep
     // compute dominates the fixed driver cost at both levels (at 7.8M
     // edges the measurement is overhead-dominated — BASELINE.md)

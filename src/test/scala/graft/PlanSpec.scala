@@ -117,6 +117,24 @@ class PlanSpec extends SparkSpec {
     path.unpersist()
   }
 
+  test("no cached-RDD growth across a many-bucket delta-stepping run") {
+    // 50-vertex weighted path → ~25 Δ=2 buckets; the per-bucket junk
+    // list must actually free the f/improved/bm/pending cuts (the
+    // free-after-rematerialize discipline — freeing any earlier threw
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, freeing never leaks cuts)
+    val path = graphOf((0 until 50).map(i => (i, i + 1)), symmetric = true)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val root = path.vertices.orderBy(col("key")).select(col("id")).head().getLong(0)
+    val r = algos.DeltaStepping.run(path, root, delta = 2.0)
+    assert(r.distances.count() == 51)
+    assert(r.buckets >= 20, s"expected many buckets, got ${r.buckets}")
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 3,
+      s"persistent RDDs grew by ${after - before} across ${r.buckets} buckets")
+    r.distances.graftFree()
+    path.unpersist()
+  }
+
   test("curate prunes every parquet scan to (doc_id, text) — wide columns never read") {
     // A 100 TB documents table is WIDE (embeddings, media, metadata).
     // The curation pass touches only doc_id + text; if any of its three
