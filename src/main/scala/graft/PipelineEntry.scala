@@ -75,6 +75,8 @@ object PipelineEntry {
     "q_bloom" -> ((s, dir) => Sketch.bloom(Dedup.docs(s, dir))),
     // SemDeDup: IVF k-means clusters + within-cluster cosine keeper
     "q_semdedup" -> ((s, dir) => Similarity.semDedup(Similarity.embeddings(s, dir))),
+    // the k-means assignment itself (integer-exact Lloyd)
+    "q_kmeans" -> ((s, dir) => Similarity.kmeansAssign(Similarity.embeddings(s, dir))),
     // ROLLUP aggregation over (source, predicted language) — the
     // grouping-sets member of the relational surface (SURVEY §2.6)
     "q_rollup" -> ((s, dir) => TextStats.langRollup(Dedup.docs(s, dir))),
@@ -823,6 +825,8 @@ object PipelineEntry {
     "q_cms" -> cmsSql,
     "q_bloom" -> bloomSql,
     "q_semdedup" -> semDedupSql(),
+    "q_kmeans" -> (ivfTrainCtes(16, 2) +
+      "\nSELECT vec_id, cast(cid AS bigint) AS cid FROM rk WHERE rn = 1"),
     "q_rollup" -> rollupSql,
     "q_curate" -> curateSql)
 }

@@ -300,7 +300,10 @@ object SparkEntry {
       pipeline.Cooccur.toolLift(Transcripts.fromEvents(s, dir))),
     // degree-assortativity sufficient statistics (exact integer sums)
     "q_assort" -> ((s, dir) =>
-      DegreeStats.assortativity(Graphs.get(s, dir, symmetric = true)))
+      DegreeStats.assortativity(Graphs.get(s, dir, symmetric = true))),
+    // deterministic maximal matching (md5-priority parallel greedy)
+    "q_matching" -> ((s, dir) =>
+      Matching.run(Graphs.get(s, dir, symmetric = true)).matching)
   )
 
   /** Deterministic, non-degenerate root: the max-degree vertex
@@ -842,6 +845,43 @@ object SparkEntry {
       |)
       |SELECT key, cast(deg AS bigint) AS core_degree FROM cd WHERE deg >= 2""".stripMargin
 
+  /** Maximal-matching replay: the recursive CTE carries the live edge
+   * set; an edge matches when its md5 priority is the min at BOTH
+   * endpoints (per-vertex minima = the doubly-referenced working-table
+   * group-by); survivors are edges with no matched endpoint. Matched
+   * rows freeze (emitted once with matched = true, never re-expanded),
+   * so the final SELECT just collects them across iterations. */
+  private val matchingSql: String = {
+    val minsSub =
+      """(SELECT x, min(p) AS mp FROM (
+        |          SELECT a AS x, p FROM r WHERE NOT matched
+        |          UNION ALL SELECT b, p FROM r WHERE NOT matched) u GROUP BY x)""".stripMargin
+    "WITH RECURSIVE " + prefixBody + symBody +
+      s""", e0 AS (
+         |  SELECT src_key AS a, dst_key AS b,
+         |         ('0x' || substr(md5(concat(src_key, '|', dst_key)), 1, 15))::BIGINT AS p
+         |  FROM esw WHERE src_key < dst_key
+         |), r(a, b, p, it, matched) AS (
+         |  SELECT a, b, p, 0, false FROM e0
+         |  UNION ALL
+         |  SELECT e.a, e.b, e.p, e.it + 1,
+         |         (mva.mp = e.p AND mvb.mp = e.p)
+         |  FROM r e
+         |  JOIN $minsSub mva ON mva.x = e.a
+         |  JOIN $minsSub mvb ON mvb.x = e.b
+         |  WHERE NOT e.matched AND e.it < 40
+         |    AND NOT EXISTS (
+         |      SELECT 1 FROM r m
+         |      JOIN $minsSub ka ON ka.x = m.a AND ka.mp = m.p
+         |      JOIN $minsSub kb ON kb.x = m.b AND kb.mp = m.p
+         |      WHERE NOT m.matched AND (m.a IN (e.a, e.b) OR m.b IN (e.a, e.b))
+         |            AND NOT (m.a = e.a AND m.b = e.b)
+         |    )
+         |)
+         |SELECT a AS u_key, b AS v_key, cast(it AS bigint) AS mround
+         |FROM r WHERE matched""".stripMargin
+  }
+
   /** 3-truss peel replay. The recursive CTE carries the full surviving
    * SYMMETRIC edge set per iteration; support(a,b) = common neighbors
    * z via a double self-join of the working table (same multi-ref
@@ -1026,6 +1066,7 @@ object SparkEntry {
     "q_hits" -> hitsSql,
     "q_kcore" -> kcoreSql,
     "q_truss" -> trussSql,
+    "q_matching" -> matchingSql,
     "q_ppr" -> pprSql,
     "q_pagerank_w" -> pagerankWSql,
     "q_cc" -> ccSql,

@@ -1,0 +1,86 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.syntax._
+import graft.LinkGraph
+
+/**
+ * Deterministic maximal matching by parallel greedy on hashed edge
+ * priorities — the classic symmetry-breaking primitive next to
+ * [[Mis]] (Luby), and the building block of coarsening/clustering
+ * passes (METIS-style contraction) and 2-approximate vertex cover.
+ *
+ * Round: every live edge whose md5 priority is the minimum among the
+ * live edges at BOTH endpoints joins the matching (two adjacent edges
+ * can never both win — the shared endpoint has one minimum); matched
+ * vertices leave with all their incident edges. Always progresses
+ * (the globally-minimal live edge matches every round) and finishes
+ * in O(log |E|) rounds in expectation over the hash. Priorities are
+ * md5 of the KEY pair, so the fixpoint is engine-independent and the
+ * DuckDB oracle replays it exactly (q_matching).
+ *
+ * Shape per round: one union + grouped min (map-side combined), two
+ * co-keyed joins against the minima, two anti-joins — every exchange
+ * hash-keyed, work proportional to the SHRINKING live edge set (a
+ * matched hub removes its whole star at once, so skew self-resolves).
+ */
+object Matching {
+
+  final case class Result(matching: DataFrame, rounds: Int)
+
+  /** @return matching rows (u_key, v_key, mround), u_key < v_key. */
+  def run(graph: LinkGraph, maxRounds: Int = 64): Result = {
+    require(graph.symmetric, "matching expects the symmetrized graph")
+    val np = graph.numPartitions
+    val vk = (idCol: String, keyCol: String) =>
+      graph.vertices.select(col("id").as(idCol), col("key").as(keyCol))
+
+    var e = graph.edgesBySrc
+      .join(vk("src", "u_key"), "src")
+      .join(vk("dst", "v_key"), "dst")
+      .where(col("u_key") < col("v_key"))
+      .select(col("u_key"), col("v_key"),
+        conv(substring(md5(concat_ws("|", col("u_key"), col("v_key"))), 1, 15), 16, 10)
+          .cast("long").as("p"))
+      .repartition(np, col("u_key"))
+      .graftCut
+    var live = e.count()
+
+    var rounds = 0
+    var acc: DataFrame = null
+    val junk = scala.collection.mutable.ListBuffer[DataFrame]()
+    while (live > 0 && rounds < maxRounds) {
+      rounds += 1
+      val nbrs = e.select(col("u_key").as("x"), col("p"))
+        .unionByName(e.select(col("v_key").as("x"), col("p")))
+      val mins = nbrs.groupBy(col("x")).agg(min(col("p")).as("mp"))
+      val matched = e
+        .join(mins.select(col("x").as("u_key"), col("mp").as("mpu")), "u_key")
+        .join(mins.select(col("x").as("v_key"), col("mp").as("mpv")), "v_key")
+        .where(col("p") === col("mpu") && col("p") === col("mpv"))
+        .select(col("u_key"), col("v_key"), lit(rounds.toLong).as("mround"))
+        .graftCut
+      val mv = matched.select(col("u_key").as("x"))
+        .unionByName(matched.select(col("v_key").as("x")))
+      val (e2, n2) = e
+        .join(mv, col("u_key") === col("x"), "left_anti")
+        .join(mv, col("v_key") === col("x"), "left_anti")
+        .graftCutCount
+      acc = if (acc == null) matched else acc.unionByName(matched)
+      junk += e
+      junk += matched // freed after the accumulated matching is cut
+      e = e2
+      live = n2
+    }
+    e.graftFree()
+    val out = (if (acc == null)
+      graph.spark.emptyDataFrame
+        .withColumn("u_key", lit("")).withColumn("v_key", lit(""))
+        .withColumn("mround", lit(0L)).limit(0)
+    else acc).graftCut
+    junk.foreach(_.graftFree())
+    Result(out, rounds)
+  }
+}

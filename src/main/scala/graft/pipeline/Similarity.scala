@@ -272,6 +272,17 @@ object Similarity {
     (p, fin)
   }
 
+  /** K-means cluster assignments over the embedding table — the IVF
+   * coarse quantizer exposed as its own operator (corpus
+   * auto-categorization, stratified-by-cluster sampling, SemDeDup's
+   * first stage). Exact-integer Lloyd (see [[ivfTopK]]) ⇒ the DuckDB
+   * oracle replays the same assignment bit-for-bit. */
+  def kmeansAssign(emb: DataFrame, nlist: Int = 16, lloydIters: Int = 2): DataFrame = {
+    val (_, fin) = ivfTrained(emb, nlist, lloydIters)
+    fin.where(col("rn") === 1)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+  }
+
   /**
    * SemDeDup-style semantic deduplication (Abbas et al. 2023,
    * arXiv:2303.09540): k-means-cluster the embedding space — the IVF

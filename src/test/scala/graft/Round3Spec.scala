@@ -98,6 +98,23 @@ class Round3Spec extends SparkSpec {
     g.unpersist()
   }
 
+  test("Matching: valid (disjoint) and maximal on path + clique + star") {
+    val edges = (0 until 7).map(i => (i, i + 1)) ++ // path 0..7
+      (for { a <- 10 until 14; b <- 10 until 14 if a < b } yield (a, b)) ++ // K4
+      (20 until 25).map(i => (20, i + 1)) // star at 20
+    val g = graphOf(edges, symmetric = true)
+    val m = algos.Matching.run(g).matching.collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vs = m.flatMap(p => Seq(p._1, p._2))
+    assert(vs.length == vs.distinct.length, "matching must be vertex-disjoint")
+    val mv = vs.toSet
+    edges.foreach { case (a, b) =>
+      assert(mv.contains(keyOf(a)) || mv.contains(keyOf(b)),
+        s"unmatched edge ($a,$b) with both endpoints free — not maximal")
+    }
+    g.unpersist()
+  }
+
   test("assortativity sums: closed form on a star") {
     val g = graphOf(Seq((0, 1), (0, 2), (0, 3), (0, 4)), symmetric = true)
     val r = algos.DegreeStats.assortativity(g).collect().head
