@@ -303,7 +303,12 @@ object SparkEntry {
       DegreeStats.assortativity(Graphs.get(s, dir, symmetric = true))),
     // deterministic maximal matching (md5-priority parallel greedy)
     "q_matching" -> ((s, dir) =>
-      Matching.run(Graphs.get(s, dir, symmetric = true)).matching)
+      Matching.run(Graphs.get(s, dir, symmetric = true)).matching),
+    // one METIS-style coarsening level over that matching
+    "q_coarsen" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      Matching.coarsen(g, Matching.run(g).matching)
+    })
   )
 
   /** Deterministic, non-degenerate root: the max-degree vertex
@@ -851,7 +856,7 @@ object SparkEntry {
    * group-by); survivors are edges with no matched endpoint. Matched
    * rows freeze (emitted once with matched = true, never re-expanded),
    * so the final SELECT just collects them across iterations. */
-  private val matchingSql: String = {
+  private val matchingCtes: String = {
     val minsSub =
       """(SELECT x, min(p) AS mp FROM (
         |          SELECT a AS x, p FROM r WHERE NOT matched
@@ -877,10 +882,31 @@ object SparkEntry {
          |      WHERE NOT m.matched AND (m.a IN (e.a, e.b) OR m.b IN (e.a, e.b))
          |            AND NOT (m.a = e.a AND m.b = e.b)
          |    )
-         |)
-         |SELECT a AS u_key, b AS v_key, cast(it AS bigint) AS mround
-         |FROM r WHERE matched""".stripMargin
+         |)""".stripMargin
   }
+
+  private val matchingSql: String = matchingCtes +
+    "\nSELECT a AS u_key, b AS v_key, cast(it AS bigint) AS mround FROM r WHERE matched"
+
+  /** Coarsening replay: supervertex = matched-pair min key (or self),
+   * contracted parallel edges merge counts + exact weight mass. */
+  private val coarsenSql: String = matchingCtes +
+    """, mm AS (SELECT a, b FROM r WHERE matched)
+      |, vmp AS (
+      |  SELECT v.key, coalesce(p.sup, v.key) AS sup FROM v
+      |  LEFT JOIN (SELECT b AS key, a AS sup FROM mm
+      |             UNION ALL SELECT a, a FROM mm) p USING (key)
+      |), ce AS (
+      |  SELECT least(va.sup, vb.sup) AS su_key,
+      |         greatest(va.sup, vb.sup) AS sv_key, e.w
+      |  FROM (SELECT src_key, dst_key, w FROM esw WHERE src_key < dst_key) e
+      |  JOIN vmp va ON va.key = e.src_key
+      |  JOIN vmp vb ON vb.key = e.dst_key
+      |  WHERE va.sup <> vb.sup
+      |)
+      |SELECT su_key, sv_key, cast(count(*) AS bigint) AS n_edges,
+      |       cast(round(sum(w) * 1000) AS bigint) AS tot_w_e3
+      |FROM ce GROUP BY 1, 2""".stripMargin
 
   /** 3-truss peel replay. The recursive CTE carries the full surviving
    * SYMMETRIC edge set per iteration; support(a,b) = common neighbors
@@ -1067,6 +1093,7 @@ object SparkEntry {
     "q_kcore" -> kcoreSql,
     "q_truss" -> trussSql,
     "q_matching" -> matchingSql,
+    "q_coarsen" -> coarsenSql,
     "q_ppr" -> pprSql,
     "q_pagerank_w" -> pagerankWSql,
     "q_cc" -> ccSql,

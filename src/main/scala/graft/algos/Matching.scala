@@ -83,4 +83,44 @@ object Matching {
     junk.foreach(_.graftFree())
     Result(out, rounds)
   }
+
+  /**
+   * One multilevel contraction step over a matching — the METIS-style
+   * coarsening pass that [[run]]'s matching exists for: every matched
+   * pair collapses into a supervertex named by its smaller key,
+   * unmatched vertices survive as themselves, parallel edges between
+   * supervertices merge with their multiplicities and weight mass
+   * (self-edges — the contracted matched edges — drop). Iterating
+   * matching→coarsen halves the graph per level; the coarse graph
+   * feeds partitioners and multilevel layout/clustering.
+   *
+   * @return (su_key, sv_key, n_edges, tot_w_e3), su_key < sv_key —
+   *         n_edges = contracted multiplicity, tot_w_e3 = exact
+   *         integer Σ weight·1000.
+   */
+  def coarsen(graph: LinkGraph, matching: DataFrame): DataFrame = {
+    require(graph.symmetric, "coarsening expects the symmetrized graph")
+    val pairMap = matching.select(col("v_key").as("key"), col("u_key").as("sup"))
+      .unionByName(matching.select(col("u_key").as("key"), col("u_key").as("sup")))
+    val vmap = graph.vertices.select(col("key"))
+      .join(pairMap, Seq("key"), "left")
+      .select(col("key"), coalesce(col("sup"), col("key")).as("sup"))
+    val vk = (idCol: String, keyCol: String) =>
+      graph.vertices.select(col("id").as(idCol), col("key").as(keyCol))
+    val edges = graph.edgesBySrc
+      .join(vk("src", "a_key"), "src")
+      .join(vk("dst", "b_key"), "dst")
+      .where(col("a_key") < col("b_key"))
+      .select(col("a_key"), col("b_key"), col("weight"))
+    edges
+      .join(vmap.select(col("key").as("a_key"), col("sup").as("sa")), "a_key")
+      .join(vmap.select(col("key").as("b_key"), col("sup").as("sb")), "b_key")
+      .where(col("sa") =!= col("sb"))
+      .groupBy(
+        least(col("sa"), col("sb")).as("su_key"),
+        greatest(col("sa"), col("sb")).as("sv_key"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        round(sum(col("weight")) * 1000).cast("long").as("tot_w_e3"))
+  }
 }

@@ -115,6 +115,20 @@ class Round3Spec extends SparkSpec {
     g.unpersist()
   }
 
+  test("coarsen: edge multiplicities conserve E minus contracted pairs; no self-edges") {
+    val edges = (0 until 7).map(i => (i, i + 1)) ++
+      (for { a <- 10 until 14; b <- 10 until 14 if a < b } yield (a, b)) ++
+      (20 until 25).map(i => (20, i + 1))
+    val g = graphOf(edges, symmetric = true)
+    val m = algos.Matching.run(g).matching
+    val c = algos.Matching.coarsen(g, m).collect()
+    assert(c.forall(r => r.getString(0) < r.getString(1)), "key-oriented, no self-edges")
+    // only the matched edges vanish inside supervertices; every other
+    // original edge lands in exactly one contracted row's multiplicity
+    assert(c.map(_.getLong(2)).sum == edges.length - m.count())
+    g.unpersist()
+  }
+
   test("assortativity sums: closed form on a star") {
     val g = graphOf(Seq((0, 1), (0, 2), (0, 3), (0, 4)), symmetric = true)
     val r = algos.DegreeStats.assortativity(g).collect().head
