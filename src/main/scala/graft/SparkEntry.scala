@@ -127,6 +127,11 @@ object SparkEntry {
       val g = Graphs.get(s, dir, symmetric = true)
       labelsToKeyed(g, LabelPropagation.run(g).labels)
     }),
+    // mode-label community detection (Raghavan LP, deterministic
+    // fixed-round synchronous variant) — finds communities INSIDE
+    // components, unlike min-propagation whose fixpoint is the component
+    "q_lp_comm" -> ((s, dir) =>
+      LabelPropagation.communities(Graphs.get(s, dir, symmetric = true))),
     "q_triangles" -> ((s, dir) => {
       import s.implicits._
       val g = Graphs.get(s, dir, symmetric = true)
@@ -850,6 +855,29 @@ object SparkEntry {
       |)
       |SELECT key, cast(deg AS bigint) AS core_degree FROM cd WHERE deg >= 2""".stripMargin
 
+  /** Mode-LP community replay: 4 unrolled synchronous rounds; top-1 =
+   * row_number over (cnt desc, label) ↔ the engine's
+   * min(struct(−cnt, label)) aggregate. */
+  private val lpCommSql: String = {
+    val round = (t: Int) =>
+      s""", c$t AS (
+         |  SELECT e.dst_key, l.community, count(*) AS cnt
+         |  FROM esw e JOIN l${t - 1} l ON l.key = e.src_key
+         |  GROUP BY 1, 2
+         |), t$t AS (
+         |  SELECT dst_key AS key, community,
+         |         row_number() OVER (PARTITION BY dst_key ORDER BY cnt DESC, community) AS rn
+         |  FROM c$t
+         |), l$t AS (
+         |  SELECT v.key, coalesce(t.community, v.key) AS community
+         |  FROM v LEFT JOIN (SELECT key, community FROM t$t WHERE rn = 1) t USING (key)
+         |)""".stripMargin
+    "WITH " + prefixBody + symBody +
+      ", l0 AS (SELECT key, key AS community FROM v)" +
+      (1 to 4).map(round).mkString +
+      "\nSELECT key, community FROM l4"
+  }
+
   /** Maximal-matching replay: the recursive CTE carries the live edge
    * set; an edge matches when its md5 priority is the min at BOTH
    * endpoints (per-vertex minima = the doubly-referenced working-table
@@ -1094,6 +1122,7 @@ object SparkEntry {
     "q_truss" -> trussSql,
     "q_matching" -> matchingSql,
     "q_coarsen" -> coarsenSql,
+    "q_lp_comm" -> lpCommSql,
     "q_ppr" -> pprSql,
     "q_pagerank_w" -> pagerankWSql,
     "q_cc" -> ccSql,

@@ -76,4 +76,57 @@ object LabelPropagation {
     (base :: pendingFree).filter(_ ne finalLabels).distinct.foreach(_.graftFree())
     Result(finalLabels, i, history.toSeq)
   }
+
+  /**
+   * Community label propagation (Raghavan et al. 2007) — the MODE
+   * variant: each round every vertex adopts the most frequent label
+   * among its neighbors (tie → lexicographically smallest), run
+   * synchronously for a FIXED `rounds`. Unlike the min-propagation
+   * above (whose fixpoint is the component), mode-LP finds dense
+   * communities inside a component; the fixed round count + min
+   * tie-break make it deterministic and oracle-replayable (classic LP
+   * randomizes update order — that variant cannot cross an engine
+   * boundary bit-for-bit).
+   *
+   * Works directly on KEYS (labels are keys), so the export needs no
+   * id mapping. Per round: one co-keyed label join onto the resident
+   * symmetric edge set, one (vertex, label) count aggregate, one
+   * top-1-per-vertex reduction via max(struct(cnt, rev-label)) — all
+   * hash exchanges, no windows.
+   */
+  def communities(graph: LinkGraph, rounds: Int = 4): DataFrame = {
+    require(graph.symmetric, "community LP expects the symmetrized graph")
+    val vk = (idCol: String, keyCol: String) =>
+      graph.vertices.select(col("id").as(idCol), col("key").as(keyCol))
+    val edges = graph.edgesBySrc
+      .join(vk("src", "src_key"), "src")
+      .join(vk("dst", "dst_key"), "dst")
+      .select(col("src_key"), col("dst_key"))
+      .repartition(graph.numPartitions, col("src_key"))
+      .graftCut
+    var labels = graph.vertices.select(col("key"), col("key").as("community"))
+      .repartition(graph.numPartitions, col("key"))
+      .graftCut
+    for (_ <- 1 to rounds) {
+      val counts = edges
+        .join(labels.select(col("key").as("src_key"), col("community")), "src_key")
+        .groupBy(col("dst_key"), col("community"))
+        .agg(count(lit(1)).as("cnt"))
+      // top-1 label per vertex: min over (−cnt, label) — one struct-min
+      // aggregate (partial-combined before the shuffle, no window sort)
+      // gives "highest count, then lexicographically smallest label"
+      val top = counts
+        .groupBy(col("dst_key").as("key"))
+        .agg(min(struct((-col("cnt")).as("negcnt"), col("community"))).as("m"))
+        .select(col("key"), col("m.community").as("nc"))
+      val next = labels
+        .join(top, Seq("key"), "left")
+        .select(col("key"), coalesce(col("nc"), col("community")).as("community"))
+        .graftCut
+      labels.graftFree()
+      labels = next
+    }
+    edges.graftFree()
+    labels
+  }
 }

@@ -98,6 +98,18 @@ class Round3Spec extends SparkSpec {
     g.unpersist()
   }
 
+  test("community LP: each clique settles on ONE label, cliques stay distinct") {
+    val cliques = (for { a <- 0 until 4; b <- 0 until 4 if a < b } yield (a, b)) ++
+      (for { a <- 4 until 8; b <- 4 until 8 if a < b } yield (a, b))
+    val g = graphOf(cliques, symmetric = true)
+    val m = algos.LabelPropagation.communities(g).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert((0 until 4).map(i => m(keyOf(i))).toSet.size == 1, "clique 1 uniform")
+    assert((4 until 8).map(i => m(keyOf(i))).toSet.size == 1, "clique 2 uniform")
+    assert(m(keyOf(0)) != m(keyOf(4)), "cliques keep distinct communities")
+    g.unpersist()
+  }
+
   test("Matching: valid (disjoint) and maximal on path + clique + star") {
     val edges = (0 until 7).map(i => (i, i + 1)) ++ // path 0..7
       (for { a <- 10 until 14; b <- 10 until 14 if a < b } yield (a, b)) ++ // K4
