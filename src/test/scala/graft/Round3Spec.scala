@@ -141,6 +141,26 @@ class Round3Spec extends SparkSpec {
     g.unpersist()
   }
 
+  test("coarsening preserves components: CC on the coarse graph = CC on the fine graph") {
+    // every component keeps >= 2 supervertices, so none vanishes from
+    // the edge-derived coarse vertex set: path7, K4, 5-cycle
+    val edges = (0 until 6).map(i => (i, i + 1)) ++
+      (for { a <- 10 until 14; b <- 10 until 14 if a < b } yield (a, b)) ++
+      (20 until 25).map(i => (i, if (i == 24) 20 else i + 1))
+    val g = graphOf(edges, symmetric = true)
+    val c = algos.Matching.coarsen(g, algos.Matching.run(g).matching)
+    val gc = LinkGraph.fromKeyEdges(
+      c.select(col("su_key").as("src_key"), col("sv_key").as("dst_key"),
+        lit(1.0).as("weight")),
+      symmetric = true, numPartitions)
+    val nFine = algos.ConnectedComponents.componentCount(
+      algos.ConnectedComponents.run(g).labels)
+    val nCoarse = algos.ConnectedComponents.componentCount(
+      algos.CCStar.run(gc).labels)
+    assert(nFine == 3 && nCoarse == 3)
+    g.unpersist(); gc.unpersist()
+  }
+
   test("assortativity sums: closed form on a star") {
     val g = graphOf(Seq((0, 1), (0, 2), (0, 3), (0, 4)), symmetric = true)
     val r = algos.DegreeStats.assortativity(g).collect().head
