@@ -127,6 +127,20 @@ object SparkEntry {
       val g = Graphs.get(s, dir, symmetric = true)
       labelsToKeyed(g, LabelPropagation.run(g).labels)
     }),
+    // batch PPR: the top-4 hub seeds' personalization vectors in ONE
+    // superstep loop (the MSBFS trick — K rides in rows, not jobs)
+    "q_ppr_multi" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      val seedIds = g.degrees.join(g.vertices, "id")
+        .orderBy(desc("out_degree"), col("key"))
+        .limit(4).select(col("id"))
+        .collect().map(_.getLong(0)).toSeq
+      PersonalizedPageRank.runBatch(g, seedIds)
+        .join(g.vertices.select(col("id").as("sid"), col("key").as("seed_key")), "sid")
+        .join(g.vertices, "id")
+        .select(col("seed_key"), col("key"),
+          round(col("raw") * 100000).cast("long").as("rank_e5"))
+    }),
     // mode-label community detection (Raghavan LP, deterministic
     // fixed-round synchronous variant) — finds communities INSIDE
     // components, unlike min-propagation whose fixpoint is the component
@@ -313,7 +327,11 @@ object SparkEntry {
     "q_coarsen" -> ((s, dir) => {
       val g = Graphs.get(s, dir, symmetric = true)
       Matching.coarsen(g, Matching.run(g).matching)
-    })
+    }),
+    // 2-approximate vertex cover = the matching's endpoints
+    "q_vcover" -> ((s, dir) =>
+      Matching.vertexCover(
+        Matching.run(Graphs.get(s, dir, symmetric = true)).matching))
   )
 
   /** Deterministic, non-degenerate root: the max-degree vertex
@@ -855,6 +873,40 @@ object SparkEntry {
       |)
       |SELECT key, cast(deg AS bigint) AS core_degree FROM cd WHERE deg >= 2""".stripMargin
 
+  /** Batch-PPR replay: pprSql generalized over the top-4 hub seeds —
+   * the per-iteration frame is deg × seeds, messages group by
+   * (seed, dst). Same float-constant spelling as pprSql so the e5
+   * rounding agrees bit-for-bit. */
+  private val pprMultiSql: String = {
+    val tele = "(CASE WHEN b.key = b.seed THEN 1.0 ELSE 0.0 END)"
+    val iter = (i: Int) =>
+      s""", s$i AS (
+         |  SELECT p.seed, esw.dst_key AS key, sum(p.vv) AS s
+         |  FROM esw JOIN p${i - 1} p ON p.key = esw.src_key GROUP BY 1, 2
+         |), p$i AS (
+         |  SELECT b.seed, b.key,
+         |         (1.0 - 0.85) * $tele + 0.85 * coalesce(s$i.s, 0) AS raw,
+         |         CASE WHEN b.o > 0
+         |              THEN ((1.0 - 0.85) * $tele + 0.85 * coalesce(s$i.s, 0)) / b.o
+         |              ELSE (1.0 - 0.85) * $tele + 0.85 * coalesce(s$i.s, 0) END AS vv
+         |  FROM bse b LEFT JOIN s$i ON s$i.seed = b.seed AND s$i.key = b.key
+         |)""".stripMargin
+    "WITH " + prefixBody + symBody +
+      """, rt4m AS MATERIALIZED (
+        |  SELECT src_key AS seed FROM esw GROUP BY src_key ORDER BY count(*) DESC, src_key LIMIT 4
+        |), od AS (SELECT src_key AS key, count(*) AS o FROM esw GROUP BY 1)
+        |, deg AS (SELECT v.key, coalesce(od.o, 0) AS o FROM v LEFT JOIN od ON od.key = v.key)
+        |, bse AS (SELECT r.seed, deg.key, deg.o AS o FROM deg CROSS JOIN rt4m r)
+        |, p0 AS (
+        |  SELECT seed, key,
+        |         CASE WHEN key = seed THEN 1.0 ELSE 0.0 END AS raw,
+        |         CASE WHEN key = seed THEN (CASE WHEN o > 0 THEN 1.0 / o ELSE 1.0 END)
+        |              ELSE 0.0 END AS vv
+        |  FROM bse)""".stripMargin +
+      (1 to 5).map(iter).mkString +
+      "\nSELECT seed AS seed_key, key, cast(round(raw*100000) AS bigint) AS rank_e5 FROM p5"
+  }
+
   /** Mode-LP community replay: 4 unrolled synchronous rounds; top-1 =
    * row_number over (cnt desc, label) ↔ the engine's
    * min(struct(−cnt, label)) aggregate. */
@@ -1123,6 +1175,14 @@ object SparkEntry {
     "q_matching" -> matchingSql,
     "q_coarsen" -> coarsenSql,
     "q_lp_comm" -> lpCommSql,
+    "q_ppr_multi" -> pprMultiSql,
+    // DuckDB 1.0: UNION-dedup misbehaves in WITH RECURSIVE lists —
+    // UNION ALL + explicit DISTINCT (SURVEY §7 gotcha)
+    "q_vcover" -> (matchingCtes +
+      """
+        |SELECT DISTINCT key FROM (
+        |  SELECT a AS key FROM r WHERE matched
+        |  UNION ALL SELECT b FROM r WHERE matched) u""".stripMargin),
     "q_ppr" -> pprSql,
     "q_pagerank_w" -> pagerankWSql,
     "q_cc" -> ccSql,

@@ -84,6 +84,15 @@ object Matching {
     Result(out, rounds)
   }
 
+  /** 2-approximate minimum vertex cover — the endpoints of a maximal
+   * matching (Gavril/Yannakakis: every edge has a matched endpoint by
+   * maximality, and |C| = 2|M| ≤ 2·OPT since any cover needs one
+   * endpoint per matched edge). Free once [[run]] exists. */
+  def vertexCover(matching: DataFrame): DataFrame =
+    matching.select(col("u_key").as("key"))
+      .unionByName(matching.select(col("v_key").as("key")))
+      .distinct()
+
   /**
    * One multilevel contraction step over a matching — the METIS-style
    * coarsening pass that [[run]]'s matching exists for: every matched

@@ -98,6 +98,27 @@ class Round3Spec extends SparkSpec {
     g.unpersist()
   }
 
+  test("batch PPR: one loop over K seeds equals K single-seed runs") {
+    val edges = Seq((0, 1), (1, 2), (2, 3), (3, 0), (2, 4), (4, 5), (5, 6), (6, 4), (7, 8))
+    val g = graphOf(edges, symmetric = true)
+    val ids = indexOf(g).map(_.swap)
+    val seeds = Seq(ids(0), ids(4))
+    val batch = algos.PersonalizedPageRank.runBatch(g, seeds, iterations = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    seeds.foreach { s =>
+      val single = algos.PersonalizedPageRank.run(g, Seq(s), iterations = 5).scores
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      single.foreach { case (id, sc) =>
+        assert(math.abs(batch((s, id)) - sc) < 1e-12, s"seed $s vertex $id")
+      }
+      // vertices outside the single-seed support must be exactly zero
+      batch.filter(_._1._1 == s).foreach { case ((_, id), v) =>
+        if (!single.contains(id)) assert(v == 0.0)
+      }
+    }
+    g.unpersist()
+  }
+
   test("community LP: each clique settles on ONE label, cliques stay distinct") {
     val cliques = (for { a <- 0 until 4; b <- 0 until 4 if a < b } yield (a, b)) ++
       (for { a <- 4 until 8; b <- 4 until 8 if a < b } yield (a, b))
