@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.syntax._
-import graft.{LinkGraph, Superstep}
+import graft.{Checkpoint, LinkGraph, Superstep}
 
 /**
  * Delta-stepping single-source shortest paths (Meyer & Sanders 2003)
@@ -40,12 +40,21 @@ object DeltaStepping {
 
   val compactEvery = 4
 
-  /** @return distances (id, dist) for REACHED vertices only. */
+  /** @return distances (id, dist) for REACHED vertices only.
+   *
+   * Checkpointing snapshots at BUCKET boundaries (dist + the pending
+   * flag, Sssp's layout): between buckets the two tables are the
+   * complete algorithm state — the bucket index itself is recomputed
+   * from the pending minimum — so a resumed run replays the remaining
+   * buckets exactly (Round3Spec). */
   def run(
       graph: LinkGraph,
       rootId: Long,
       delta: Double = 2.0,
-      maxRounds: Int = 100000): Result = {
+      maxRounds: Int = 100000,
+      ckpt: Option[Checkpoint] = None,
+      ckptEvery: Int = 2,
+      resume: Boolean = false): Result = {
     require(graph.symmetric,
       "the O(1) light/heavy transpose below swaps columns — symmetric graphs only")
     val spark = graph.spark
@@ -64,8 +73,22 @@ object DeltaStepping {
     val gLight = sub(lightE, lightE.count())
     val gHeavy = sub(heavyE, heavyE.count())
 
-    var dist = Seq((rootId, 0.0)).toDF("id", "dist")
-      .repartition(np, col("id")).graftCut
+    var dist: DataFrame = null
+    var pending0: DataFrame = null
+    var startBucket = 0
+    val resumed = if (resume) ckpt.flatMap(_.latestIteration()) else None
+    resumed match {
+      case Some(k) =>
+        val st = ckpt.get.load(spark, k)
+          .repartition(np, col("id")).graftCut
+        dist = st.select(col("id"), col("dist")).graftCut
+        pending0 = st.where(col("pending")).select(col("id")).graftCut
+        st.graftFree()
+        startBucket = k
+      case None =>
+        dist = Seq((rootId, 0.0)).toDF("id", "dist")
+          .repartition(np, col("id")).graftCut
+    }
 
     // Free discipline: f/improved cuts are referenced by TWO lazy
     // chains (pending's anti-join/union tree and dist's merge chain),
@@ -83,9 +106,11 @@ object DeltaStepping {
 
     var distBase = dist // the cut anchoring the current merge chain
     // ids whose current distance has not been relaxed from yet
-    var pending = dist.select(col("id")).graftCut
-    var nPending = 1L
-    var buckets = 0
+    var pending =
+      if (pending0 != null) pending0
+      else dist.select(col("id")).graftCut
+    var nPending = pending.count()
+    var buckets = startBucket
     var rounds = 0
 
     while (nPending > 0 && rounds < maxRounds) {
@@ -161,6 +186,12 @@ object DeltaStepping {
       nPending = np2
       junk.filter(d => (d ne dist) && (d ne pending)).foreach(_.graftFree())
       junk = Nil
+      if (ckpt.nonEmpty && (nPending == 0 || buckets % ckptEvery == 0))
+        ckpt.get.save(
+          dist.join(pending.select(col("id"), lit(true).as("pending")), Seq("id"), "left")
+            .select(col("id"), col("dist"),
+              coalesce(col("pending"), lit(false)).as("pending")),
+          buckets, nPending)
     }
 
     val finalDist = dist

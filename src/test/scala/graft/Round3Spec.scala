@@ -82,6 +82,28 @@ class Round3Spec extends SparkSpec {
     g.unpersist()
   }
 
+  test("DeltaStepping: interrupted and resumed run equals uninterrupted distances") {
+    val edges = (0 until 30).map(i => (i, i + 1))
+    val w = edges.map { case (a, b) => (a, b) -> (if (a % 3 == 0) 2.5 else 1.0) }.toMap
+    val g = graphOf(edges, symmetric = true, weights = w)
+    val root = indexOf(g).collectFirst { case (id, 0) => id }.get
+    val full = byIndex(g, algos.DeltaStepping.run(g, root, delta = 2.0).distances, "dist")
+    val ck = Checkpoint(java.nio.file.Files.createTempDirectory("graft-ds").toString)
+    // "kill" mid-run: enough rounds for a few bucket-end snapshots
+    algos.DeltaStepping.run(g, root, delta = 2.0, maxRounds = 9,
+      ckpt = Some(ck), ckptEvery = 1)
+    assert(ck.latestIteration().exists(_ >= 1))
+    val resumed = byIndex(g,
+      algos.DeltaStepping.run(g, root, delta = 2.0,
+        ckpt = Some(ck), ckptEvery = 1, resume = true).distances, "dist")
+    assert(resumed.keySet == full.keySet)
+    full.foreach { case (i, v) =>
+      assert(math.abs(resumed(i).asInstanceOf[Double] - v.asInstanceOf[Double]) < 1e-12,
+        s"vertex $i")
+    }
+    g.unpersist()
+  }
+
   test("Truss: 3-truss keeps the cliques with exact support, peels the tail; 5-truss empty") {
     val cliques = (for { a <- 0 until 4; b <- 0 until 4 if a < b } yield (a, b)) ++
       (for { a <- 4 until 8; b <- 4 until 8 if a < b } yield (a, b))
