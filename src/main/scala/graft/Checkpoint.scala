@@ -35,11 +35,16 @@ final case class Checkpoint(dir: String, buckets: Int = 32) {
     val path = iterDir(iteration)
     state.write.mode("overwrite").parquet(path)
     val saved = state.sparkSession.read.parquet(path)
+    // order-independent digest; the sum runs in decimal(38,0) — a
+    // long sum of xxhash64 values overflows (ANSI abort) once a bucket
+    // holds enough rows (latent until round 3's edge-set checkpoints,
+    // whose buckets carry many rows per id)
     val hashes = saved
       .groupBy(pmod(col("id"), lit(buckets.toLong)).as("bucket"))
-      .agg(sum(xxhash64(saved.columns.map(col).toIndexedSeq: _*)).as("h"))
+      .agg(sum(xxhash64(saved.columns.map(col).toIndexedSeq: _*)
+        .cast("decimal(38,0)")).as("h"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map(r => (r.getLong(0), r.getDecimal(1).toBigInteger.toString))
       .sortBy(_._1)
     val numRows = saved.count()
     val hashJson = hashes.map { case (b, h) => s"""{"bucket":$b,"hash":$h}""" }

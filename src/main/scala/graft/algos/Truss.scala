@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.syntax._
-import graft.LinkGraph
+import graft.{Checkpoint, LinkGraph}
 
 /**
  * k-truss decomposition (fixed k): iteratively delete every edge that
@@ -34,13 +34,29 @@ object Truss {
   final case class Result(edges: DataFrame, rounds: Int)
 
   /** @return (edges = (a, b, support) oriented rows of the k-truss,
-   *          rounds to fixpoint). */
-  def run(graph: LinkGraph, k: Int = 3, maxRounds: Int = 12): Result = {
+   *          rounds to fixpoint). The surviving edge set IS the state,
+   *          so checkpoints snapshot it per round ((id = a, b) rows)
+   *          and a resumed peel replays exactly ([[Result.rounds]]
+   *          then counts the remaining rounds only). */
+  def run(graph: LinkGraph, k: Int = 3, maxRounds: Int = 12,
+      ckpt: Option[Checkpoint] = None, ckptEvery: Int = 1,
+      resume: Boolean = false): Result = {
     require(k >= 3, "k-truss needs k >= 3")
     val need = (k - 2).toLong
-    var eo = TriangleCount.orient(graph).repartition(graph.numPartitions, col("a"))
-    var (cur, n) = eo.graftCutCount
     var rounds = 0
+    val resumed = if (resume) ckpt.flatMap(_.latestIteration()) else None
+    var (cur, n) = resumed match {
+      case Some(rk) =>
+        rounds = rk
+        ckpt.get.load(graph.spark, rk)
+          .select(col("id").as("a"), col("b"))
+          .repartition(graph.numPartitions, col("a"))
+          .graftCutCount
+      case None =>
+        TriangleCount.orient(graph)
+          .repartition(graph.numPartitions, col("a"))
+          .graftCutCount
+    }
     var converged = false
     var last: DataFrame = null
     while (!converged && rounds < maxRounds) {
@@ -66,6 +82,8 @@ object Truss {
       if (!converged) cur = kept.select(col("a"), col("b"))
       n = m
       rounds += 1
+      if (ckpt.nonEmpty && (converged || rounds % ckptEvery == 0))
+        ckpt.get.save(kept.select(col("a").as("id"), col("b")), rounds, m)
     }
     Result(last, rounds)
   }

@@ -213,6 +213,21 @@ class Round3Spec extends SparkSpec {
     g.unpersist()
   }
 
+  test("Truss: interrupted and resumed peel yields the identical truss") {
+    val edges = (for { a <- 0 until 5; b <- 0 until 5 if a < b } yield (a, b)) ++
+      Seq((4, 8), (8, 9), (9, 4), (9, 10), (10, 11))
+    val g = graphOf(edges, symmetric = true)
+    val full = algos.Truss.run(g, k = 4).edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ck = Checkpoint(java.nio.file.Files.createTempDirectory("graft-truss").toString)
+    algos.Truss.run(g, k = 4, maxRounds = 1, ckpt = Some(ck)) // "kill" after round 1
+    assert(ck.latestIteration().contains(1))
+    val resumed = algos.Truss.run(g, k = 4, ckpt = Some(ck), resume = true).edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(resumed == full)
+    g.unpersist()
+  }
+
   // ---- as-of join ----
 
   test("asOfJoin picks the latest strictly-earlier quote per key") {
