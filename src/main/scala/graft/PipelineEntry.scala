@@ -93,6 +93,12 @@ object PipelineEntry {
     // share ∝ √count_s — integer-exact thresholds, hash-replayable
     "q_mix_temp" -> ((s, dir) => Mix.temperatureMix(Dedup.docs(s, dir))),
     "q_pack" -> ((s, dir) => Mix.pack(Dedup.docs(s, dir))),
+    // blocked exact-substring dedup: duplicated 5-token spans across
+    // documents (the scalable form of suffix-array substring dedup)
+    "q_dupspans" -> ((s, dir) => Dedup.dupSpans(Dedup.docs(s, dir))),
+    // asymmetric containment pairs over the MinHash-LSH candidates —
+    // the subset-duplicate signal Jaccard misses
+    "q_containment" -> ((s, dir) => Dedup.containmentPairs(Dedup.docs(s, dir))),
     "q_media" -> ((s, dir) => {
       val m = Multimodal.mediaTable(s, dir)
       Multimodal.decode(m)
@@ -778,6 +784,41 @@ object PipelineEntry {
       |JOIN norms nb ON nb.vec_id = d.vec_b
       |WHERE round(d.d / (na.nrm * nb.nrm) * 10000) >= 3000""".stripMargin
 
+  /** Mirrors Dedup.dupSpans: non-overlapping 5-token blocks, global
+   * distinct-doc counts, integer-exact duplicated ratio. DuckDB list
+   * slice a[x:y] is 1-based end-inclusive ↔ Spark slice(a, x, 5). */
+  private val dupSpansSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+      |), ix AS (
+      |  SELECT doc_id, a, unnest(generate_series(1, (len(a) + 4) // 5)) AS i FROM t
+      |), b AS (
+      |  SELECT doc_id, array_to_string(a[(i-1)*5+1:i*5], ' ') AS blk FROM ix
+      |), c AS (
+      |  SELECT blk, count(DISTINCT doc_id) AS nd FROM b GROUP BY 1
+      |), p AS (
+      |  SELECT b.doc_id, count(*) AS n_spans,
+      |         sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS dup_spans
+      |  FROM b JOIN c USING (blk) GROUP BY 1
+      |)
+      |SELECT doc_id, cast(n_spans AS bigint) AS n_spans,
+      |       cast(dup_spans AS bigint) AS dup_spans,
+      |       cast(10000 * dup_spans // n_spans AS bigint) AS dup_ratio_e4
+      |FROM p""".stripMargin
+
+  /** Mirrors Dedup.containmentPairs: the minhash band candidates'
+   * exact intersections, kept when either direction's containment
+   * ≥ 0.5 (integer-exact threshold), exports 10⁴·i // sz. */
+  private val containmentSql: String = docPrefix + minhashBody(mat = false) +
+    """
+      |SELECT i.doc_a, i.doc_b,
+      |       cast(10000 * i.i // sa.sz AS bigint) AS cont_a_e4,
+      |       cast(10000 * i.i // sb.sz AS bigint) AS cont_b_e4
+      |FROM inter i
+      |JOIN szs sa ON sa.doc_id = i.doc_a
+      |JOIN szs sb ON sb.doc_id = i.doc_b
+      |WHERE 10000 * i.i >= 5000 * sa.sz OR 10000 * i.i >= 5000 * sb.sz""".stripMargin
+
   /** Mirrors Multimodal.mediaTable + decode (md5-segment fake codec)
    * + the constant feature dim. */
   private val mediaSql: String =
@@ -828,5 +869,7 @@ object PipelineEntry {
     "q_kmeans" -> (ivfTrainCtes(16, 2) +
       "\nSELECT vec_id, cast(cid AS bigint) AS cid FROM rk WHERE rn = 1"),
     "q_rollup" -> rollupSql,
+    "q_dupspans" -> dupSpansSql,
+    "q_containment" -> containmentSql,
     "q_curate" -> curateSql)
 }

@@ -16,11 +16,13 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val t0 = System.nanoTime()
-    val df = SparkEntry.queries(query)(spark, sfDir)
-    df.coalesce(1).write.mode("overwrite").parquet(s"/tmp/scratch_out/$query")
-    System.err.println(f"[t] $query: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    spark.read.parquet(s"/tmp/scratch_out/$query").show(20, truncate = false)
+    query.split(',').foreach { q =>
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.coalesce(1).write.mode("overwrite").parquet(s"/tmp/scratch_out/$q")
+      System.err.println(f"[t] $q: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.read.parquet(s"/tmp/scratch_out/$q").show(5, truncate = false)
+    }
     spark.stop()
   }
 }

@@ -331,7 +331,48 @@ object SparkEntry {
     // 2-approximate vertex cover = the matching's endpoints
     "q_vcover" -> ((s, dir) =>
       Matching.vertexCover(
-        Matching.run(Graphs.get(s, dir, symmetric = true)).matching))
+        Matching.run(Graphs.get(s, dir, symmetric = true)).matching)),
+    // incremental connectivity: components of the adjacency-only edge
+    // set first (phase 1), then the tool edges "arrive" (weight 2.0 on
+    // the symmetric graph — tool/turn vertex pairs are disjoint from
+    // adjacency pairs, EdgeBuilder) and only their endpoints wake.
+    // Shares q_cc's independent structural oracle: a green row is hard
+    // evidence warm-start maintenance reaches the cold fixpoint.
+    "q_cc_inc" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      labelsToKeyed(g,
+        ConnectedComponents.incremental(g, col("weight") === 2.0).labels)
+    }),
+    // graph-Voronoi partition: every reached vertex assigned to its
+    // nearest of the 4 landmark hubs (tie-break min seed key) — the
+    // landmark-sharding operator, derived from the one-loop MSBFS state
+    "q_voronoi" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      val rootKeys = g.vertices.select(col("id").as("root"), col("key").as("root_key"))
+      MultiSourceBfs.voronoi(MultiSourceBfs.run(g, rootIds(g, 4)).dists, rootKeys)
+        .join(g.vertices, "id")
+        .select(col("key"), col("seed_key"), col("dist"))
+    }),
+    // DAG longest-path depth (critical path) on the DIRECTED graph —
+    // the max-plus twin of SSSP's relaxation (turn chains + tool hops
+    // form a DAG by construction)
+    "q_critpath" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = false)
+      DagDepth.run(g).depth.join(g.vertices, "id")
+        .select(col("key"), col("d").as("depth"))
+    }),
+    // batched multi-root Brandes: the 4 landmark hubs' σ/dependency
+    // pairs in ONE forward/backward pass (the sampled-approximate-BC
+    // building block — K roots at O(diameter) jobs total)
+    "q_bc_multi" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      Betweenness.runBatch(g, rootIds(g, 4)).bc
+        .join(g.vertices.select(col("id").as("root"), col("key").as("root_key")), "root")
+        .join(g.vertices, "id")
+        .select(col("root_key"), col("key"),
+          col("sigma").cast("long").as("sigma"),
+          round(col("bc") * 1000).cast("long").as("bc_e3"))
+    })
   )
 
   /** Deterministic, non-degenerate root: the max-degree vertex
@@ -1063,6 +1104,80 @@ object SparkEntry {
       |       cast(round((dp.dep * sg.sigma - 1.0)*1000) AS bigint) AS bc_e3
       |FROM sg JOIN dp ON dp.key = sg.key""".stripMargin
 
+  /** Voronoi assignment replay: per reached key, the (min level, min
+   * root) seed over the msbfs recursion — the same argmin the engine's
+   * `min(struct(dist, root_key))` aggregate computes. */
+  private val voronoiSql: String = "WITH RECURSIVE " + prefixBody + symBody + msbfsBody +
+    """, d AS (
+      |  SELECT root, key, min(lvl) AS dd FROM r GROUP BY 1, 2
+      |)
+      |SELECT key, root AS seed_key, cast(dd AS bigint) AS dist FROM (
+      |  SELECT key, root, dd,
+      |         row_number() OVER (PARTITION BY key ORDER BY dd, root) AS rn
+      |  FROM d) x
+      |WHERE rn = 1""".stripMargin
+
+  /** DAG longest-path replay: step t of the grouped max-relax
+   * recursion produces exactly the vertices with a t-edge path, at
+   * value t; on the (acyclic) transcript graph the recursion dies at
+   * the longest path length, so the cap never binds. */
+  private val critpathSql: String = "WITH RECURSIVE " + prefixBody +
+    """, r(key, d) AS (
+      |  SELECT key, 0 FROM v
+      |  UNION ALL
+      |  SELECT e.dst_key, max(r.d) + 1 FROM r JOIN e ON e.src_key = r.key
+      |  WHERE r.d < 200 GROUP BY e.dst_key
+      |)
+      |SELECT key, cast(max(d) AS bigint) AS depth FROM r GROUP BY key""".stripMargin
+
+  /** Multi-root [[bcSql]]: the forward recursion carries (root, key,
+   * lvl, σ) with all 4 searches advancing in lockstep by GLOBAL level
+   * (exactly the engine's batched schedule); the backward sweep steps
+   * global levels deepest-first — a shallower root's leaves enter at
+   * their own level with no children, which the coalesce(…, 0)
+   * handles as Brandes' base case. */
+  private val bcMultiSql: String = "WITH RECURSIVE " + prefixBody + symBody +
+    """, rt4 AS MATERIALIZED (
+      |  SELECT src_key AS rkey FROM esw GROUP BY src_key ORDER BY count(*) DESC, src_key LIMIT 4
+      |), fw(root, key, lvl, sigma) AS (
+      |  SELECT rkey, rkey, 0, cast(1.0 AS double) FROM rt4
+      |  UNION ALL
+      |  SELECT nxt.root, nxt.key, nxt.lvl, nxt.sigma FROM (
+      |    SELECT r0.root, r0.key, r0.lvl, r0.sigma FROM fw r0
+      |    UNION ALL
+      |    SELECT f.root, esw.dst_key, min(f.lvl) + 1, sum(f.sigma)
+      |    FROM fw f JOIN esw ON esw.src_key = f.key
+      |    WHERE f.lvl = (SELECT max(m.lvl) FROM fw m)
+      |      AND NOT EXISTS (SELECT 1 FROM fw x WHERE x.root = f.root AND x.key = esw.dst_key)
+      |    GROUP BY f.root, esw.dst_key
+      |  ) nxt
+      |  WHERE EXISTS (
+      |    SELECT 1 FROM fw f JOIN esw ON esw.src_key = f.key
+      |    WHERE f.lvl = (SELECT max(m.lvl) FROM fw m)
+      |      AND NOT EXISTS (SELECT 1 FROM fw x WHERE x.root = f.root AND x.key = esw.dst_key))
+      |), sg AS MATERIALIZED (
+      |  SELECT DISTINCT root, key, lvl, sigma FROM fw
+      |), dag AS MATERIALIZED (
+      |  SELECT a.root, esw.src_key, esw.dst_key, a.lvl AS slvl
+      |  FROM esw JOIN sg a ON a.key = esw.src_key
+      |           JOIN sg b ON b.root = a.root AND b.key = esw.dst_key
+      |  WHERE b.lvl = a.lvl + 1
+      |), dp(root, key, dep, lvl) AS (
+      |  SELECT root, key, 1.0/sigma, lvl FROM sg WHERE lvl = (SELECT max(s2.lvl) FROM sg s2)
+      |  UNION ALL
+      |  SELECT s.root, s.key, 1.0/s.sigma + coalesce(ch.su, 0), s.lvl
+      |  FROM sg s
+      |  LEFT JOIN (
+      |    SELECT d.root, dag.src_key AS key, sum(d.dep) AS su
+      |    FROM dp d JOIN dag ON dag.root = d.root AND dag.dst_key = d.key AND dag.slvl = d.lvl - 1
+      |    GROUP BY 1, 2
+      |  ) ch ON ch.root = s.root AND ch.key = s.key
+      |  WHERE s.lvl = (SELECT min(d2.lvl) FROM dp d2) - 1 AND (SELECT min(d3.lvl) FROM dp d3) > 0
+      |)
+      |SELECT sg.root AS root_key, sg.key AS key, cast(sg.sigma AS bigint) AS sigma,
+      |       cast(round((dp.dep * sg.sigma - 1.0)*1000) AS bigint) AS bc_e3
+      |FROM sg JOIN dp ON dp.root = sg.root AND dp.key = sg.key""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -1186,7 +1301,11 @@ object SparkEntry {
     "q_ppr" -> pprSql,
     "q_pagerank_w" -> pagerankWSql,
     "q_cc" -> ccSql,
+    "q_cc_inc" -> ccSql,
     "q_lp" -> ccSql,
+    "q_voronoi" -> voronoiSql,
+    "q_critpath" -> critpathSql,
+    "q_bc_multi" -> bcMultiSql,
     "q_triangles" -> (prefix +
       """, ud AS (
         |  SELECT DISTINCT least(src_key, dst_key) AS a, greatest(src_key, dst_key) AS b FROM e

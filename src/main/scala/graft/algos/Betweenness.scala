@@ -149,4 +149,106 @@ object Betweenness {
     (visitedBase :: levels ::: done).filter(_ ne bc).distinct.foreach(_.graftFree())
     Result(bc, depth)
   }
+
+  final case class BatchResult(bc: DataFrame, levels: Int)
+
+  /**
+   * Batched multi-root Brandes — K roots in ONE forward/backward pass
+   * (the MSBFS trick applied to betweenness): state rows carry a
+   * `root` column, every superstep's edge join is shared by all K
+   * searches, and messages combine per (dst, root). K roots cost
+   * O(diameter) jobs total instead of K·O(diameter) — the job count,
+   * not the row count, is the scale bottleneck of per-root loops.
+   *
+   * This is the building block of SAMPLED approximate betweenness
+   * (Brandes-Pich: bc ≈ |V|/K · Σ over K sampled roots of per-root
+   * dependency), the only affordable form at 10^12 edges where exact
+   * BC's |V| rooted passes are out of the question. The per-(root,
+   * vertex) output keeps the σ/dependency pairs exact (reference
+   * report shape, bc.cpp:184-190) so the estimator stays a trivial
+   * grouped sum.
+   *
+   * Roots advance in lockstep: levels(l) holds (id, root, sigma) for
+   * every pair at distance l FROM ITS ROOT; a root whose search
+   * exhausts early simply stops contributing rows. The backward
+   * unwind processes global levels deepest-first — a shallow root's
+   * leaves enter at their own level with no children, which the sum
+   * coalesces to 0, exactly Brandes' base case.
+   */
+  def runBatch(graph: LinkGraph, roots: Seq[Long]): BatchResult = {
+    require(roots.nonEmpty && roots.distinct.size == roots.size, "roots must be distinct")
+    val spark = graph.spark
+    import spark.implicits._
+
+    // ---- forward: per-level (id, root, sigma)
+    var levels = List[DataFrame]()
+    var frontier = roots.map(r => (r, r, 1.0)).toDF("id", "root", "sigma")
+      .repartition(graph.numPartitions, col("id")).graftCut
+    var visited = frontier.select(col("id"), col("root")).graftCut
+    levels = frontier :: levels
+    var frontierCount = roots.size.toLong
+    var visitedBase = visited
+
+    def gatherBy(g: LinkGraph, active: DataFrame, valueCol: String, n: Long): DataFrame = {
+      val mass = Superstep.massOrBound(g, active, n)
+      val sparse = mass < g.numEdges / Superstep.denseThresholdFraction &&
+        n < Superstep.broadcastRowCap
+      val src = active.select(col("id").as("src"), col("root"), col(valueCol))
+      val joined =
+        if (sparse) g.edgesBySrc.join(broadcast(src), "src")
+        else g.edgesBySrc.join(src.repartition(g.numPartitions, col("src")), "src")
+      joined.groupBy(col("dst").as("id"), col("root"))
+        .agg(sum(col(valueCol)).as(valueCol))
+    }
+
+    while (frontierCount > 0) {
+      val msgs = gatherBy(graph, frontier, "sigma", frontierCount)
+      val (next, n) = msgs.join(visited, Seq("id", "root"), "left_anti")
+        .graftCutCount
+      frontierCount = n
+      if (frontierCount > 0) {
+        visited = visited.unionByName(next.select(col("id"), col("root")))
+        if (levels.length % 8 == 0) {
+          visited = visited.graftCut
+          visitedBase.graftFree()
+          visitedBase = visited
+        }
+        frontier = next
+        levels = next :: levels
+      }
+    }
+    val depth = levels.length - 1
+
+    // ---- backward on the transposed graph, global levels deepest-first
+    val t = graph.transpose
+    var depFrontier: DataFrame = null // (id, root, dep) of the level just processed
+    var done: List[DataFrame] = Nil
+    levels.foreach { lvl =>
+      val withInv = lvl.select(col("id"), col("root"), (lit(1.0) / col("sigma")).as("inv"))
+      val dep =
+        if (depFrontier == null)
+          withInv.select(col("id"), col("root"), col("inv").as("dep"))
+        else {
+          val cnt = depFrontier.count()
+          val msgs = gatherBy(t, depFrontier, "dep", cnt)
+          // visited guard (bc.cpp:139,160): only THIS level's members
+          // of the SAME root's search may receive
+          withInv.join(msgs, Seq("id", "root"), "left")
+            .select(col("id"), col("root"),
+              (col("inv") + coalesce(col("dep"), lit(0.0))).as("dep"))
+        }
+      val cut = dep.graftCut
+      depFrontier = cut
+      done = cut :: done
+    }
+
+    val allDeps = done.reduce(_ unionByName _)
+    val sigmas = levels.reduce(_ unionByName _)
+    val bc = allDeps.join(sigmas, Seq("id", "root"))
+      .select(col("id"), col("root"), col("sigma"),
+        (col("dep") * col("sigma") - 1.0).as("bc"))
+      .graftCut
+    (visitedBase :: levels ::: done).filter(_ ne bc).distinct.foreach(_.graftFree())
+    BatchResult(bc, depth)
+  }
 }

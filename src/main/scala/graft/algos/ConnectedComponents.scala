@@ -34,7 +34,9 @@ object ConnectedComponents {
       ckptEvery: Int = 5,
       resume: Boolean = false,
       maxIterations: Int = 10000,
-      saltBuckets: Int = -1): Result = {
+      saltBuckets: Int = -1,
+      initLabels: Option[DataFrame] = None,
+      initFrontier: Option[DataFrame] = None): Result = {
     require(graph.symmetric, "CC expects a symmetrized graph (cc.cpp:121)")
     val salt = Superstep.resolveSalt(graph, saltBuckets)
 
@@ -52,6 +54,20 @@ object ConnectedComponents {
         // plus re-run converges identically (min is idempotent).
         frontier = labels.graftCut
         startIter = k
+      case None if initLabels.nonEmpty =>
+        // warm start ([[incremental]]): caller-supplied labels (must be
+        // constant per component of the already-processed edge subset)
+        // and a restricted frontier (endpoints of the new edges) — the
+        // fixpoint is identical to a cold run because min-propagation
+        // wakes exactly the vertices whose label can still drop.
+        labels = initLabels.get
+          .select(col("id"), col("lbl"))
+          .repartition(graph.numPartitions, col("id"))
+          .graftCut
+        frontier = initFrontier
+          .map(_.select(col("id"), col("lbl"))
+            .repartition(graph.numPartitions, col("id")).graftCut)
+          .getOrElse(labels)
       case None =>
         labels = graph.vertices.select(col("id"), col("id").as("lbl"))
           .repartition(graph.numPartitions, col("id"))
@@ -111,4 +127,57 @@ object ConnectedComponents {
   /** Number of distinct components (reference report, cc.cpp:90-104). */
   def componentCount(labels: DataFrame): Long =
     labels.select(col("lbl")).distinct().count()
+
+  /**
+   * Incremental connectivity maintenance — the streaming-graph form of
+   * HashMin the batch reference cannot express: components of the
+   * edge set WITHOUT the new edges are computed first (phase 1), then
+   * the new edges arrive and ONLY their endpoints wake (phase 2's
+   * initial frontier). Mass merges ripple out from there; vertices in
+   * untouched components are never re-examined — at 10^12-edge scale
+   * with a small arrival batch, phase 2 touches O(affected) rows
+   * instead of O(|V|), and each merge needs O(merged-diameter)
+   * supersteps instead of restarting the global O(diameter) loop.
+   *
+   * The fixpoint label is one value per merged component (the min
+   * phase-1 label it contains): phase-1 labels are constant per old
+   * component, label differences exist only across new edges, and an
+   * improvement chain propagates from a new-edge endpoint to every
+   * vertex whose label must drop. The keyed output (min key per final
+   * label group) therefore equals a cold run's — [[run]] and
+   * [[incremental]] share one oracle.
+   *
+   * @param newEdgePred predicate over (src, dst, weight) rows of
+   *        `graph.edgesBySrc` selecting the NEWLY-ARRIVED edges; the
+   *        complement is the already-processed edge set
+   */
+  def incremental(
+      graph: LinkGraph,
+      newEdgePred: org.apache.spark.sql.Column,
+      maxIterations: Int = 10000): Result = {
+    require(graph.symmetric, "CC expects a symmetrized graph (cc.cpp:121)")
+    // Phase-1 graph = the same vertex dictionary + partitioning with
+    // the new edges filtered out (filter preserves the src clustering,
+    // so co-partitioned gathers still skip the edge-side shuffle). On
+    // a symmetric graph the filtered rows are their own transpose.
+    val oldEdges = graph.edgesBySrc.where(!newEdgePred)
+    val oldByDst = oldEdges
+      .select(col("dst").as("src"), col("src").as("dst"), col("weight"))
+      .select(col("src"), col("dst"), col("weight"))
+    val nOld = oldEdges.count()
+    val oldGraph = graph.copy(
+      edgesBySrc = oldEdges, edgesByDst = oldByDst, numEdges = nOld)
+    val phase1 = run(oldGraph, maxIterations = maxIterations)
+
+    val newEdges = graph.edgesBySrc.where(newEdgePred)
+    val touched = newEdges.select(col("src").as("id"))
+      .unionByName(newEdges.select(col("dst").as("id")))
+      .distinct()
+    val warmFrontier = phase1.labels.join(touched, "id")
+    val phase2 = run(graph, maxIterations = maxIterations,
+      initLabels = Some(phase1.labels), initFrontier = Some(warmFrontier))
+    phase1.labels.graftFree()
+    Result(phase2.labels, phase1.iterations + phase2.iterations,
+      phase1.activeHistory ++ phase2.activeHistory)
+  }
 }

@@ -1,0 +1,75 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.syntax._
+import graft.{LinkGraph, Superstep}
+
+/**
+ * Longest-path depth (critical path) over the DIRECTED transcript
+ * graph, which is a DAG by construction: adjacency edges point
+ * turn k → k+1 within a conversation and tool edges point into tool
+ * sink vertices (sources/EdgeBuilder.scala), so no cycles exist.
+ *
+ * depth(v) = the maximum number of edges on any directed path ending
+ * at v (0 for sources). This is the max-plus twin of SSSP's min-plus
+ * relaxation (/root/reference/toolkits/sssp.cpp:24-105): the same
+ * frontier loop with `max` for `write_min` (core/atomic.hpp:32-40) —
+ * the scheduling/critical-path semantics the reference's fixed
+ * toolkit set lacks.
+ *
+ * Superstep shape (identical plan to ConnectedComponents.run): the
+ * improved-only frontier joins the src-clustered edge table
+ * (broadcast under the |E|/20 switch), messages combine per dst with
+ * `max`, only improved rows materialize. On a DAG the loop terminates
+ * in exactly longest-path-length supersteps; `maxIterations` guards
+ * accidental cyclic input (where max-plus diverges).
+ */
+object DagDepth {
+
+  final case class Result(depth: DataFrame, iterations: Int)
+
+  /** @return depth: (id, d) for EVERY vertex (sources at d = 0). */
+  def run(graph: LinkGraph, maxIterations: Int = 10000): Result = {
+    require(!graph.symmetric, "longest path is defined on the directed DAG")
+    var depth = graph.vertices.select(col("id"), lit(0L).as("d"))
+      .repartition(graph.numPartitions, col("id")).graftCut
+    var frontier = depth
+    var active = graph.numVertices
+    var i = 0
+    val compactEvery = 4
+    var base = depth
+    var pendingFree = List[DataFrame]()
+    while (active > 0 && i < maxIterations) {
+      val mass = Superstep.massOrBound(graph, frontier, active)
+      val msgs = Superstep.gather(
+        graph, frontier, signal = col("d") + lit(1L), combine = max,
+        activeEdges = mass, activeCount = active)
+      val (improved, n) = msgs
+        .join(depth.select(col("id"), col("d").as("old")), Seq("id"), "left")
+        .where(col("msg") > col("old"))
+        .select(col("id"), col("msg").as("d"))
+        .graftCutCount
+      if (n > 0) {
+        pendingFree = frontier :: pendingFree
+        depth = depth
+          .join(improved.select(col("id"), col("d").as("nd")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("nd"), col("d")).as("d"))
+        frontier = improved
+      }
+      active = n
+      i += 1
+      if (active > 0 && i % compactEvery == 0) {
+        depth = depth.graftCut
+        (base :: pendingFree).filter(_ ne frontier).foreach(_.graftFree())
+        pendingFree = Nil
+        base = depth
+      }
+      Superstep.log(f"dagdepth iter $i: active=$active")
+    }
+    val fin = depth.graftCut
+    (base :: frontier :: pendingFree).filter(_ ne fin).distinct.foreach(_.graftFree())
+    Result(fin, i)
+  }
+}

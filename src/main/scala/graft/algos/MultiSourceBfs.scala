@@ -117,4 +117,24 @@ object MultiSourceBfs {
       .agg(
         count(lit(1)).as("n_reached"),
         sum(floor(lit(10000) / col("dist")).cast("long")).as("harmonic_e4"))
+
+  /** Graph-Voronoi partition over the K landmarks: every reached
+   * vertex is assigned to its nearest seed, ties broken by seed KEY
+   * (not id — the dictionary's id order is an engine artifact the
+   * oracle cannot see). This is the landmark-sharding operator: the
+   * assignment is a locality-aware partition of the graph (each cell
+   * is connected and radius-bounded), the standard seed-based
+   * re-partitioning step at 10^12-edge scale — and it falls out of
+   * the SAME one-loop MSBFS state for free: one `min(struct)` agg
+   * over the (id, root, dist) triples, no extra supersteps.
+   *
+   * @param rootKeys (root, root_key) — the seeds' dictionary rows
+   * @return (id, seed_key, dist) for every reached vertex
+   */
+  def voronoi(dists: DataFrame, rootKeys: DataFrame): DataFrame =
+    dists.join(rootKeys, "root")
+      .groupBy(col("id"))
+      .agg(min(struct(col("dist"), col("root_key"))).as("m"))
+      .select(col("id"), col("m.root_key").as("seed_key"),
+        col("m.dist").cast("long").as("dist"))
 }

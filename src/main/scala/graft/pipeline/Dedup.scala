@@ -212,6 +212,93 @@ object Dedup {
     labeled.join(docs.select(col("doc_id")), "doc_id")
   }
 
+  /**
+   * Blocked exact-substring dedup stats (the scalable approximation
+   * of suffix-array substring dedup, Lee et al. 2022): each document
+   * splits into NON-overlapping `span`-token blocks; a block occurring
+   * in ≥ 2 distinct documents is a duplicated span. Per document:
+   * total spans, duplicated spans, and the integer-exact duplicated
+   * ratio — the "fraction of my text that exists verbatim elsewhere
+   * in the corpus" gate.
+   *
+   * Scale: one explode (rows = tokens/span, a span-th of the token
+   * table), one hash groupBy for the global span counts (distinct-doc
+   * count is the two-phase partial-agg form), one join back, one
+   * per-doc agg — no all-pairs anything; the cross-doc signal rides
+   * entirely on the span-hash shuffle key. Non-overlapping blocks
+   * trade boundary-shifted recall (a duplicate offset by <span tokens
+   * is missed) for a span-factor cost reduction vs sliding shingles —
+   * the standard production tradeoff.
+   */
+  def dupSpans(docs: DataFrame, span: Int = 5): DataFrame = {
+    // split() of a nonempty text has ≥ 1 element, so nBlocks ≥ 1 and
+    // the sequence() below is never descending
+    val blocks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, cast((size(a) + ${span - 1}) div $span as int) - 1)," +
+          s" i -> array_join(slice(a, i * $span + 1, $span), ' '))")).as("blk"))
+    val counts = blocks.groupBy(col("blk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    blocks.join(counts, "blk")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        expr("10000 * dup_spans div n_spans").as("dup_ratio_e4"))
+  }
+
+  /**
+   * Asymmetric containment near-dup pairs: containment(A in B) =
+   * |A∩B| / |A| over the shingle sets — the subset-duplicate signal
+   * Jaccard misses (a document embedded verbatim inside a much larger
+   * one has tiny Jaccard but containment ≈ 1). Candidates come from
+   * the SAME MinHash band-bucket join as [[minhashPairs]] (linear
+   * cost, never all-pairs); the exact intersection runs on candidates
+   * only. Thresholds and exports are integer-exact (10⁴·i // sz) so
+   * the DuckDB replay is hash-identical.
+   *
+   * @return (doc_a, doc_b, cont_a_e4, cont_b_e4) with doc_a < doc_b,
+   *         kept when EITHER direction's containment ≥ minContE4/10⁴
+   */
+  def containmentPairs(
+      docs: DataFrame,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      minContE4: Long = 5000,
+      shingleN: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val sh = shingles(docs, shingleN).persist()
+    val sig = minhashSignature(sh, numHashes)
+    val bandCols: Seq[Column] = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      md5(concat_ws("|", cols: _*)).as(s"band$b")
+    }
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+    val candidates = (0 until bands).map { b =>
+      val l = banded.select(col("doc_id").as("doc_a"), col(s"band$b").as("bh"))
+      val r = banded.select(col("doc_id").as("doc_b"), col(s"band$b").as("bh"))
+      l.join(r, "bh").where(col("doc_a") < col("doc_b")).select(col("doc_a"), col("doc_b"))
+    }.reduce(_ unionByName _).distinct()
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val out = candidates
+      .join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      // integer-exact threshold: 10⁴·i ≥ minContE4·sz ⇔ i/sz ≥ thr
+      .where(lit(10000L) * col("inter") >= lit(minContE4) * col("sza") ||
+        lit(10000L) * col("inter") >= lit(minContE4) * col("szb"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("10000 * inter div sza").as("cont_a_e4"),
+        expr("10000 * inter div szb").as("cont_b_e4"))
+    sh.unpersist()
+    out
+  }
+
   /** Exact pairwise word-n-gram Jaccard within a blocking key (same
    * `source`) — the quadratic baseline, bounded by block size. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
