@@ -96,6 +96,9 @@ object PipelineEntry {
     // blocked exact-substring dedup: duplicated 5-token spans across
     // documents (the scalable form of suffix-array substring dedup)
     "q_dupspans" -> ((s, dir) => Dedup.dupSpans(Dedup.docs(s, dir))),
+    // corpus-rarity scoring (integer-exact stand-in for unigram-LM
+    // perplexity filtering; rare vocabulary scores high)
+    "q_rarity" -> ((s, dir) => TextStats.rarity(Dedup.docs(s, dir))),
     // asymmetric containment pairs over the MinHash-LSH candidates —
     // the subset-duplicate signal Jaccard misses
     "q_containment" -> ((s, dir) => Dedup.containmentPairs(Dedup.docs(s, dir))),
@@ -806,6 +809,22 @@ object PipelineEntry {
       |       cast(10000 * dup_spans // n_spans AS bigint) AS dup_ratio_e4
       |FROM p""".stripMargin
 
+  /** Mirrors TextStats.rarity: per-occurrence floor(10⁶/corpus-tf),
+   * integer sums and means. */
+  private val raritySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT term, count(*) AS tf FROM t GROUP BY 1
+      |), p AS (
+      |  SELECT t.doc_id, count(*) AS n_tokens, sum(1000000 // tf.tf) AS rsum
+      |  FROM t JOIN tf USING (term) GROUP BY 1
+      |)
+      |SELECT doc_id, cast(n_tokens AS bigint) AS n_tokens,
+      |       cast(rsum AS bigint) AS rarity_sum_e6,
+      |       cast(rsum // n_tokens AS bigint) AS rarity_mean_e6
+      |FROM p""".stripMargin
+
   /** Mirrors Dedup.containmentPairs: the minhash band candidates'
    * exact intersections, kept when either direction's containment
    * ≥ 0.5 (integer-exact threshold), exports 10⁴·i // sz. */
@@ -870,6 +889,7 @@ object PipelineEntry {
       "\nSELECT vec_id, cast(cid AS bigint) AS cid FROM rk WHERE rn = 1"),
     "q_rollup" -> rollupSql,
     "q_dupspans" -> dupSpansSql,
+    "q_rarity" -> raritySql,
     "q_containment" -> containmentSql,
     "q_curate" -> curateSql)
 }

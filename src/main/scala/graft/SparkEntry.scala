@@ -276,6 +276,15 @@ object SparkEntry {
         .join(g.vertices.select(col("id").as("root"), col("key").as("root_key")), "root")
         .select(col("root_key"), col("n_reached"), col("harmonic_e4"))
     }),
+    // the dual: landmark-sampled harmonic-centrality ESTIMATE for
+    // every vertex (the affordable form of per-vertex closeness at
+    // scale — exact needs all-pairs distances)
+    "q_closeness_all" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      MultiSourceBfs.landmarkCloseness(MultiSourceBfs.run(g, rootIds(g, 4)).dists)
+        .join(g.vertices, "id")
+        .select(col("key"), col("n_landmarks"), col("harmonic_e4"))
+    }),
     // Deterministic random walks (DeepWalk-style corpus sampling) from
     // the 4 busiest hubs: step t moves to argmin md5(cur|t|nbr) — an
     // md5-uniform but replayable choice, so the walk set is exact
@@ -372,6 +381,21 @@ object SparkEntry {
         .select(col("root_key"), col("key"),
           col("sigma").cast("long").as("sigma"),
           round(col("bc") * 1000).cast("long").as("bc_e3"))
+    }),
+    // Brandes-Pich sampled approximate BC: est(v) = |V|/K · Σ over the
+    // K sampled roots of δ_root(v). Per-root dependencies are rounded
+    // to e3 BEFORE the sum, so the estimator is pure integer
+    // arithmetic from there — deterministic across engines.
+    "q_bc_approx" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      val k = 4
+      Betweenness.runBatch(g, rootIds(g, k)).bc
+        .select(col("id"), round(col("bc") * 1000).cast("long").as("bc_e3"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_samples"), sum(col("bc_e3")).as("bc_sum_e3"))
+        .join(g.vertices, "id")
+        .select(col("key"), col("n_samples"), col("bc_sum_e3"),
+          expr(s"bc_sum_e3 * ${g.numVertices}L div ${k}L").as("est_e3"))
     })
   )
 
@@ -665,6 +689,16 @@ object SparkEntry {
 
   private val msbfsSql: String = "WITH RECURSIVE " + prefixBody + symBody + msbfsBody +
     "\nSELECT root AS root_key, key, cast(min(lvl) AS bigint) AS level FROM r GROUP BY 1, 2"
+
+  /** Per-vertex landmark closeness estimate (the dual grouping of
+   * [[closenessSql]]). */
+  private val closenessAllSql: String = "WITH RECURSIVE " + prefixBody + symBody + msbfsBody +
+    """, d AS (
+      |  SELECT root, key, min(lvl) AS dd FROM r GROUP BY 1, 2
+      |)
+      |SELECT key, cast(count(*) AS bigint) AS n_landmarks,
+      |       cast(sum(10000 // dd) AS bigint) AS harmonic_e4
+      |FROM d WHERE dd > 0 GROUP BY 1""".stripMargin
 
   /** Harmonic closeness of the 4 landmark roots: integer-exact
    * Σ (10000 // dist) over the reached set. */
@@ -1136,7 +1170,7 @@ object SparkEntry {
    * global levels deepest-first — a shallower root's leaves enter at
    * their own level with no children, which the coalesce(…, 0)
    * handles as Brandes' base case. */
-  private val bcMultiSql: String = "WITH RECURSIVE " + prefixBody + symBody +
+  private val bcMultiCtes: String = "WITH RECURSIVE " + prefixBody + symBody +
     """, rt4 AS MATERIALIZED (
       |  SELECT src_key AS rkey FROM esw GROUP BY src_key ORDER BY count(*) DESC, src_key LIMIT 4
       |), fw(root, key, lvl, sigma) AS (
@@ -1173,10 +1207,28 @@ object SparkEntry {
       |    GROUP BY 1, 2
       |  ) ch ON ch.root = s.root AND ch.key = s.key
       |  WHERE s.lvl = (SELECT min(d2.lvl) FROM dp d2) - 1 AND (SELECT min(d3.lvl) FROM dp d3) > 0
-      |)
+      |)""".stripMargin
+
+  private val bcMultiSql: String = bcMultiCtes +
+    """
       |SELECT sg.root AS root_key, sg.key AS key, cast(sg.sigma AS bigint) AS sigma,
       |       cast(round((dp.dep * sg.sigma - 1.0)*1000) AS bigint) AS bc_e3
       |FROM sg JOIN dp ON dp.root = sg.root AND dp.key = sg.key""".stripMargin
+
+  /** Brandes-Pich sampled-BC estimator replay: per-(root, vertex)
+   * dependencies rounded to e3 FIRST (integer thereafter — no float
+   * sum crosses engines), then est = Σ·|V| // K. */
+  private val bcApproxSql: String = bcMultiCtes +
+    """
+      |, per AS (
+      |  SELECT sg.key AS key,
+      |         cast(round((dp.dep * sg.sigma - 1.0)*1000) AS bigint) AS bc_e3
+      |  FROM sg JOIN dp ON dp.root = sg.root AND dp.key = sg.key
+      |)
+      |SELECT key, cast(count(*) AS bigint) AS n_samples,
+      |       cast(sum(bc_e3) AS bigint) AS bc_sum_e3,
+      |       cast(sum(bc_e3) * (SELECT count(*) FROM v) // 4 AS bigint) AS est_e3
+      |FROM per GROUP BY key""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1186,6 +1238,7 @@ object SparkEntry {
     "q_bfs" -> bfsSql,
     "q_msbfs" -> msbfsSql,
     "q_closeness" -> closenessSql,
+    "q_closeness_all" -> closenessAllSql,
     "q_walks" -> walksSql,
     "q_walks_w" -> walksWSql,
     "q_deg_hist" -> degHistSql,
@@ -1306,6 +1359,7 @@ object SparkEntry {
     "q_voronoi" -> voronoiSql,
     "q_critpath" -> critpathSql,
     "q_bc_multi" -> bcMultiSql,
+    "q_bc_approx" -> bcApproxSql,
     "q_triangles" -> (prefix +
       """, ud AS (
         |  SELECT DISTINCT least(src_key, dst_key) AS a, greatest(src_key, dst_key) AS b FROM e

@@ -175,18 +175,45 @@ object Betweenness {
    * leaves enter at their own level with no children, which the sum
    * coalesces to 0, exactly Brandes' base case.
    */
-  def runBatch(graph: LinkGraph, roots: Seq[Long]): BatchResult = {
+  def runBatch(
+      graph: LinkGraph,
+      roots: Seq[Long],
+      ckpt: Option[Checkpoint] = None,
+      ckptEvery: Int = 2,
+      resume: Boolean = false): BatchResult = {
     require(roots.nonEmpty && roots.distinct.size == roots.size, "roots must be distinct")
     val spark = graph.spark
     import spark.implicits._
 
+    def cumulative(lvls: List[DataFrame]): DataFrame =
+      lvls.reverse.zipWithIndex.map { case (lvl, l) =>
+        lvl.select(col("id"), col("root"), col("sigma"), lit(l).as("lvl"))
+      }.reduce(_ unionByName _)
+
     // ---- forward: per-level (id, root, sigma)
     var levels = List[DataFrame]()
-    var frontier = roots.map(r => (r, r, 1.0)).toDF("id", "root", "sigma")
-      .repartition(graph.numPartitions, col("id")).graftCut
-    var visited = frontier.select(col("id"), col("root")).graftCut
-    levels = frontier :: levels
-    var frontierCount = roots.size.toLong
+    var frontier: DataFrame = null
+    var visited: DataFrame = null
+    var frontierCount = 0L
+    val resumed = if (resume) ckpt.flatMap(_.latestIteration()) else None
+    resumed match {
+      case Some(k) =>
+        val st = ckpt.get.load(spark, k)
+          .repartition(graph.numPartitions, col("id")).graftCut
+        val maxLvl = st.agg(max(col("lvl"))).first().getInt(0)
+        levels = (0 to maxLvl).map(l =>
+          st.where(col("lvl") === l).select(col("id"), col("root"), col("sigma")).graftCut)
+          .reverse.toList
+        frontier = levels.head
+        visited = st.select(col("id"), col("root")).graftCut
+        frontierCount = frontier.count()
+      case None =>
+        frontier = roots.map(r => (r, r, 1.0)).toDF("id", "root", "sigma")
+          .repartition(graph.numPartitions, col("id")).graftCut
+        visited = frontier.select(col("id"), col("root")).graftCut
+        levels = frontier :: levels
+        frontierCount = roots.size.toLong
+    }
     var visitedBase = visited
 
     def gatherBy(g: LinkGraph, active: DataFrame, valueCol: String, n: Long): DataFrame = {
@@ -215,6 +242,8 @@ object Betweenness {
         }
         frontier = next
         levels = next :: levels
+        if (ckpt.nonEmpty && (levels.length % ckptEvery == 0))
+          ckpt.get.save(cumulative(levels), levels.length - 1, frontierCount)
       }
     }
     val depth = levels.length - 1
@@ -248,6 +277,7 @@ object Betweenness {
       .select(col("id"), col("root"), col("sigma"),
         (col("dep") * col("sigma") - 1.0).as("bc"))
       .graftCut
+    ckpt.foreach(_.save(cumulative(levels), depth, 0L))
     (visitedBase :: levels ::: done).filter(_ ne bc).distinct.foreach(_.graftFree())
     BatchResult(bc, depth)
   }

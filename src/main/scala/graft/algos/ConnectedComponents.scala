@@ -167,7 +167,13 @@ object ConnectedComponents {
     val nOld = oldEdges.count()
     val oldGraph = graph.copy(
       edgesBySrc = oldEdges, edgesByDst = oldByDst, numEdges = nOld)
-    val phase1 = run(oldGraph, maxIterations = maxIterations)
+    // Phase 1 via star contraction (CCStar): O(log|V|) rounds instead
+    // of HashMin's O(diameter) — on chain-heavy transcript graphs the
+    // old-edge components ARE long chains, exactly HashMin's worst
+    // case. The fixpoint is the same min-id-per-component labeling
+    // (q_cc_fast shares q_cc's oracle), which is all the warm start
+    // needs: labels constant per old component.
+    val phase1 = CCStar.run(oldGraph)
 
     val newEdges = graph.edgesBySrc.where(newEdgePred)
     val touched = newEdges.select(col("src").as("id"))
@@ -177,7 +183,7 @@ object ConnectedComponents {
     val phase2 = run(graph, maxIterations = maxIterations,
       initLabels = Some(phase1.labels), initFrontier = Some(warmFrontier))
     phase1.labels.graftFree()
-    Result(phase2.labels, phase1.iterations + phase2.iterations,
-      phase1.activeHistory ++ phase2.activeHistory)
+    Result(phase2.labels, phase1.rounds + phase2.iterations,
+      phase2.activeHistory)
   }
 }

@@ -118,6 +118,20 @@ object MultiSourceBfs {
         count(lit(1)).as("n_reached"),
         sum(floor(lit(10000) / col("dist")).cast("long")).as("harmonic_e4"))
 
+  /** Landmark-based closeness ESTIMATE for every vertex — the dual of
+   * [[harmonicCloseness]]: instead of each root's centrality over its
+   * reachable set, each VERTEX gets Σ floor(10⁴/d(v, landmark)) over
+   * the landmarks that reach it. With K ≪ |V| sampled landmarks this
+   * is the standard estimator of per-vertex harmonic centrality at
+   * scale (exact closeness needs all-pairs distances); integer-exact
+   * per-term flooring keeps the sum order-independent. */
+  def landmarkCloseness(dists: DataFrame): DataFrame =
+    dists.where(col("dist") > 0)
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_landmarks"),
+        sum(floor(lit(10000) / col("dist")).cast("long")).as("harmonic_e4"))
+
   /** Graph-Voronoi partition over the K landmarks: every reached
    * vertex is assigned to its nearest seed, ties broken by seed KEY
    * (not id — the dictionary's id order is an engine artifact the

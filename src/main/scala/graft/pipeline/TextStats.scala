@@ -142,6 +142,31 @@ object TextStats {
     docs.select(col("doc_id") +: (stats(2) ++ stats(3)): _*)
   }
 
+  /**
+   * Corpus-rarity scoring — the integer-exact stand-in for unigram-LM
+   * perplexity filtering (CCNet-style): each token occurrence scores
+   * floor(10⁶ / corpus-frequency), so documents of common boilerplate
+   * score low and rare-vocabulary documents score high. The per-term
+   * flooring keeps every sum order-independent (a float Σ −log p
+   * would not hash-compare across engines).
+   *
+   * Scale: the term-frequency table is vocabulary-sized (≪ corpus) —
+   * Catalyst broadcasts it into the scoring join; one explode + two
+   * hash aggs, nothing quadratic.
+   */
+  def rarity(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("term"))
+    val tf = t.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    t.join(tf, "term")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(floor(lit(1000000) / col("tf")).cast("long")).as("rarity_sum_e6"))
+      .select(col("doc_id"), col("n_tokens"), col("rarity_sum_e6"),
+        expr("rarity_sum_e6 div n_tokens").as("rarity_mean_e6"))
+  }
+
   /** Document fingerprint: the k smallest md5(3-gram shingle) hashes,
    * joined — a bottom-k sketch (winnowing-style) stable under small
    * edits. Identical in DuckDB (string-min over md5). */

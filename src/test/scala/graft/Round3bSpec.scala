@@ -84,6 +84,28 @@ class Round3bSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("landmarkCloseness: per-vertex harmonic estimate over the seeds") {
+    val g = graphOf((0 until 4).map(i => (i, i + 1)), symmetric = true)
+    val idx = indexOf(g).map(_.swap)
+    val d = MultiSourceBfs.run(g, Seq(idx(0), idx(4))).dists
+    val got = byIndex(g, MultiSourceBfs.landmarkCloseness(d), "harmonic_e4")
+      .view.mapValues(_.asInstanceOf[Long]).toMap
+    // path 0-1-2-3-4, seeds {0,4}: Σ floor(1e4/d) over reaching seeds
+    assert(got == Map(0 -> 2500L, 1 -> 13333L, 2 -> 10000L, 3 -> 13333L, 4 -> 2500L))
+    g.unpersist()
+  }
+
+  test("rarity: per-occurrence floor(1e6/corpus-tf) sums and means") {
+    val docs = Seq(
+      (0L, "a a b", "en", "s0", 5L),
+      (1L, "b c", "en", "s0", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.pipeline.TextStats.rarity(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // tf: a=2, b=2, c=1
+    assert(got(0L) == ((3L, 1500000L, 500000L)))
+    assert(got(1L) == ((2L, 1500000L, 750000L)))
+  }
+
   test("batched multi-root Brandes equals per-root Betweenness") {
     // diamond + tail + a second component (root 7 search stays local)
     val edges = Seq((0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (4, 5), (7, 8), (8, 9))
@@ -103,6 +125,23 @@ class Round3bSpec extends SparkSpec {
         assert(math.abs(batchRoot(id)._2 - bc) < 1e-9, s"bc differs at ($root, $id)")
       }
     }
+    g.unpersist()
+  }
+
+  test("batched Brandes: resume from a forward snapshot yields identical bc") {
+    val edges = Seq((0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7))
+    val g = graphOf(edges, symmetric = true)
+    val idx = indexOf(g).map(_.swap)
+    val roots = Seq(idx(0), idx(4))
+    val full = Betweenness.runBatch(g, roots)
+    val ck = Checkpoint(java.nio.file.Files.createTempDirectory("graft-bcb").toString)
+    Betweenness.runBatch(g, roots, ckpt = Some(ck), ckptEvery = 2)
+    assert(ck.latestIteration().nonEmpty)
+    val resumed = Betweenness.runBatch(g, roots, ckpt = Some(ck), ckptEvery = 2, resume = true)
+    assert(resumed.levels == full.levels)
+    val a = full.bc.select(col("id"), col("root"), col("sigma"), round(col("bc") * 1e9).as("b9"))
+    val b = resumed.bc.select(col("id"), col("root"), col("sigma"), round(col("bc") * 1e9).as("b9"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
     g.unpersist()
   }
 
