@@ -163,6 +163,78 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("DagDepth equals the topological-order DP on random DAGs") {
+    // random DAGs by construction: edges only point index-upward, so
+    // index order IS a topological order and the closed-form DP
+    // depth[v] = max(depth[u] + 1 over in-edges) is exact
+    val dagGen: Gen[Seq[(Int, Int)]] = for {
+      n <- Gen.choose(4, 14)
+      m <- Gen.choose(n, 3 * n)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 2); b <- Gen.choose(a + 1, n - 1)
+      } yield (a, b))
+    } yield edges.distinct
+    check(Prop.forAll(dagGen) { edges =>
+      edges.nonEmpty ==> {
+        val n = edges.flatMap(e => Seq(e._1, e._2)).max + 1
+        val dp = Array.fill(n)(0L)
+        (0 until n).foreach { v =>
+          edges.foreach { case (a, b) => if (b == v) dp(v) = math.max(dp(v), dp(a) + 1) }
+        }
+        val g = graphOf(edges, symmetric = false)
+        val got = byIndex(g, graft.algos.DagDepth.run(g).depth, "d")
+          .view.mapValues(_.asInstanceOf[Long]).toMap
+        val ok = got.forall { case (i, d) => d == dp(i) }
+        g.unpersist()
+        ok
+      }
+    })
+  }
+
+  test("incremental CC ≡ cold CC for random new-edge subsets") {
+    val splitGen: Gen[(Seq[(Int, Int)], Set[(Int, Int)])] = for {
+      edges <- graphGen
+      canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      flags <- Gen.listOfN(canon.size, Gen.oneOf(true, false))
+    } yield (canon, canon.zip(flags).collect { case (e, true) => e }.toSet)
+    check(Prop.forAll(splitGen) { case (edges, newSet) =>
+      edges.nonEmpty ==> {
+        val w = newSet.map(e => e -> 2.0).toMap
+        val g = graphOf(edges, symmetric = true, weights = w)
+        val cold = byIndex(g, ConnectedComponents.run(g).labels, "lbl")
+        val inc = byIndex(g,
+          ConnectedComponents.incremental(g, col("weight") === 2.0).labels, "lbl")
+        val ok = cold == inc
+        g.unpersist()
+        ok
+      }
+    }, n = 4)
+  }
+
+  test("Voronoi assignment is the argmin of the MSBFS distances (random graphs)") {
+    check(Prop.forAll(graphGen) { edges =>
+      edges.nonEmpty ==> {
+        val g = graphOf(edges, symmetric = true)
+        val ids = g.vertices.select(col("id")).collect().map(_.getLong(0)).sorted
+        val roots = ids.take(2).toSeq
+        val dists = graft.algos.MultiSourceBfs.run(g, roots).dists
+        val rootKeys = g.vertices.select(col("id").as("root"), col("key").as("root_key"))
+        val vor = graft.algos.MultiSourceBfs.voronoi(dists, rootKeys)
+          .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+        val keyById = g.vertices.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        val raw = dists.collect()
+          .map(r => (r.getLong(0), keyById(r.getLong(1)), r.getInt(2).toLong))
+        val want = raw.groupBy(_._1).view.mapValues(rows =>
+          rows.map(t => (t._3, t._2)).min).toMap
+        val ok = vor.size == want.size && want.forall { case (id, (d, sk)) =>
+          vor(id) == ((sk, d))
+        }
+        g.unpersist()
+        ok
+      }
+    }, n = 4)
+  }
+
   test("k-core invariant: every member of the k-core has core_degree >= k") {
     check(Prop.forAll(graphGen) { edges =>
       edges.nonEmpty ==> {
