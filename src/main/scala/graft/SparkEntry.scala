@@ -174,6 +174,18 @@ object SparkEntry {
         .select(col("key"),
           round(col("rank") * 100000 + lit(1e-6)).cast("long").as("rank_e5"))
     }),
+    // Time-decayed (recency-weighted) PageRank: edge weight =
+    // 2^-⌊age/3 days⌋ of the source turn — temporal link analysis on
+    // the same WeightedPageRank machinery. The decay arithmetic is
+    // dyadic-exact (integer age buckets, shift-and-divide), so the
+    // oracle replays it bit-for-bit.
+    "q_pagerank_decay" -> ((s, dir) => {
+      val ke = EdgeBuilder.keyEdgesDecayed(Transcripts.fromEvents(s, dir))
+      val g = LinkGraph.fromKeyEdges(ke, symmetric = false, Graphs.shufflePartitions(s))
+      WeightedPageRank.run(g, iterations = 5).ranks.join(g.vertices, "id")
+        .select(col("key"),
+          round(col("rank") * 100000 + lit(1e-6)).cast("long").as("rank_e5"))
+    }),
     "q_pagerank_conv" -> ((s, dir) => {
       val g = Graphs.get(s, dir, symmetric = false)
       val pr = PageRank.run(g, iterations = 0, maxIterations = 100, tol = 1e-6)
@@ -536,9 +548,10 @@ object SparkEntry {
       "\nSELECT key, cast(round(raw*100000) AS bigint) AS rank_e5 FROM p5"
   }
 
-  /** Weighted PageRank, 5 unrolled iterations: flow ∝ w / Σ out-w,
-   * weights from the directed edge kinds (adj 1.0 / tool 2.0). */
-  private val pagerankWSql: String = {
+  /** Weighted-PageRank oracle builder (5 unrolled iterations, flow ∝
+   * w / Σ out-w): the caller supplies the `ew(src_key, dst_key, w)`
+   * CTE defining the weighting scheme. */
+  private def weightedPrSql(ewBody: String): String = {
     val iter = (i: Int) =>
       s""", s$i AS (
          |  SELECT ew.dst_key AS key, sum(p${i - 1}.vv * ew.w) AS s
@@ -551,14 +564,32 @@ object SparkEntry {
          |              ELSE (1.0 - 0.85) + 0.85 * coalesce(s$i.s, 0) END AS vv
          |  FROM deg LEFT JOIN s$i ON s$i.key = deg.key
          |)""".stripMargin
-    prefix +
-      """, ew AS (SELECT src_key, dst_key, CASE WHEN kind = 'adj' THEN 1.0 ELSE 2.0 END AS w FROM e)
+    prefix + ewBody +
+      """
         |, od AS (SELECT src_key AS key, sum(w) AS o FROM ew GROUP BY 1)
         |, deg AS (SELECT v.key, coalesce(od.o, 0) AS o FROM v LEFT JOIN od ON od.key = v.key)
         |, p0 AS (SELECT key, 1.0 AS raw, CASE WHEN o > 0 THEN 1.0/o ELSE 1.0 END AS vv FROM deg)""".stripMargin +
       (1 to 5).map(iter).mkString +
       "\nSELECT key, cast(round(raw*100000 + 0.000001) AS bigint) AS rank_e5 FROM p5"
   }
+
+  /** Weighted PageRank, weights from the directed edge kinds
+   * (adj 1.0 / tool 2.0). */
+  private val pagerankWSql: String = weightedPrSql(
+    ", ew AS (SELECT src_key, dst_key, CASE WHEN kind = 'adj' THEN 1.0 ELSE 2.0 END AS w FROM e)")
+
+  /** Time-decayed PageRank replay — mirrors EdgeBuilder.keyEdgesDecayed
+   * exactly: integer-µs age buckets (3-day), w = 2^-min(bucket, 40)
+   * via shift-and-divide (dyadic-exact in both engines). */
+  private val pagerankDecaySql: String = weightedPrSql(
+    """, mx AS MATERIALIZED (SELECT max(epoch_us(ts)) AS m FROM t
+      |), tsrc AS MATERIALIZED (
+      |  SELECT concat(conv_id, '#', cast(turn_idx AS varchar)) AS vkey, epoch_us(ts) AS tus FROM t
+      |), ew AS MATERIALIZED (
+      |  SELECT e.src_key, e.dst_key,
+      |         1.0 / cast(1::BIGINT << cast(least((mx.m - s.tus) // 259200000000, 40) AS int) AS double) AS w
+      |  FROM e JOIN tsrc s ON s.vkey = e.src_key CROSS JOIN mx
+      |)""".stripMargin)
 
   /** Personalized PageRank, 5 unrolled iterations on the SYMMETRIC
    * graph from the max-degree seed (symBody's rt, same as q_bfs).
@@ -1353,6 +1384,7 @@ object SparkEntry {
         |  UNION ALL SELECT b FROM r WHERE matched) u""".stripMargin),
     "q_ppr" -> pprSql,
     "q_pagerank_w" -> pagerankWSql,
+    "q_pagerank_decay" -> pagerankDecaySql,
     "q_cc" -> ccSql,
     "q_cc_inc" -> ccSql,
     "q_lp" -> ccSql,

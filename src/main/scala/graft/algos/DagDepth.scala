@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.syntax._
-import graft.{LinkGraph, Superstep}
+import graft.{Checkpoint, LinkGraph, Superstep}
 
 /**
  * Longest-path depth (critical path) over the DIRECTED transcript
@@ -31,13 +31,34 @@ object DagDepth {
   final case class Result(depth: DataFrame, iterations: Int)
 
   /** @return depth: (id, d) for EVERY vertex (sources at d = 0). */
-  def run(graph: LinkGraph, maxIterations: Int = 10000): Result = {
+  def run(
+      graph: LinkGraph,
+      maxIterations: Int = 10000,
+      ckpt: Option[Checkpoint] = None,
+      ckptEvery: Int = 5,
+      resume: Boolean = false): Result = {
     require(!graph.symmetric, "longest path is defined on the directed DAG")
-    var depth = graph.vertices.select(col("id"), lit(0L).as("d"))
-      .repartition(graph.numPartitions, col("id")).graftCut
-    var frontier = depth
-    var active = graph.numVertices
+    var depth: DataFrame = null
+    var frontier: DataFrame = null
+    var active = 0L
     var i = 0
+    val resumed = if (resume) ckpt.flatMap(_.latestIteration()) else None
+    resumed match {
+      case Some(k) =>
+        depth = ckpt.get.load(graph.spark, k)
+          .repartition(graph.numPartitions, col("id")).graftCut
+        // conservative resume frontier (CC pattern): re-push every
+        // depth once — max-relax is idempotent, the fixpoint is the
+        // same and the resumed run converges from where it stopped
+        frontier = depth.graftCut
+        active = graph.numVertices
+        i = k
+      case None =>
+        depth = graph.vertices.select(col("id"), lit(0L).as("d"))
+          .repartition(graph.numPartitions, col("id")).graftCut
+        frontier = depth
+        active = graph.numVertices
+    }
     val compactEvery = 4
     var base = depth
     var pendingFree = List[DataFrame]()
@@ -66,9 +87,12 @@ object DagDepth {
         pendingFree = Nil
         base = depth
       }
+      if (ckpt.nonEmpty && active > 0 && (i % ckptEvery == 0))
+        ckpt.get.save(depth, i, active)
       Superstep.log(f"dagdepth iter $i: active=$active")
     }
     val fin = depth.graftCut
+    ckpt.foreach(_.save(fin, i, 0L))
     (base :: frontier :: pendingFree).filter(_ ne fin).distinct.foreach(_.graftFree())
     Result(fin, i)
   }

@@ -30,6 +30,52 @@ object EdgeBuilder {
       "vkey",
       concat(col("conv_id"), lit("#"), col("turn_idx").cast("string")))
 
+  /**
+   * Time-decayed edge weights for temporal link analysis: each edge
+   * carries w = 2^-min(⌊age/bucket⌋, maxBucket) of its SOURCE turn,
+   * where age = corpus-max timestamp − turn timestamp. Feeding this
+   * table to [[graft.algos.WeightedPageRank]] yields recency-weighted
+   * rank — the standard "fresh links count more" temporal variant.
+   *
+   * Every arithmetic step is engine-portable-exact: the age bucket is
+   * INTEGER division of epoch-microseconds, and 2^-b is a dyadic
+   * rational a double represents exactly (1.0 / (1L << b)) — no
+   * exp/log in either engine.
+   */
+  def keyEdgesDecayed(
+      transcripts: DataFrame,
+      bucketUs: Long = 259200000000L, // 3 days
+      maxBucket: Int = 40): DataFrame = {
+    val keyed = turnKey(transcripts)
+      .withColumn("tus", unix_micros(col("ts").cast("timestamp")))
+    // corpus-max timestamp: one scalar agg (tiny job, broadcast as a
+    // literal into the decay expression)
+    val maxTs = keyed.agg(max(col("tus"))).first().getLong(0)
+    val decayed = keyed
+      .withColumn("bkt",
+        least(expr(s"(${maxTs}L - tus) div ${bucketUs}L"), lit(maxBucket.toLong)).cast("int"))
+      .withColumn("decay", lit(1.0) / expr("shiftleft(1L, bkt)").cast("double"))
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val adj = decayed
+      .select(
+        col("vkey").as("src_key"),
+        lead(col("vkey"), 1).over(w).as("dst_key"),
+        col("decay"))
+      .where(col("dst_key").isNotNull)
+      .select(col("src_key"), col("dst_key"), lit("adj").as("kind"),
+        col("decay").as("weight"))
+    val tool = decayed
+      .where(col("tool").isNotNull)
+      .select(
+        col("vkey").as("src_key"),
+        concat(lit("T#"), col("tool")).as("dst_key"),
+        lit("tool").as("kind"),
+        col("decay").as("weight"))
+    adj.unionByName(tool)
+      .where(col("src_key") =!= col("dst_key"))
+      .dropDuplicates("src_key", "dst_key")
+  }
+
   /** weight: adjacency edges 1.0, tool edges 2.0 (used only by the
    * weighted-parity algorithms, SSSP; unweighted algos ignore it). */
   def keyEdges(transcripts: DataFrame): DataFrame = {
@@ -51,5 +97,36 @@ object EdgeBuilder {
     adj.unionByName(tool)
       .where(col("src_key") =!= col("dst_key"))
       .dropDuplicates("src_key", "dst_key")
+  }
+
+  /**
+   * Dominant-direction tool-transition graph: vertex = tool, edge
+   * A→B iff consecutive tool calls A-then-B (within a conversation)
+   * are STRICTLY more frequent than B-then-A. Unlike the turn graph
+   * (a DAG by construction), this digraph has genuine cycles — equal
+   * dominance chains close loops — which is what makes it the SCC
+   * operator's natural input. Deterministic: counts are exact, ties
+   * drop both directions.
+   *
+   * Scale: one windowed lead per conversation (bounded groups), one
+   * count aggregate keyed by the (tiny) tool×tool domain, one
+   * self-join on that aggregate.
+   */
+  def toolTransitions(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val cnt = transcripts
+      .where(col("tool").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), col("tool"))
+      .withColumn("nxt", lead(col("tool"), 1).over(w))
+      .where(col("nxt").isNotNull && col("nxt") =!= col("tool"))
+      .groupBy(col("tool").as("src_key"), col("nxt").as("dst_key"))
+      .agg(count(lit(1)).as("c"))
+    val rev = cnt.select(
+      col("src_key").as("dst_key"), col("dst_key").as("src_key"),
+      col("c").as("rc"))
+    cnt.join(rev, Seq("src_key", "dst_key"), "left")
+      .where(col("c") > coalesce(col("rc"), lit(0L)))
+      .select(col("src_key"), col("dst_key"),
+        lit("tooltrans").as("kind"), lit(1.0).as("weight"))
   }
 }

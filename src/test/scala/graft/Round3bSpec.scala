@@ -30,6 +30,58 @@ class Round3bSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("DagDepth: interrupted and resumed run equals uninterrupted depths") {
+    val n = 14
+    val g = graphOf((0 until n - 1).map(i => (i, i + 1)) ++ Seq((0, 5), (3, 9)),
+      symmetric = false)
+    val full = byIndex(g, DagDepth.run(g).depth, "d")
+    val ck = Checkpoint(java.nio.file.Files.createTempDirectory("graft-dag").toString)
+    DagDepth.run(g, maxIterations = 4, ckpt = Some(ck), ckptEvery = 2) // "kill" at 4
+    assert(ck.latestIteration().exists(_ >= 2))
+    val resumed = byIndex(g,
+      DagDepth.run(g, ckpt = Some(ck), ckptEvery = 2, resume = true).depth, "d")
+    assert(resumed == full)
+    g.unpersist()
+  }
+
+  test("decayed PageRank with a constant timestamp equals unit-weight PageRank") {
+    import org.apache.spark.sql.functions.{col => c}
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-15 12:00:00")
+    val rows = (0 until 3).flatMap(conv => (0 until 4).map(t =>
+      (s"c$conv", t, "user", s"text $t", if (t == 2) Some("tool_1") else None, ts0)))
+    val tr = rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    // all ages 0 → every decay weight = 2^0 = 1.0 → identical graph
+    val gw = LinkGraph.fromKeyEdges(
+      graft.sources.EdgeBuilder.keyEdgesDecayed(tr), symmetric = false, numPartitions)
+    val gu = LinkGraph.fromKeyEdges(
+      graft.sources.EdgeBuilder.keyEdges(tr), symmetric = false, numPartitions)
+    val a = graft.algos.WeightedPageRank.run(gw, iterations = 4).ranks
+      .join(gw.vertices, "id").select(c("key"), c("rank"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = graft.algos.PageRank.run(gu, iterations = 4).ranks
+      .join(gu.vertices, "id").select(c("key"), c("rank"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12, k) }
+    gw.unpersist(); gu.unpersist()
+  }
+
+  test("decayed PageRank: older sources transfer less rank") {
+    // two 2-turn conversations, one 30 days older: the fresh source's
+    // successor receives more rank than the stale one's
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      ("cNew", 0, "user", "x", None: Option[String], t("2024-01-30 12:00:00")),
+      ("cNew", 1, "user", "y", None, t("2024-01-30 12:01:00")),
+      ("cOld", 0, "user", "x", None, t("2024-01-01 12:00:00")),
+      ("cOld", 1, "user", "y", None, t("2024-01-01 12:01:00")))
+    val tr = rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val ke = graft.sources.EdgeBuilder.keyEdgesDecayed(tr)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(ke("cNew#0") == 1.0) // age 0 → 2^0
+    assert(ke("cOld#0") == math.pow(2.0, -9)) // 29 days / 3-day bucket = 9
+  }
+
   test("incremental CC (warm start on new edges) equals cold CC") {
     // components {0,1,2}, {3,4}, {5,6}, {7} under the old edges; the
     // weight-2 "new" edges merge {0,1,2}+{3,4} and {5,6}+{7}
