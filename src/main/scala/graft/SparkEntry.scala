@@ -382,6 +382,40 @@ object SparkEntry {
       DagDepth.run(g).depth.join(g.vertices, "id")
         .select(col("key"), col("d").as("depth"))
     }),
+    // strongly connected components (distributed forward-backward
+    // coloring) on the dominant-direction tool-transition digraph —
+    // the derived graph with genuine cycles (the turn graph is a DAG
+    // by construction, where every SCC would be a singleton)
+    "q_scc" -> ((s, dir) => {
+      val tt = EdgeBuilder.toolTransitions(Transcripts.fromEvents(s, dir))
+      val g = LinkGraph.fromKeyEdges(tt, symmetric = false, Graphs.shufflePartitions(s))
+      val lab = Scc.run(g).sccs.join(g.vertices, "id").select(col("key"), col("scc"))
+      val reps = lab.groupBy(col("scc")).agg(min(col("key")).as("scc_key"))
+      lab.join(reps, "scc").select(col("key"), col("scc_key"))
+    }),
+    // Katz centrality, truncated at 5 walk lengths, α = 1/8 — exported
+    // as the exact scaled integer 8⁵·katz (walk counts are integers,
+    // the attenuation is dyadic)
+    "q_katz" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = false)
+      Katz.run(g, iterations = 5).katz.join(g.vertices, "id")
+        .select(col("key"), col("katz_x"))
+    }),
+    // Wyllie list ranking over the conversation chains: distance to
+    // the conversation's last turn in O(log L) pointer-doubling rounds
+    // (vs O(L) frontier supersteps — the chain-scale primitive)
+    "q_listrank" -> ((s, dir) => {
+      val succ = EdgeBuilder.turnSuccessors(Transcripts.fromEvents(s, dir))
+      ListRank.run(succ, Graphs.shufflePartitions(s)).ranks
+        .select(col("id").as("key"), col("rank").as("rank_to_end"))
+    }),
+    // Newman-modularity sufficient statistics of the mode-LP
+    // communities: per community (members, intra-edges, degree sum) —
+    // Q·4m² = Σ_c (4m·e_c − d_c²) assembles from these in pure integers
+    "q_modularity" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      LabelPropagation.communityStats(g, LabelPropagation.communities(g))
+    }),
     // batched multi-root Brandes: the 4 landmark hubs' σ/dependency
     // pairs in ONE forward/backward pass (the sampled-approximate-BC
     // building block — K roots at O(diameter) jobs total)
@@ -1016,7 +1050,7 @@ object SparkEntry {
   /** Mode-LP community replay: 4 unrolled synchronous rounds; top-1 =
    * row_number over (cnt desc, label) ↔ the engine's
    * min(struct(−cnt, label)) aggregate. */
-  private val lpCommSql: String = {
+  private val lpCommCtes: String = {
     val round = (t: Int) =>
       s""", c$t AS (
          |  SELECT e.dst_key, l.community, count(*) AS cnt
@@ -1032,9 +1066,34 @@ object SparkEntry {
          |)""".stripMargin
     "WITH " + prefixBody + symBody +
       ", l0 AS (SELECT key, key AS community FROM v)" +
-      (1 to 4).map(round).mkString +
-      "\nSELECT key, community FROM l4"
+      (1 to 4).map(round).mkString
   }
+
+  private val lpCommSql: String = lpCommCtes + "\nSELECT key, community FROM l4"
+
+  /** Modularity statistics over the l4 communities: intra-edge count
+   * on the undirected unique pairs, member count + degree sum from the
+   * symmetric edge table — all exact integers (casts pin DuckDB's
+   * HUGEINT sums back to the engine's BIGINT). */
+  private val modularitySql: String = lpCommCtes +
+    """, eu AS (SELECT src_key, dst_key FROM esw WHERE src_key < dst_key
+      |), intra AS (
+      |  SELECT la.community, count(*) AS intra_edges
+      |  FROM eu
+      |  JOIN l4 la ON la.key = eu.src_key
+      |  JOIN l4 lb ON lb.key = eu.dst_key
+      |  WHERE la.community = lb.community
+      |  GROUP BY 1
+      |), degsum AS (
+      |  SELECT l4.community, count(*) AS n_members,
+      |         cast(sum(d.deg) AS bigint) AS degree_sum
+      |  FROM (SELECT src_key AS key, count(*) AS deg FROM esw GROUP BY 1) d
+      |  JOIN l4 ON l4.key = d.key
+      |  GROUP BY 1
+      |)
+      |SELECT degsum.community, n_members,
+      |       cast(coalesce(intra_edges, 0) AS bigint) AS intra_edges, degree_sum
+      |FROM degsum LEFT JOIN intra USING (community)""".stripMargin
 
   /** Maximal-matching replay: the recursive CTE carries the live edge
    * set; an edge matches when its md5 priority is the min at BOTH
@@ -1194,6 +1253,63 @@ object SparkEntry {
       |  WHERE r.d < 200 GROUP BY e.dst_key
       |)
       |SELECT key, cast(max(d) AS bigint) AS depth FROM r GROUP BY key""".stripMargin
+
+  /** SCC replay: dominant-direction tool transitions (mirrors
+   * EdgeBuilder.toolTransitions), then mutual reachability via ONE
+   * recursive closure joined to itself reversed — scc_key = min key
+   * among mutually reachable vertices, exactly the engine's
+   * re-canonicalized export. */
+  private val sccSql: String = "WITH RECURSIVE " + prefixBody +
+    """, tseq AS (
+      |  SELECT tool, lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+      |  FROM t WHERE tool IS NOT NULL
+      |), tcnt AS (
+      |  SELECT tool AS src, nxt AS dst, count(*) AS c FROM tseq
+      |  WHERE nxt IS NOT NULL AND nxt <> tool GROUP BY 1, 2
+      |), te AS MATERIALIZED (
+      |  SELECT a.src, a.dst FROM tcnt a
+      |  LEFT JOIN tcnt b ON b.src = a.dst AND b.dst = a.src
+      |  WHERE a.c > coalesce(b.c, 0)
+      |), tv AS MATERIALIZED (
+      |  SELECT DISTINCT k FROM (SELECT src AS k FROM te UNION ALL SELECT dst FROM te) u
+      |), reach(s, d) AS (
+      |  SELECT k, k FROM tv
+      |  UNION
+      |  SELECT r.s, te.dst FROM reach r JOIN te ON te.src = r.d
+      |)
+      |SELECT a.s AS key, min(a.d) AS scc_key
+      |FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+      |GROUP BY a.s""".stripMargin
+
+  /** Katz replay: 5 unrolled walk-count rounds (integer sums over
+   * in-edges), assembled with the dyadic 8^(5-k) weights. */
+  private val katzSql: String = {
+    val round = (k: Int) =>
+      s""", p$k AS (
+         |  SELECT v.key, coalesce(s.c, 0) AS c
+         |  FROM v LEFT JOIN (
+         |    SELECT e.dst_key AS key, sum(p.c) AS c
+         |    FROM e JOIN p${k - 1} p ON p.key = e.src_key GROUP BY 1
+         |  ) s USING (key)
+         |)""".stripMargin
+    prefix + ", p0 AS (SELECT key, cast(1 AS bigint) AS c FROM v)" +
+      (1 to 5).map(round).mkString +
+      """
+        |SELECT p1.key,
+        |       cast(p1.c*4096 + p2.c*512 + p3.c*64 + p4.c*8 + p5.c AS bigint) AS katz_x
+        |FROM p1 JOIN p2 USING (key) JOIN p3 USING (key)
+        |     JOIN p4 USING (key) JOIN p5 USING (key)""".stripMargin
+  }
+
+  /** List-rank replay: the chain is the conversation itself, so the
+   * distance to the last turn is max(turn_idx) − turn_idx — an
+   * independent closed form, not a re-implementation of the pointer
+   * doubling. */
+  private val listrankSql: String = prefix +
+    """
+      |SELECT vkey AS key, cast(mx - turn_idx AS bigint) AS rank_to_end
+      |FROM (SELECT vkey, turn_idx,
+      |             max(turn_idx) OVER (PARTITION BY conv_id) AS mx FROM k) x""".stripMargin
 
   /** Multi-root [[bcSql]]: the forward recursion carries (root, key,
    * lvl, σ) with all 4 searches advancing in lockstep by GLOBAL level
@@ -1390,6 +1506,10 @@ object SparkEntry {
     "q_lp" -> ccSql,
     "q_voronoi" -> voronoiSql,
     "q_critpath" -> critpathSql,
+    "q_scc" -> sccSql,
+    "q_katz" -> katzSql,
+    "q_listrank" -> listrankSql,
+    "q_modularity" -> modularitySql,
     "q_bc_multi" -> bcMultiSql,
     "q_bc_approx" -> bcApproxSql,
     "q_triangles" -> (prefix +

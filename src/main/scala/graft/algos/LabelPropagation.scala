@@ -129,4 +129,49 @@ object LabelPropagation {
     edges.graftFree()
     labels
   }
+
+  /**
+   * Modularity sufficient statistics for a community assignment:
+   * per community c, the member count, the intra-community undirected
+   * edge count e_c, and the degree sum d_c. Newman modularity is then
+   * Q = Σ_c (e_c/m − (d_c/2m)²), i.e. Q·4m² = Σ_c (4m·e_c − d_c²) in
+   * pure integers — exporting the raw (exact, overflow-free) sums
+   * instead of the assembled Q keeps the result engine-portable at
+   * any scale (same pattern as the assortativity statistics,
+   * DegreeStats.assortativity).
+   *
+   * Scale: two co-keyed label joins onto the resident symmetric edge
+   * set + two hash aggregates — no window, no collect.
+   *
+   * @param labels (key, community) — e.g. [[communities]]' output
+   */
+  def communityStats(graph: LinkGraph, labels: DataFrame): DataFrame = {
+    require(graph.symmetric, "modularity is defined on the undirected graph")
+    val vk = (idCol: String, keyCol: String) =>
+      graph.vertices.select(col("id").as(idCol), col("key").as(keyCol))
+    val keyedEdges = graph.edgesBySrc
+      .join(vk("src", "src_key"), "src")
+      .join(vk("dst", "dst_key"), "dst")
+      .select(col("src_key"), col("dst_key"))
+    // undirected unique edges with both endpoint labels
+    val intra = keyedEdges
+      .where(col("src_key") < col("dst_key"))
+      .join(labels.select(col("key").as("src_key"), col("community").as("lc_s")), "src_key")
+      .join(labels.select(col("key").as("dst_key"), col("community").as("lc_d")), "dst_key")
+      .where(col("lc_s") === col("lc_d"))
+      .groupBy(col("lc_s").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    // degree = symmetric out-degree; every vertex in this graph has ≥1
+    val degs = graph.degrees
+      .join(graph.vertices, "id")
+      .select(col("key"), col("out_degree"))
+      .join(labels, "key")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_members"), sum(col("out_degree")).as("degree_sum"))
+    degs
+      .join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_members"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"))
+  }
 }

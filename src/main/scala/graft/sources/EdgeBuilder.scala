@@ -129,4 +129,12 @@ object EdgeBuilder {
       .select(col("src_key"), col("dst_key"),
         lit("tooltrans").as("kind"), lit(1.0).as("weight"))
   }
+
+  /** Successor relation of the conversation chains — ListRank input:
+   * (id = turn key, nxt = next turn's key, null at the last turn). */
+  def turnSuccessors(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    turnKey(transcripts)
+      .select(col("vkey").as("id"), lead(col("vkey"), 1).over(w).as("nxt"))
+  }
 }

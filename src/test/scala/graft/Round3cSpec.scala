@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.algos._
+import graft.sources.EdgeBuilder
+
+/** Round-3c operators: SCC (FW-BW coloring), Katz centrality, Wyllie
+ * list ranking, modularity statistics, tool-transition builder. */
+class Round3cSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------- SCC ----------
+
+  private def bruteScc(n: Int, pairs: Seq[(Int, Int)]): Map[Int, Int] = {
+    val reach = Array.fill(n, n)(false)
+    for (i <- 0 until n) reach(i)(i) = true
+    pairs.foreach { case (a, b) => reach(a)(b) = true }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+    (0 until n).map(v =>
+      v -> (0 until n).filter(u => reach(v)(u) && reach(u)(v)).min).toMap
+  }
+
+  /** Engine scc labels (min ID — ids are hash-bucketed, not
+   * key-ordered) → canonical grouping keyed by min member INDEX. */
+  private def sccByMinIndex(g: LinkGraph): Map[Int, Int] = {
+    val raw = byIndex(g, Scc.run(g).sccs, "scc")
+      .map { case (v, s) => v -> s.asInstanceOf[Long] }
+    val rep = raw.groupBy(_._2).map { case (s, m) => s -> m.keys.min }
+    raw.map { case (v, s) => v -> rep(s) }
+  }
+
+  test("SCC: two cycles bridged one-way, tails are singletons") {
+    // {0,1,2} cycle → 3; {3,4} cycle; 5→3; 6→7
+    val pairs = Seq((0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3), (5, 3), (6, 7))
+    val g = graphOf(pairs, symmetric = false)
+    assert(sccByMinIndex(g) == bruteScc(8, pairs))
+    g.unpersist()
+  }
+
+  test("SCC equals brute-force mutual reachability on random digraphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 10 + trial
+      val pairs = (0 until (3 * n)).map(_ => (rnd.nextInt(n), rnd.nextInt(n)))
+        .filter(p => p._1 != p._2).distinct
+      val present = pairs.flatMap(p => Seq(p._1, p._2)).distinct.toSet
+      val g = graphOf(pairs, symmetric = false)
+      val want = bruteScc(n, pairs).filter { case (v, _) => present(v) }
+      assert(sccByMinIndex(g) == want, s"trial $trial")
+      g.unpersist()
+    }
+  }
+
+  test("toolTransitions keeps strictly dominant directions only") {
+    // conv rows: A,B,A,B,A → A→B twice, B→A twice (tie, both dropped);
+    // then C,A in two convs and A,C in one → C→A kept
+    def conv(id: String, tools: Seq[String]) =
+      tools.zipWithIndex.map { case (t, i) => (id, i, "tool", s"x$i", Some(t), null: java.sql.Timestamp) }
+    val rows = conv("c1", Seq("A", "B", "A", "B", "A")) ++
+      conv("c2", Seq("C", "A")) ++ conv("c3", Seq("C", "A")) ++
+      conv("c4", Seq("A", "C"))
+    val tr = rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = EdgeBuilder.toolTransitions(tr)
+      .select(col("src_key"), col("dst_key"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("C", "A")))
+  }
+
+  // ---------- Katz ----------
+
+  test("Katz on a path and a diamond: exact scaled-integer values") {
+    // path 0→1→2: katz_x = 8^5·Σ 8^-k·paths_k
+    val g = graphOf(Seq((0, 1), (1, 2)), symmetric = false)
+    val got = byIndex(g, Katz.run(g).katz, "katz_x")
+    assert(got == Map(0 -> 0L, 1 -> 4096L, 2 -> (4096L + 512L)))
+    g.unpersist()
+    val g2 = graphOf(Seq((0, 2), (1, 2)), symmetric = false)
+    assert(byIndex(g2, Katz.run(g2).katz, "katz_x") ==
+      Map(0 -> 0L, 1 -> 0L, 2 -> 8192L))
+    g2.unpersist()
+  }
+
+  test("Katz equals the naive matrix-power series on random digraphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 2) {
+      val n = 9 + trial
+      val pairs = (0 until (2 * n)).map(_ => (rnd.nextInt(n), rnd.nextInt(n)))
+        .filter(p => p._1 != p._2).distinct
+      val g = graphOf(pairs, symmetric = false)
+      // paths_k via repeated mat-vec: p_k(v) = Σ_{u→v} p_{k-1}(u)
+      var p = Array.fill(n)(1L)
+      val acc = Array.fill(n)(0L)
+      for (_ <- 1 to 5) {
+        val nx = Array.fill(n)(0L)
+        pairs.foreach { case (u, v) => nx(v) += p(u) }
+        for (v <- 0 until n) acc(v) = acc(v) * 8 + nx(v)
+        p = nx
+      }
+      val present = pairs.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = present.map(v => v -> acc(v)).toMap
+      assert(byIndex(g, Katz.run(g).katz, "katz_x") == want, s"trial $trial")
+      g.unpersist()
+    }
+  }
+
+  // ---------- ListRank ----------
+
+  test("ListRank: multiple chains, ranks = distance to chain end") {
+    // chains: a0→a1→…→a6, b0→b1, c0 (isolated terminal)
+    val succ = (
+      (0 until 6).map(i => (s"a$i", s"a${i + 1}")) ++
+        Seq(("a6", null: String), ("b0", "b1"), ("b1", null: String), ("c0", null: String))
+      ).toDF("id", "nxt")
+    val r = ListRank.run(succ, numPartitions)
+    val got = r.ranks.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val want = (0 to 6).map(i => s"a$i" -> (6L - i)).toMap ++
+      Map("b0" -> 1L, "b1" -> 0L, "c0" -> 0L)
+    assert(got == want)
+    assert(r.rounds <= 4) // ⌈log₂ 6⌉ = 3 jumps + the settle round
+  }
+
+  test("ListRank: 100-element chain settles in O(log n) rounds") {
+    val succ = ((0 until 99).map(i => (f"n$i%03d", f"n${i + 1}%03d")) :+
+      (("n099", null: String))).toDF("id", "nxt")
+    val r = ListRank.run(succ, numPartitions)
+    val got = r.ranks.where(col("id") === "n000").collect()(0).getLong(1)
+    assert(got == 99L)
+    assert(r.rounds <= 8, s"rounds=${r.rounds}") // ⌈log₂ 99⌉ = 7
+  }
+
+  // ---------- modularity statistics ----------
+
+  test("communityStats: two triangles + bridge, hand-checked sums") {
+    val tri = Seq((0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3))
+    val g = graphOf(tri, symmetric = true)
+    val labels = (0 to 5).map(i => (keyOf(i), if (i <= 2) "A" else "B"))
+      .toDF("key", "community")
+    val got = LabelPropagation.communityStats(g, labels)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // each triangle: 3 intra edges; bridge endpoint degree 3, others 2
+    assert(got == Map("A" -> ((3L, 3L, 7L)), "B" -> ((3L, 3L, 7L))))
+    // modularity from the stats: m=7, Q·4m² = Σ (4m·e_c − d_c²)
+    val q4m2 = got.values.map { case (_, e, d) => 4 * 7 * e - d * d }.sum
+    assert(q4m2 == (84 - 49) * 2)
+    g.unpersist()
+  }
+}
