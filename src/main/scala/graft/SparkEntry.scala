@@ -382,6 +382,15 @@ object SparkEntry {
       DagDepth.run(g).depth.join(g.vertices, "id")
         .select(col("key"), col("d").as("depth"))
     }),
+    // tree-contracted critical path: pointer-jumping resolves the
+    // in-degree-1 forest in O(log L) rounds, max-plus relaxes only the
+    // contracted roots — SAME fixpoint as q_critpath, so a green row
+    // against the shared oracle proves the schedule change exactly
+    "q_critpath_fast" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = false)
+      DagDepth.runContracted(g).depth.join(g.vertices, "id")
+        .select(col("key"), col("d").as("depth"))
+    }),
     // strongly connected components (distributed forward-backward
     // coloring) on the dominant-direction tool-transition digraph —
     // the derived graph with genuine cycles (the turn graph is a DAG
@@ -1506,6 +1515,7 @@ object SparkEntry {
     "q_lp" -> ccSql,
     "q_voronoi" -> voronoiSql,
     "q_critpath" -> critpathSql,
+    "q_critpath_fast" -> critpathSql,
     "q_scc" -> sccSql,
     "q_katz" -> katzSql,
     "q_listrank" -> listrankSql,

@@ -34,24 +34,37 @@ object ListRank {
 
   final case class Result(ranks: DataFrame, rounds: Int)
 
-  /** @return ranks: (id, rank) — rank = hops from id to its chain's
-   * terminal element (terminals at 0). */
-  def run(succ: DataFrame, numPartitions: Int): Result = {
+  /** @return ranks: (id, rank, root) — rank = hops from id to its
+   * chain's (or in-tree's) terminal element, root = that terminal's
+   * id (terminals rank 0, root = self).
+   *
+   * The successor relation may also be an IN-TREE (several ids
+   * sharing one successor): pointer jumping computes depth-to-root on
+   * forests with the identical schedule, which is what the
+   * tree-contracted critical path ([[DagDepth.runContracted]]) uses.
+   * It must be acyclic — a successor cycle never settles (`maxRounds`
+   * guards; 64 rounds cover any acyclic input that fits in a long). */
+  def run(succ: DataFrame, numPartitions: Int, maxRounds: Int = 64): Result = {
     var state = succ
       .select(col("id"), col("nxt").as("ptr"),
-        when(col("nxt").isNull, 0L).otherwise(1L).as("d"))
+        when(col("nxt").isNull, 0L).otherwise(1L).as("d"),
+        when(col("nxt").isNull, col("id")).as("root"))
       .repartition(numPartitions, col("id"))
       .graftCut
     var active = state.where(col("ptr").isNotNull).count()
     var rounds = 0
     while (active > 0) {
       rounds += 1
+      require(rounds <= maxRounds,
+        s"ListRank did not settle in $maxRounds rounds — successor cycle?")
       val p = state.select(
-        col("id").as("pid"), col("ptr").as("pptr"), col("d").as("pd"))
+        col("id").as("pid"), col("ptr").as("pptr"),
+        col("d").as("pd"), col("root").as("proot"))
       val (next, actSum) = state
         .join(p, state("ptr") === p("pid"), "left")
         .select(col("id"), col("pptr").as("ptr"),
-          (col("d") + coalesce(col("pd"), lit(0L))).as("d"))
+          (col("d") + coalesce(col("pd"), lit(0L))).as("d"),
+          coalesce(col("root"), col("proot")).as("root"))
         .withColumn("act", when(col("ptr").isNotNull, 1.0).otherwise(0.0))
         .repartition(numPartitions, col("id"))
         .graftCutSum("act")
@@ -59,6 +72,6 @@ object ListRank {
       state = next
       active = actSum.toLong
     }
-    Result(state.select(col("id"), col("d").as("rank")), rounds)
+    Result(state.select(col("id"), col("d").as("rank"), col("root")), rounds)
   }
 }

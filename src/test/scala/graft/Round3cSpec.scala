@@ -130,6 +130,37 @@ class Round3cSpec extends SparkSpec {
     assert(r.rounds <= 8, s"rounds=${r.rounds}") // ⌈log₂ 99⌉ = 7
   }
 
+  // ---------- tree-contracted critical path ----------
+
+  test("runContracted equals DagDepth.run on chains, branches, and random DAGs") {
+    // hand case: chain with a side branch and a shared sink
+    val hand = Seq((0, 1), (1, 2), (2, 3), (3, 4), (0, 5), (5, 4), (2, 6))
+    val rnd = new scala.util.Random(13)
+    val cases = hand +: (1 to 3).map { _ =>
+      val n = 12
+      // forward-only edges keep it a DAG
+      (0 until (2 * n)).map { _ =>
+        val a = rnd.nextInt(n - 1); (a, a + 1 + rnd.nextInt(n - 1 - a))
+      }.distinct
+    }
+    cases.foreach { pairs =>
+      val g = graphOf(pairs, symmetric = false)
+      val slow = byIndex(g, DagDepth.run(g).depth, "d")
+      val fast = byIndex(g, DagDepth.runContracted(g).depth, "d")
+      assert(fast == slow, s"pairs=$pairs")
+      g.unpersist()
+    }
+  }
+
+  test("runContracted settles a long chain in O(log L) total rounds") {
+    val n = 60
+    val g = graphOf((0 until n - 1).map(i => (i, i + 1)), symmetric = false)
+    val r = DagDepth.runContracted(g)
+    assert(byIndex(g, r.depth, "d") == (0 until n).map(i => i -> i.toLong).toMap)
+    assert(r.iterations <= 10, s"rounds=${r.iterations}") // log₂ 59 ≈ 6 + relax
+    g.unpersist()
+  }
+
   // ---------- modularity statistics ----------
 
   test("communityStats: two triangles + bridge, hand-checked sums") {
