@@ -425,6 +425,25 @@ object SparkEntry {
       val g = Graphs.get(s, dir, symmetric = true)
       LabelPropagation.communityStats(g, LabelPropagation.communities(g))
     }),
+    // landmark eccentricities from the one-loop MSBFS state: max(ecc)
+    // lower-bounds the diameter, min(ecc) upper-bounds the radius
+    "q_ecc" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      MultiSourceBfs.eccentricity(MultiSourceBfs.run(g, rootIds(g, 4)).dists)
+        .join(g.vertices.select(col("id").as("root"), col("key").as("root_key")), "root")
+        .select(col("root_key"), col("ecc"), col("n_reached"))
+    }),
+    // GNN-style 2-hop neighborhood aggregation with the degree as the
+    // seed feature — the message-passing feature-engineering primitive
+    "q_khop" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      DegreeStats.khopDegreeSums(g).join(g.vertices, "id")
+        .select(col("key"), col("h1"), col("h2"))
+    }),
+    // structured-metadata extraction: get_json_object over the JSON
+    // payload of every turn, aggregated per conversation
+    "q_extract" -> ((s, dir) =>
+      pipeline.Extract.convMetadata(Transcripts.fromEvents(s, dir))),
     // batched multi-root Brandes: the 4 landmark hubs' σ/dependency
     // pairs in ONE forward/backward pass (the sampled-approximate-BC
     // building block — K roots at O(diameter) jobs total)
@@ -1320,6 +1339,39 @@ object SparkEntry {
       |FROM (SELECT vkey, turn_idx,
       |             max(turn_idx) OVER (PARTITION BY conv_id) AS mx FROM k) x""".stripMargin
 
+  /** Landmark-eccentricity replay over the [[msbfsBody]] state. */
+  private val eccSql: String = "WITH RECURSIVE " + prefixBody + symBody + msbfsBody +
+    """, d AS (SELECT root, key, min(lvl) AS dd FROM r GROUP BY 1, 2)
+      |SELECT root AS root_key, cast(max(dd) AS bigint) AS ecc,
+      |       count(*) AS n_reached
+      |FROM d GROUP BY 1""".stripMargin
+
+  /** 2-hop degree-sum replay: two unrolled neighbor aggregations over
+   * the symmetric edge set. */
+  private val khopSql: String = prefix + symBody +
+    """, dg AS (SELECT src_key AS key, count(*) AS deg FROM esw GROUP BY 1
+      |), h1 AS (
+      |  SELECT esw.src_key AS key, sum(dg.deg) AS h
+      |  FROM esw JOIN dg ON dg.key = esw.dst_key GROUP BY 1
+      |), h2 AS (
+      |  SELECT esw.src_key AS key, sum(h1.h) AS h
+      |  FROM esw JOIN h1 ON h1.key = esw.dst_key GROUP BY 1
+      |)
+      |SELECT dg.key, cast(h1.h AS bigint) AS h1, cast(h2.h AS bigint) AS h2
+      |FROM dg JOIN h1 USING (key) JOIN h2 USING (key)""".stripMargin
+
+  /** Metadata-extraction replay: DuckDB's json_extract_string over
+   * the same after-the-first-space JSON payload. */
+  private val extractSql: String = prefix +
+    """, kvx AS (
+      |  SELECT conv_id,
+      |         cast(json_extract_string(substr(text, strpos(text, ' ') + 1), '$.k') AS bigint) AS kv
+      |  FROM t
+      |)
+      |SELECT conv_id, count(*) AS n_vals, cast(sum(kv) AS bigint) AS k_sum,
+      |       cast(min(kv) AS bigint) AS k_min, cast(max(kv) AS bigint) AS k_max
+      |FROM kvx WHERE kv IS NOT NULL GROUP BY 1""".stripMargin
+
   /** Multi-root [[bcSql]]: the forward recursion carries (root, key,
    * lvl, σ) with all 4 searches advancing in lockstep by GLOBAL level
    * (exactly the engine's batched schedule); the backward sweep steps
@@ -1520,6 +1572,9 @@ object SparkEntry {
     "q_katz" -> katzSql,
     "q_listrank" -> listrankSql,
     "q_modularity" -> modularitySql,
+    "q_ecc" -> eccSql,
+    "q_khop" -> khopSql,
+    "q_extract" -> extractSql,
     "q_bc_multi" -> bcMultiSql,
     "q_bc_approx" -> bcApproxSql,
     "q_triangles" -> (prefix +

@@ -18,6 +18,34 @@ import graft.LinkGraph
  */
 object DegreeStats {
 
+  /**
+   * GNN-style k-hop neighborhood aggregation with the degree as the
+   * seed feature — the message-passing primitive of graph feature
+   * pipelines: h₀(v) = degree(v), h_k(v) = Σ_{u ∈ N(v)} h_{k-1}(u).
+   * Two dense sum-gathers (the same one-exchange superstep as
+   * PageRank's, integer-valued so the export is exact). h₂ grows like
+   * degree³ on hub-adjacent vertices; callers at extreme scale should
+   * watch the long range (the transcript graph peaks far below it).
+   *
+   * @return (id, h1, h2) for every vertex
+   */
+  def khopDegreeSums(graph: LinkGraph): DataFrame = {
+    import graft.Superstep
+    val hop = (h: DataFrame) => {
+      val msgs = Superstep.gather(
+        graph, h, signal = col("h"), combine = sum,
+        activeEdges = graph.numEdges, activeCount = graph.numVertices)
+      graph.vertices.select(col("id"))
+        .join(msgs, Seq("id"), "left")
+        .select(col("id"), coalesce(col("msg"), lit(0L)).as("h"))
+    }
+    val h0 = graph.degrees.select(col("id"), col("out_degree").as("h"))
+    val h1 = hop(h0)
+    val h2 = hop(h1)
+    h1.select(col("id"), col("h").as("h1"))
+      .join(h2.select(col("id"), col("h").as("h2")), "id")
+  }
+
   /** @return (bucket, n_vertices, min_degree, max_degree) over
    *          vertices with out_degree ≥ 1; bucket b covers degrees
    *          [2^(b-1), 2^b). */

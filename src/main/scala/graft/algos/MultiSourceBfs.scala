@@ -118,6 +118,16 @@ object MultiSourceBfs {
         count(lit(1)).as("n_reached"),
         sum(floor(lit(10000) / col("dist")).cast("long")).as("harmonic_e4"))
 
+  /** Eccentricity of each landmark root — the max BFS level it
+   * reaches (exact within the root's component; over sampled
+   * landmarks, max(ecc) lower-bounds the diameter and min(ecc)
+   * upper-bounds the radius, the standard landmark bounds). One
+   * aggregate over the same one-loop MSBFS state. */
+  def eccentricity(dists: DataFrame): DataFrame =
+    dists.groupBy(col("root"))
+      .agg(max(col("dist")).cast("long").as("ecc"),
+        count(lit(1)).as("n_reached"))
+
   /** Landmark-based closeness ESTIMATE for every vertex — the dual of
    * [[harmonicCloseness]]: instead of each root's centrality over its
    * reachable set, each VERTEX gets Σ floor(10⁴/d(v, landmark)) over

@@ -161,6 +161,42 @@ class Round3cSpec extends SparkSpec {
     g.unpersist()
   }
 
+  // ---------- eccentricity / k-hop / extraction ----------
+
+  test("eccentricity: path graph landmarks, exact max levels") {
+    // path 0-1-2-3-4 (symmetric): ecc(0)=4 reaching all 5
+    val g = graphOf((0 until 4).map(i => (i, i + 1)), symmetric = true)
+    val ids = indexOf(g).map(_.swap)
+    val dists = MultiSourceBfs.run(g, Seq(ids(0), ids(2))).dists
+    val got = MultiSourceBfs.eccentricity(dists)
+      .collect().map(r => indexOf(g)(r.getLong(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(0 -> ((4L, 5L)), 2 -> ((2L, 5L))))
+    g.unpersist()
+  }
+
+  test("khopDegreeSums: star and triangle, hand-checked") {
+    // star 0-{1,2,3}: deg(0)=3, leaves 1. h1(0)=3·1=3, h1(leaf)=3.
+    // h2(0)=Σ h1(leaf)=9, h2(leaf)=h1(0)=3.
+    val g = graphOf(Seq((0, 1), (0, 2), (0, 3)), symmetric = true)
+    val got = byIndex(g, DegreeStats.khopDegreeSums(g).select(
+      col("id"), struct(col("h1"), col("h2")).as("h")), "h")
+      .map { case (k, v) =>
+        val r = v.asInstanceOf[org.apache.spark.sql.Row]; k -> ((r.getLong(0), r.getLong(1))) }
+    assert(got == Map(0 -> ((3L, 9L)), 1 -> ((3L, 3L)), 2 -> ((3L, 3L)), 3 -> ((3L, 3L))))
+    g.unpersist()
+  }
+
+  test("jsonField + convMetadata extract the payload integers") {
+    val rows = Seq(
+      ("c1", 0, "user", """click {"k": 5}""", null: String, null: java.sql.Timestamp),
+      ("c1", 1, "user", """view {"k": -2}""", null: String, null: java.sql.Timestamp),
+      ("c2", 0, "user", """signup {"j": 9}""", null: String, null: java.sql.Timestamp))
+    val tr = rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = graft.pipeline.Extract.convMetadata(tr)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map("c1" -> ((2L, 3L, -2L, 5L)))) // c2 has no $.k
+  }
+
   // ---------- modularity statistics ----------
 
   test("communityStats: two triangles + bridge, hand-checked sums") {
