@@ -444,6 +444,16 @@ object SparkEntry {
     // payload of every turn, aggregated per conversation
     "q_extract" -> ((s, dir) =>
       pipeline.Extract.convMetadata(Transcripts.fromEvents(s, dir))),
+    // bipartite (two-mode) projection: conversations sharing tools →
+    // weighted one-mode co-use edges (hub-cap guard sbt-tested;
+    // uncapped here — the tool degrees are bounded by construction)
+    "q_biproj" -> ((s, dir) => {
+      val m = Transcripts.fromEvents(s, dir)
+        .where(col("tool").isNotNull)
+        .select(col("conv_id").as("entity"), col("tool").as("group"))
+      operators.Bipartite.project(m)
+        .select(col("a").as("conv_a"), col("b").as("conv_b"), col("shared"))
+    }),
     // batched multi-root Brandes: the 4 landmark hubs' σ/dependency
     // pairs in ONE forward/backward pass (the sampled-approximate-BC
     // building block — K roots at O(diameter) jobs total)
@@ -1575,6 +1585,11 @@ object SparkEntry {
     "q_ecc" -> eccSql,
     "q_khop" -> khopSql,
     "q_extract" -> extractSql,
+    "q_biproj" -> (prefix +
+      """, m AS (SELECT DISTINCT conv_id, tool FROM t WHERE tool IS NOT NULL)
+        |SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, count(*) AS shared
+        |FROM m a JOIN m b ON a.tool = b.tool AND a.conv_id < b.conv_id
+        |GROUP BY 1, 2""".stripMargin),
     "q_bc_multi" -> bcMultiSql,
     "q_bc_approx" -> bcApproxSql,
     "q_triangles" -> (prefix +

@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Iceberg-style snapshot semantics over the bucketed edge layout
+ * ([[BucketedLayout]]): append-only versioned writes
+ * (`snap=<N>/bucket=<K>/` parquet), a manifest sidecar per snapshot
+ * with per-bucket file statistics (row count, min/max of the cluster
+ * key), and readers that resolve the latest snapshot or any
+ * historical one (time travel) and prune buckets from the manifest's
+ * min/max ranges WITHOUT touching data files — the three Iceberg
+ * behaviors a 10^12-edge table relies on (snapshot isolation for
+ * concurrent readers, reproducible historical reads, scan pruning).
+ * No Iceberg runtime jar ships in this sandbox (SURVEY.md §7.0); the
+ * layout + manifest contract here is catalog-compatible, so a real
+ * catalog slots in behind this object unchanged.
+ *
+ * Scale shape: one bucketed write (the data), one per-bucket
+ * aggregate (the stats — `numBuckets` rows to the driver, never
+ * data), one tiny JSON sidecar. Readers list directories, not files.
+ */
+object SnapshotTable {
+
+  private def snapDir(table: String, snap: Int) = s"$table/snap=$snap"
+  private def manifestPath(table: String, snap: Int) =
+    s"${snapDir(table, snap)}/_manifest.json"
+
+  /** Latest committed snapshot id (manifest present), if any. */
+  def latest(table: String): Option[Int] = {
+    val d = Paths.get(table)
+    if (!Files.isDirectory(d)) return None
+    val listing = Files.list(d)
+    val names =
+      try listing.toArray.toSeq.map(_.toString)
+      finally listing.close()
+    val snaps = names
+      .filter(_.matches(".*/snap=\\d+$"))
+      .map(p => p.substring(p.lastIndexOf('=') + 1).toInt)
+      .filter(s => Files.exists(Paths.get(manifestPath(table, s))))
+    if (snaps.isEmpty) None else Some(snaps.max)
+  }
+
+  /**
+   * Commit a new snapshot of the edge table: bucketed + sorted data
+   * files, then the stats manifest. The manifest is written LAST —
+   * a reader never sees a half-written snapshot (the same commit
+   * protocol as Iceberg's metadata swap).
+   *
+   * @param edges   (src, dst, weight)
+   * @param buckets (id, bucket) from [[BucketedLayout.assignBuckets]]
+   * @param key     cluster column ("src" or "dst")
+   * @return the new snapshot id
+   */
+  def commit(
+      edges: DataFrame,
+      buckets: DataFrame,
+      table: String,
+      key: String = "src"): Int = {
+    val snap = latest(table).map(_ + 1).getOrElse(0)
+    val path = snapDir(table, snap)
+    edges.join(buckets.withColumnRenamed("id", key), key)
+      .repartition(col("bucket"))
+      .sortWithinPartitions(key, if (key == "src") "dst" else "src")
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val spark = edges.sparkSession
+    val stats = spark.read.parquet(path)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(key)).as("min_key"), max(col(key)).as("max_key"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val bucketJson = stats.map { case (b, n, lo, hi) =>
+      s"""{"bucket":$b,"rows":$n,"min_key":$lo,"max_key":$hi}"""
+    }.mkString("[", ",", "]")
+    val numRows = stats.map(_._2).sum
+    val parent = snap - 1
+    val json =
+      s"""{"snapshot":$snap,"parent":$parent,"key":"$key","num_rows":$numRows,"buckets":$bucketJson}"""
+    Files.writeString(Paths.get(manifestPath(table, snap)), json)
+    snap
+  }
+
+  /** Manifest rows as a DataFrame. The `_`-prefixed sidecar is
+   * invisible to Spark's file listing (by design — parquet readers of
+   * the same directory must skip it), so the JSON text is read
+   * directly and parsed from a literal dataset. */
+  private def manifest(table: String, snap: Int): DataFrame = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    val text = Files.readString(Paths.get(manifestPath(table, snap)))
+    spark.read.json(Seq(text).toDS())
+  }
+
+  /** Manifest-driven bucket selection for a key-range scan: buckets
+   * whose [min_key, max_key] intersect [lo, hi] — metadata only, no
+   * data file is opened. */
+  def selectBuckets(table: String, snap: Int, lo: Long, hi: Long): Seq[Int] = {
+    manifest(table, snap)
+      .select(explode(col("buckets")).as("b"))
+      .select(col("b.bucket"), col("b.min_key"), col("b.max_key"))
+      .where(!(col("max_key") < lo || col("min_key") > hi))
+      .collect().map(_.getLong(0).toInt).sorted.toSeq
+  }
+
+  /** Read a snapshot (default: latest) — time travel is just passing
+   * an older id. */
+  def read(spark: SparkSession, table: String, snapshot: Option[Int] = None): DataFrame = {
+    val snap = snapshot.orElse(latest(table)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $table"))
+    spark.read.parquet(snapDir(table, snap))
+  }
+
+  /** Key-range scan with manifest pruning: only the selected buckets'
+   * directories are listed/read. The residual filter stays on top
+   * (bucket stats are a superset guarantee, exactly like Iceberg's). */
+  def readRange(
+      spark: SparkSession,
+      table: String,
+      lo: Long,
+      hi: Long,
+      snapshot: Option[Int] = None): DataFrame = {
+    val snap = snapshot.orElse(latest(table)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $table"))
+    val keyCol = manifest(table, snap).select(col("key")).first().getString(0)
+    val picked = selectBuckets(table, snap, lo, hi)
+    if (picked.isEmpty)
+      return read(spark, table, Some(snap)).where(lit(false))
+    val base = snapDir(table, snap)
+    spark.read.option("basePath", base)
+      .parquet(picked.map(b => s"$base/bucket=$b"): _*)
+      .where(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
+}

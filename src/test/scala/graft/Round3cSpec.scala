@@ -197,6 +197,46 @@ class Round3cSpec extends SparkSpec {
     assert(got == Map("c1" -> ((2L, 3L, -2L, 5L)))) // c2 has no $.k
   }
 
+  // ---------- bipartite projection ----------
+
+  test("Bipartite.project: shared counts, dup tolerance, hub cap") {
+    val m = Seq(
+      ("c1", "t1"), ("c2", "t1"), ("c3", "t1"),
+      ("c1", "t2"), ("c2", "t2"),
+      ("c1", "t3"), ("c4", "t3"),
+      ("c1", "t1") // duplicate membership row
+    ).toDF("entity", "group")
+    def proj(cap: Long) = graft.operators.Bipartite.project(m, cap)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(proj(0) == Map(
+      ("c1", "c2") -> 2L, ("c1", "c3") -> 1L, ("c2", "c3") -> 1L, ("c1", "c4") -> 1L))
+    // cap 2 drops t1 (group degree 3); t2/t3 pairs survive
+    assert(proj(2) == Map(("c1", "c2") -> 1L, ("c1", "c4") -> 1L))
+  }
+
+  // ---------- snapshot table ----------
+
+  test("SnapshotTable: commit, time travel, manifest-only pruning") {
+    import graft.sources.SnapshotTable
+    val table = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val buckets = (0L until 20L).map(i => (i, (i / 5).toInt)).toDF("id", "bucket")
+    val e1 = (0L until 10L).map(i => (i, i + 100L, 1.0)).toDF("src", "dst", "weight")
+    val e2 = (0L until 20L).map(i => (i, i + 100L, 1.0)).toDF("src", "dst", "weight")
+    assert(SnapshotTable.commit(e1, buckets, table) == 0)
+    assert(SnapshotTable.commit(e2, buckets, table) == 1)
+    assert(SnapshotTable.latest(table).contains(1))
+    assert(SnapshotTable.read(spark, table).count() == 20)
+    // time travel: snapshot 0 still reads the old rows exactly
+    val v0 = SnapshotTable.read(spark, table, Some(0))
+    assert(v0.count() == 10 && v0.agg(max(col("src"))).first().getLong(0) == 9L)
+    // pruning comes from the manifest alone: src ∈ [0,4] → bucket 0 only
+    assert(SnapshotTable.selectBuckets(table, 1, 0L, 4L) == Seq(0))
+    assert(SnapshotTable.selectBuckets(table, 1, 4L, 11L) == Seq(0, 1, 2))
+    val ranged = SnapshotTable.readRange(spark, table, 4L, 11L)
+    assert(ranged.count() == 8)
+    assert(ranged.agg(min(col("src")), max(col("src"))).first().toSeq == Seq(4L, 11L))
+  }
+
   // ---------- modularity statistics ----------
 
   test("communityStats: two triangles + bridge, hand-checked sums") {
