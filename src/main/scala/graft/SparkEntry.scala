@@ -444,6 +444,10 @@ object SparkEntry {
     // payload of every turn, aggregated per conversation
     "q_extract" -> ((s, dir) =>
       pipeline.Extract.convMetadata(Transcripts.fromEvents(s, dir))),
+    // deterministic GraphSAGE-style neighbor sampling (md5 top-s per
+    // vertex on the symmetric graph) — the GNN mini-batch primitive
+    "q_nbrsample" -> ((s, dir) =>
+      NeighborSample.sample(Graphs.get(s, dir, symmetric = true), s = 3)),
     // bipartite (two-mode) projection: conversations sharing tools →
     // weighted one-mode co-use edges (hub-cap guard sbt-tested;
     // uncapped here — the tool degrees are bounded by construction)
@@ -1585,6 +1589,17 @@ object SparkEntry {
     "q_ecc" -> eccSql,
     "q_khop" -> khopSql,
     "q_extract" -> extractSql,
+    "q_nbrsample" -> (prefix + symBody +
+      """, pri AS (
+        |  SELECT src_key, dst_key,
+        |         ('0x' || substr(md5(concat(src_key, '|', dst_key)), 1, 15))::BIGINT AS p
+        |  FROM esw
+        |), rk AS (
+        |  SELECT src_key, dst_key,
+        |         row_number() OVER (PARTITION BY src_key ORDER BY p, dst_key) AS r
+        |  FROM pri
+        |)
+        |SELECT src_key, dst_key, cast(r AS bigint) AS r FROM rk WHERE r <= 3""".stripMargin),
     "q_biproj" -> (prefix +
       """, m AS (SELECT DISTINCT conv_id, tool FROM t WHERE tool IS NOT NULL)
         |SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, count(*) AS shared

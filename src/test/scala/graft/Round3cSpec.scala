@@ -214,6 +214,29 @@ class Round3cSpec extends SparkSpec {
     assert(proj(2) == Map(("c1", "c2") -> 1L, ("c1", "c4") -> 1L))
   }
 
+  // ---------- neighbor sampling ----------
+
+  test("NeighborSample: ≤s per vertex, subset of true neighbors, replayable") {
+    // star 0-{1..5} plus edge 1-2 (symmetric)
+    val g = graphOf((1 to 5).map(i => (0, i)) :+ ((1, 2)), symmetric = true)
+    val run1 = NeighborSample.sample(g, s = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sortBy(x => (x._1, x._3))
+    val run2 = NeighborSample.sample(g, s = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sortBy(x => (x._1, x._3))
+    assert(run1.sameElements(run2)) // md5 determinism
+    val bySrc = run1.groupBy(_._1)
+    assert(bySrc(keyOf(0)).length == 3) // degree 5 capped at 3
+    assert(bySrc(keyOf(3)).length == 1) // leaf keeps its only neighbor
+    assert(bySrc(keyOf(1)).length == 2) // degree 2: both kept
+    // sampled edges are real edges
+    val adj = Set((0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (1, 2))
+      .flatMap { case (a, b) => Set((keyOf(a), keyOf(b)), (keyOf(b), keyOf(a))) }
+    assert(run1.forall(x => adj((x._1, x._2))))
+    // within a vertex, ranks are 1..k ordered by the md5 priority
+    assert(bySrc(keyOf(0)).map(_._3).sorted.sameElements(Array(1L, 2L, 3L)))
+    g.unpersist()
+  }
+
   // ---------- snapshot table ----------
 
   test("SnapshotTable: commit, time travel, manifest-only pruning") {
