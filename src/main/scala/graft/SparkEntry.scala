@@ -484,6 +484,16 @@ object SparkEntry {
         .join(g.vertices, "id")
         .select(col("key"), col("n_samples"), col("bc_sum_e3"),
           expr(s"bc_sum_e3 * ${g.numVertices}L div ${k}L").as("est_e3"))
+    }),
+    // HyperANF (Boldi-Rosa-Vigna): per-vertex HLL ball sketches after
+    // 6 register-union supersteps — the web-scale distance-distribution
+    // primitive. Integer-exact per-vertex register summary exported;
+    // the float N(t) estimator stays driver-side (sbt-tested).
+    "q_anf" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      Anf.perVertexSummary(Anf.run(g, iterations = 6).registers)
+        .join(g.vertices, "id")
+        .select(col("key"), col("reg_sum"), col("nz"))
     })
   )
 
@@ -1374,6 +1384,33 @@ object SparkEntry {
       |SELECT dg.key, cast(h1.h AS bigint) AS h1, cast(h2.h AS bigint) AS h2
       |FROM dg JOIN h1 USING (key) JOIN h2 USING (key)""".stripMargin
 
+  /** HyperANF replay: 6 unrolled register-union rounds. Same md5
+   * register derivation as [[Anf]] (bucket = low 4 bits, rho =
+   * 57 − bitlen of the upper 56); max is idempotent, so the unrolled
+   * union replays the engine's fixed-T fixpoint exactly. */
+  private val anfSql: String = {
+    val round = (k: Int) =>
+      s""", r$k AS MATERIALIZED (
+         |  SELECT key, bucket, max(rho) AS rho FROM (
+         |    SELECT esw.dst_key AS key, r.bucket, r.rho
+         |    FROM esw JOIN r${k - 1} r ON r.key = esw.src_key
+         |    UNION ALL SELECT key, bucket, rho FROM r${k - 1}
+         |  ) u GROUP BY 1, 2
+         |)""".stripMargin
+    prefix + symBody +
+      """, h0 AS (
+        |  SELECT key, ('0x' || substr(md5(key), 1, 15))::BIGINT AS h FROM v
+        |), r0 AS (
+        |  SELECT key, h % 16 AS bucket,
+        |         CASE WHEN h // 16 = 0 THEN 57 ELSE 57 - length(bin(h // 16)) END AS rho
+        |  FROM h0
+        |)""".stripMargin +
+      (1 to 6).map(round).mkString +
+      """
+        |SELECT key, cast(sum(rho) AS bigint) AS reg_sum, count(*) AS nz
+        |FROM r6 GROUP BY 1""".stripMargin
+  }
+
   /** Metadata-extraction replay: DuckDB's json_extract_string over
    * the same after-the-first-space JSON payload. */
   private val extractSql: String = prefix +
@@ -1588,6 +1625,7 @@ object SparkEntry {
     "q_modularity" -> modularitySql,
     "q_ecc" -> eccSql,
     "q_khop" -> khopSql,
+    "q_anf" -> anfSql,
     "q_extract" -> extractSql,
     "q_nbrsample" -> (prefix + symBody +
       """, pri AS (
