@@ -26,6 +26,9 @@ object PipelineEntry {
       Dedup.simhashPairs(Dedup.docs(s, dir), maxDist = 8)
         .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Dedup.docs(s, dir))),
+    // prefix-filter AllPairs join is LOSSLESS for J ≥ t: the oracle is
+    // plain brute-force Jaccard, so a green row proves completeness
+    "q_allpairs" -> ((s, dir) => Dedup.allPairsJoin(Dedup.docs(s, dir), tE4 = 5000)),
     "q_ann_cosine" -> ((s, dir) => Similarity.cosineTopK(Similarity.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(Similarity.embeddings(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(Similarity.embeddings(s, dir))),
@@ -240,6 +243,23 @@ object PipelineEntry {
       |SELECT d.doc_id, d.source
       |FROM documents d JOIN th ON th.source = d.source
       |WHERE ('0x' || substr(md5(concat('t|', d.source, '|', cast(d.doc_id AS varchar))), 1, 8))::BIGINT < th.thresh""".stripMargin
+
+  // Brute-force Jaccard ≥ 0.5 over ALL pairs — deliberately ignorant
+  // of the engine's prefix filter; equality proves the filter lossless.
+  private val allPairsSql: String = docPrefix +
+    """, szs AS (
+      |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT i.doc_a, i.doc_b,
+      |       cast((20000 * i.i + (sa.sz + sb.sz - i.i)) // (2 * (sa.sz + sb.sz - i.i)) AS bigint) AS jaccard_e4
+      |FROM inter i
+      |JOIN szs sa ON sa.doc_id = i.doc_a
+      |JOIN szs sb ON sb.doc_id = i.doc_b
+      |WHERE i.i * 15000 >= 5000 * (sa.sz + sb.sz)""".stripMargin
 
   private val packSql: String =
     """WITH b AS (
@@ -871,6 +891,7 @@ object PipelineEntry {
     "q_mix_temp" -> mixTempSql,
     "q_pack" -> packSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_allpairs" -> allPairsSql,
     "q_ann_cosine" -> annCosineSql,
     "q_langid" -> langidSql,
     "q_quality" -> qualitySql,

@@ -321,4 +321,67 @@ object Dedup {
         col("doc_a"), col("doc_b"),
         round(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
   }
+
+  /** Prefix-filter exact set-similarity self-join (AllPairs, Bayardo
+   * et al. WWW'07; distributed kernel per Vernica et al. SIGMOD'10):
+   * all pairs with shingle-set Jaccard ≥ t, EXACTLY, without the
+   * all-pairs product and without blocking keys.
+   *
+   * Order tokens globally by ascending document frequency (rarest
+   * first). A doc with sz tokens indexes only its first
+   * p = sz − ⌈t·sz⌉ + 1 tokens; any pair with J ≥ t must share a
+   * prefix token under the common order, so the prefix×prefix join is
+   * a complete candidate generator. A length filter (t·max ≤ min)
+   * prunes further; the exact-intersection verify runs on candidates
+   * only. Lossless: result ≡ brute-force Jaccard ≥ t — which is
+   * exactly what the DuckDB oracle computes.
+   *
+   * 100 TB shape: two hash aggs (sizes, dfreq), one window over
+   * doc_id (per-doc rank, bounded by doc length), one equi-join on
+   * prefix tokens. Cost scales with Σ prefix postings², per token —
+   * rarest-first ordering makes hot tokens land last in prefixes, so
+   * the giant stopword postings never join. No quadratic block.
+   *
+   * @param tE4 Jaccard threshold ×10⁴ (integer-exact gate)
+   * @return (doc_a, doc_b, jaccard_e4) with doc_a < doc_b
+   */
+  def allPairsJoin(docs: DataFrame, tE4: Long = 5000, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n).persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("dfreq"))
+    // per-doc token rank under the global (dfreq, shingle) order;
+    // prefix length p = sz − ⌈t·sz⌉ + 1 (integer ceil in e4 space)
+    val ranked = sh.join(dfreq, "shingle")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("shingle"))))
+      .join(sizes, "doc_id")
+      .withColumn("plen",
+        col("sz") - expr(s"($tE4 * sz + 9999) div 10000") + lit(1L))
+    val prefix = ranked.where(col("rnk") <= col("plen"))
+      .select(col("doc_id"), col("shingle"), col("sz"))
+    val a = prefix.select(col("doc_id").as("doc_a"), col("shingle"), col("sz").as("sza"))
+    val b = prefix.select(col("doc_id").as("doc_b"), col("shingle"), col("sz").as("szb"))
+    val cand = a.join(b, "shingle")
+      .where(col("doc_a") < col("doc_b") &&
+        lit(tE4) * col("sza") <= lit(10000L) * col("szb") &&
+        lit(tE4) * col("szb") <= lit(10000L) * col("sza"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // exact verify on candidates only; integer-exact threshold:
+    // i/(sza+szb−i) ≥ t ⇔ i·(10⁴+tE4) ≥ tE4·(sza+szb)
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val out = cand
+      .join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .where(col("inter") * lit(10000L + tE4) >= lit(tE4) * (col("sza") + col("szb")))
+      // integer-exact round-half-up of 10⁴·i/u (u = union size > 0):
+      // engine-independent, no float order sensitivity vs the oracle
+      .select(col("doc_a"), col("doc_b"),
+        expr("(20000 * inter + (sza + szb - inter)) div (2 * (sza + szb - inter))")
+          .as("jaccard_e4"))
+    sh.unpersist()
+    out
+  }
 }

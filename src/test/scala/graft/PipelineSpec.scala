@@ -74,6 +74,37 @@ class PipelineSpec extends SparkSpec {
     assert(expected.exists(_._3 > 3), "fixture must exercise distances beyond the quarter scheme")
   }
 
+  test("allPairsJoin: prefix filter is lossless vs brute-force Jaccard") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank at dawn"
+    val words = base.split(" ")
+    val docs = (0 until 30).map { i =>
+      // one mutated word per doc → J(0, i) ≈ 11/17 ≈ 0.65 qualifies;
+      // J(i, k) for distinct mutation sites ≈ 8/20 = 0.4 does not
+      val mutated = words.zipWithIndex.map { case (w, j) =>
+        if (i > 0 && j == i % 16) s"w$i$j" else w
+      }.mkString(" ")
+      (i.toLong, mutated, "en", s"s${i % 3}", mutated.length.toLong)
+    } :+ ((99L, base, "en", "s9", base.length.toLong)) // exact dup of doc 0
+    val df = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val sets = docs.map(d => d._1 -> shingleSet(d._2)).toMap
+    val tE4 = 5000L
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = (sets(a) & sets(b)).size.toLong
+      u = (sets(a) | sets(b)).size.toLong
+      if i * (10000L + tE4) >= tE4 * (sets(a).size + sets(b).size)
+    } yield (a, b, (20000L * i + u) / (2L * u))).toSet
+    val got = Dedup.allPairsJoin(df, tE4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+    assert(expected.nonEmpty && expected.exists(_._3 < 10000L),
+      "fixture must exercise non-identical qualifying pairs")
+    assert(got.contains((0L, 99L, 10000L)), "exact duplicate pair at jaccard 1")
+  }
+
   test("ngram jaccard within source blocks") {
     val r = Dedup.ngramJaccard(docsFixture).collect()
       .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
