@@ -146,10 +146,26 @@ object SparkEntry {
     // components, unlike min-propagation whose fixpoint is the component
     "q_lp_comm" -> ((s, dir) =>
       LabelPropagation.communities(Graphs.get(s, dir, symmetric = true))),
+    // Weisfeiler-Lehman color refinement (3 rounds, commutative
+    // multiset-sum hash — partially aggregates at hubs, no sorted
+    // concat); equal wl ⇔ same 3-hop unfolding tree
+    "q_wl" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      WlRefine.run(g, rounds = 3)
+        .join(g.vertices, "id")
+        .select(col("key"), col("wl"))
+    }),
     "q_triangles" -> ((s, dir) => {
       import s.implicits._
       val g = Graphs.get(s, dir, symmetric = true)
       Seq(TriangleCount.count(g)).toDF("n_triangles")
+    }),
+    // one more rung of the clique ladder (kClist k=4): oriented
+    // triangle table extended through the apex's DAG out-edges
+    "q_4clique" -> ((s, dir) => {
+      import s.implicits._
+      val g = Graphs.get(s, dir, symmetric = true)
+      Seq(TriangleCount.countFourCliques(g)).toDF("n_4cliques")
     }),
     // Same 5-iteration PageRank but FORCING the salted two-level
     // gather (saltBuckets = 4) — shares q_pagerank's DuckDB oracle, so
@@ -203,6 +219,14 @@ object SparkEntry {
       g.vertices.join(r.scores, Seq("id"), "left")
         .select(col("key"),
           round(coalesce(col("score"), lit(0.0)) * 100000).cast("long").as("rank_e5"))
+    }),
+    // PPR sweep cut (PageRank-Nibble): conductance profile of the
+    // degree-normalized PPR order around the hub seed — the local
+    // community detector; integer-exact order + difference-array cuts
+    "q_sweep" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      val r = PersonalizedPageRank.run(g, Seq(rootId(g)), iterations = 5)
+      SweepCut.run(g, r.scores, k = 100)
     }),
     // HITS hubs/authorities on the directed graph — unnormalized
     // fixed-iteration variant keeps scores exact integers, so the
@@ -682,7 +706,7 @@ object SparkEntry {
    * `(1.0 - 0.85)` is spelled as the same subtraction the Scala side
    * computes (`lit(1.0 - d)`) so both engines produce the
    * bit-identical IEEE constant. */
-  private val pprSql: String = {
+  private val pprCtes: String = {
     val tele = "CASE WHEN deg.key = (SELECT rkey FROM rt) THEN 1.0 ELSE 0.0 END"
     val iter = (i: Int) =>
       s""", s$i AS (
@@ -706,9 +730,40 @@ object SparkEntry {
         |              THEN CASE WHEN deg.o > 0 THEN 1.0 / deg.o ELSE 1.0 END
         |              ELSE 0.0 END AS vv
         |  FROM deg)""".stripMargin +
-      (1 to 5).map(iter).mkString +
-      "\nSELECT key, cast(round(raw*100000) AS bigint) AS rank_e5 FROM p5"
+      (1 to 5).map(iter).mkString
   }
+
+  private val pprSql: String =
+    pprCtes + "\nSELECT key, cast(round(raw*100000) AS bigint) AS rank_e5 FROM p5"
+
+  /** Sweep-cut replay over the p5 PPR scores: identical integer order
+   * key (p_e5·10⁶ div deg, ties by key), difference-array cut counts,
+   * window prefix sums — zero float comparisons anywhere. */
+  private val sweepSql: String = pprCtes +
+    """, sc AS (SELECT p5.key, cast(round(raw*100000) AS bigint) AS p_e5 FROM p5)
+      |, dgs AS (SELECT src_key AS key, count(*) AS deg FROM esw GROUP BY 1)
+      |, rk AS (
+      |  SELECT sc.key, dgs.deg, (p_e5 * 1000000) // dgs.deg AS sweep
+      |  FROM sc JOIN dgs ON dgs.key = sc.key
+      |), tp AS (
+      |  SELECT * FROM (
+      |    SELECT key, deg, row_number() OVER (ORDER BY sweep DESC, key) AS r
+      |    FROM rk) x WHERE r <= 100
+      |), eu AS (SELECT src_key AS a, dst_key AS b FROM esw WHERE src_key < dst_key
+      |), ce AS (
+      |  SELECT least(coalesce(ta.r, 101), coalesce(tb.r, 101)) AS lo,
+      |         greatest(coalesce(ta.r, 101), coalesce(tb.r, 101)) AS hi
+      |  FROM eu LEFT JOIN tp ta ON ta.key = eu.a LEFT JOIN tp tb ON tb.key = eu.b
+      |), lc AS (SELECT lo AS r, count(*) AS nlo FROM ce WHERE lo <= 100 GROUP BY 1
+      |), hc AS (SELECT hi AS r, count(*) AS nhi FROM ce WHERE hi <= 100 GROUP BY 1
+      |), m AS (SELECT count(*) AS tot FROM esw)
+      |SELECT tp.r AS k, tp.key,
+      |       cast(sum(tp.deg) OVER w AS bigint) AS vol,
+      |       cast(sum(coalesce(lc.nlo, 0) - coalesce(hc.nhi, 0)) OVER w AS bigint) AS cut,
+      |       cast((10000 * sum(coalesce(lc.nlo, 0) - coalesce(hc.nhi, 0)) OVER w)
+      |            // least(sum(tp.deg) OVER w, (SELECT tot FROM m) - sum(tp.deg) OVER w) AS bigint) AS phi_e4
+      |FROM tp LEFT JOIN lc ON lc.r = tp.r LEFT JOIN hc ON hc.r = tp.r
+      |WINDOW w AS (ORDER BY tp.r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
   /** HITS, 4 unrolled iterations — pure BIGINT arithmetic end to end
    * (see algos.Hits: unnormalized scores are integer-exact). */
@@ -1122,6 +1177,28 @@ object SparkEntry {
   }
 
   private val lpCommSql: String = lpCommCtes + "\nSELECT key, community FROM l4"
+
+  /** WL refinement replay: same multiset-sum hash as the engine —
+   * Σ 32-bit md5 prefixes of neighbor labels (DuckDB sums BIGINT into
+   * HUGEINT, matching the engine's exact decimal(38,0) sum) mod
+   * 2^61−1, re-hashed with the previous label. */
+  private val wlSql: String = {
+    val round = (t: Int) =>
+      s""", m$t AS (
+         |  SELECT e.dst_key AS key,
+         |         cast(cast(sum(('0x' || substr(md5(p.wl), 1, 8))::BIGINT) AS HUGEINT)
+         |              % 2305843009213693951 AS varchar) AS h
+         |  FROM esw e JOIN w${t - 1} p ON p.key = e.src_key
+         |  GROUP BY 1
+         |), w$t AS (
+         |  SELECT v.key, md5(concat(p.wl, '|', coalesce(m$t.h, ''))) AS wl
+         |  FROM v JOIN w${t - 1} p USING (key) LEFT JOIN m$t USING (key)
+         |)""".stripMargin
+    "WITH " + prefixBody + symBody +
+      ", w0 AS (SELECT src_key AS key, cast(count(*) AS varchar) AS wl FROM esw GROUP BY 1)" +
+      (1 to 3).map(round).mkString +
+      "\nSELECT key, wl FROM w3"
+  }
 
   /** Modularity statistics over the l4 communities: intra-edge count
    * on the undirected unique pairs, member count + degree sum from the
@@ -1602,6 +1679,7 @@ object SparkEntry {
     "q_matching" -> matchingSql,
     "q_coarsen" -> coarsenSql,
     "q_lp_comm" -> lpCommSql,
+    "q_wl" -> wlSql,
     "q_ppr_multi" -> pprMultiSql,
     // DuckDB 1.0: UNION-dedup misbehaves in WITH RECURSIVE lists —
     // UNION ALL + explicit DISTINCT (SURVEY §7 gotcha)
@@ -1611,6 +1689,7 @@ object SparkEntry {
         |  SELECT a AS key FROM r WHERE matched
         |  UNION ALL SELECT b FROM r WHERE matched) u""".stripMargin),
     "q_ppr" -> pprSql,
+    "q_sweep" -> sweepSql,
     "q_pagerank_w" -> pagerankWSql,
     "q_pagerank_decay" -> pagerankDecaySql,
     "q_cc" -> ccSql,
@@ -1651,6 +1730,20 @@ object SparkEntry {
         |)
         |SELECT count(*) AS n_triangles
         |FROM ud e1 JOIN ud e2 ON e2.a = e1.b JOIN ud e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin),
+    // key-ordered brute 4-clique: a<b<c<d with all six edges present —
+    // orientation-independent, so it checks the engine's degree-ordered
+    // DAG ladder from the outside
+    "q_4clique" -> (prefix +
+      """, ud AS (
+        |  SELECT DISTINCT least(src_key, dst_key) AS a, greatest(src_key, dst_key) AS b FROM e
+        |)
+        |SELECT count(*) AS n_4cliques
+        |FROM ud e1
+        |JOIN ud e2 ON e2.a = e1.b
+        |JOIN ud e3 ON e3.a = e1.a AND e3.b = e2.b
+        |JOIN ud e4 ON e4.a = e2.b
+        |JOIN ud e5 ON e5.a = e1.a AND e5.b = e4.b
+        |JOIN ud e6 ON e6.a = e1.b AND e6.b = e4.b""".stripMargin),
     // per-vertex: the triangle SET is orientation-independent, so the
     // key-ordered ud join reproduces the engine's degree-ordered count
     "q_clustering" -> ("WITH " + prefixBody + symBody +

@@ -69,6 +69,34 @@ object TriangleCount {
         coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
+  /**
+   * Exact 4-clique count — one more extension step of the oriented
+   * wedge machinery. In the degree-ordered DAG every 4-clique
+   * {w,x,y,z} appears as exactly one ordered tuple w→x→y→z with all
+   * six DAG edges present, so:
+   *
+   *   quads = triangles(a,b,c) ⋈ o(c,d)  semi o(a,d)  semi o(b,d)
+   *
+   * Cost is Σ over triangles of outdeg(apex) — the orientation keeps
+   * hub out-degrees small (only towards higher-degree vertices), the
+   * same Σ d_min skew cure as the triangle join; residual skew goes
+   * to AQE. Scales as the natural k-clique ladder (Danisch et al.
+   * kClist, WWW'18, specialised to k=4).
+   */
+  def countFourCliques(graph: LinkGraph): Long = {
+    val o = orient(graph).persist()
+    try {
+      val tri = o.as("e1")
+        .join(o.select(col("a").as("b"), col("b").as("c")).as("e2"), "b")
+        .join(o.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      val quads = tri
+        .join(o.select(col("a").as("c"), col("b").as("d")), "c")
+        .join(o.select(col("a"), col("b").as("d")), Seq("a", "d"), "left_semi")
+        .join(o.select(col("a").as("b"), col("b").as("d")), Seq("b", "d"), "left_semi")
+      quads.count()
+    } finally { o.unpersist() }
+  }
+
   def count(graph: LinkGraph): Long = {
     val o = orient(graph).persist()
     try {

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.algos._
+
+/** Round-3d operators: WL color refinement, 4-clique counting,
+ * PPR sweep-cut conductance. */
+class Round3dSpec extends SparkSpec {
+
+  // ---------- Weisfeiler-Lehman refinement ----------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Reference 1-WL with the engine's multiset-sum hash, in plain Scala. */
+  private def bruteWl(n: Int, adj: Map[Int, Set[Int]], rounds: Int): Map[Int, String] = {
+    val prime = BigInt("2305843009213693951")
+    var lbl = (0 until n).map(v => v -> adj(v).size.toString).toMap
+    for (_ <- 1 to rounds) {
+      lbl = (0 until n).map { v =>
+        val s = adj(v).toSeq
+          .map(u => BigInt(md5hex(lbl(u)).take(8), 16))
+          .foldLeft(BigInt(0))(_ + _)
+        val h = if (adj(v).isEmpty) "" else (s % prime).toString
+        v -> md5hex(lbl(v) + "|" + h)
+      }.toMap
+    }
+    lbl
+  }
+
+  private def wlByIndex(g: LinkGraph, rounds: Int): Map[Int, String] =
+    byIndex(g, WlRefine.run(g, rounds), "wl")
+      .map { case (v, w) => v -> w.asInstanceOf[String] }
+
+  test("WL: engine labels equal the plain-Scala replay on an irregular graph") {
+    // two triangles sharing a bridge + a pendant: mixed degrees 1..3
+    val pairs = Seq((0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3), (5, 6))
+    val adj = (0 to 6).map(v => v -> pairs.collect {
+      case (a, b) if a == v => b
+      case (a, b) if b == v => a
+    }.toSet).toMap
+    val g = graphOf(pairs, symmetric = true)
+    assert(wlByIndex(g, 3) == bruteWl(7, adj, 3))
+    g.unpersist()
+  }
+
+  test("WL: symmetric positions share labels, asymmetric ones split") {
+    // path P6: 0-1-2-3-4-5 — mirror pairs (0,5),(1,4),(2,3) are
+    // automorphic; after 3 rounds each mirror pair shares a label and
+    // the three orbits are pairwise distinct
+    val g = graphOf(Seq((0, 1), (1, 2), (2, 3), (3, 4), (4, 5)), symmetric = true)
+    val wl = wlByIndex(g, 3)
+    assert(wl(0) == wl(5) && wl(1) == wl(4) && wl(2) == wl(3))
+    assert(Set(wl(0), wl(1), wl(2)).size == 3)
+    g.unpersist()
+  }
+
+  // ---------- 4-clique counting ----------
+
+  private def brute4Cliques(n: Int, pairs: Seq[(Int, Int)]): Long = {
+    val adj = Array.fill(n, n)(false)
+    pairs.foreach { case (a, b) => adj(a)(b) = true; adj(b)(a) = true }
+    (for {
+      w <- 0 until n; x <- w + 1 until n if adj(w)(x)
+      y <- x + 1 until n if adj(w)(y) && adj(x)(y)
+      z <- y + 1 until n if adj(w)(z) && adj(x)(z) && adj(y)(z)
+    } yield 1).size.toLong
+  }
+
+  test("4-cliques: K4=1, K5=5, K5 minus an edge=2, C6=0") {
+    def kN(n: Int) = for (i <- 0 until n; j <- i + 1 until n) yield (i, j)
+    val cases: Seq[(Seq[(Int, Int)], Long)] = Seq(
+      (kN(4), 1L),
+      (kN(5), 5L), // C(5,4) = 5
+      (kN(5).filterNot(_ == (0, 1)), 2L), // only the two K4s avoiding {0,1}
+      (Seq((0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0)), 0L))
+    cases.foreach { case (pairs, want) =>
+      val g = graphOf(pairs, symmetric = true)
+      assert(TriangleCount.countFourCliques(g) == want, s"pairs=$pairs")
+      g.unpersist()
+    }
+  }
+
+  test("4-cliques: equals brute force on a deterministic random graph") {
+    val n = 24
+    val pairs = for {
+      i <- 0 until n; j <- i + 1 until n
+      if md5hex(s"q$i|$j").charAt(0) <= '7' // ~half density → rich clique structure
+    } yield (i, j)
+    val g = graphOf(pairs, symmetric = true)
+    assert(TriangleCount.countFourCliques(g) == brute4Cliques(n, pairs))
+    g.unpersist()
+  }
+
+  // ---------- PPR sweep cut ----------
+
+  test("sweep cut: barbell graph — replay matches and argmin is the cluster") {
+    import spark.implicits._
+    // two K4s bridged by (3,4)
+    def k4(off: Int) = for (i <- 0 until 4; j <- i + 1 until 4) yield (i + off, j + off)
+    val pairs = k4(0) ++ k4(4) :+ ((3, 4))
+    val g = graphOf(pairs, symmetric = true)
+    val scoreByIdx = Map(0 -> 0.8, 1 -> 0.7, 2 -> 0.6, 3 -> 0.5, 4 -> 0.1,
+      5 -> 0.05, 6 -> 0.05, 7 -> 0.05)
+    val idToIdx = indexOf(g)
+    val scores = idToIdx.toSeq.map { case (id, idx) => (id, scoreByIdx(idx)) }
+      .toDF("id", "score")
+    val got = SweepCut.run(g, scores, k = 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // plain-Scala replay
+    val deg = (0 to 7).map(v => v -> pairs.count(p => p._1 == v || p._2 == v)).toMap
+    val order = (0 to 7).sortBy(v =>
+      (-(math.round(scoreByIdx(v) * 100000) * 1000000L / deg(v)), keyOf(v)))
+    val tot = 2L * pairs.size
+    val expected = (1 to 8).map { k =>
+      val s = order.take(k).toSet
+      val vol = s.toSeq.map(deg(_).toLong).sum
+      val cut = pairs.count(p => s.contains(p._1) != s.contains(p._2)).toLong
+      val den = math.min(vol, tot - vol)
+      (k.toLong, keyOf(order(k - 1)), vol, cut, if (den == 0) 0L else 10000L * cut / den)
+    }
+    assert(got.toSeq == expected)
+    // conductance bottoms out exactly at the 4-vertex cluster
+    val phiByK = got.map(r => r._1 -> r._5).toMap
+    assert(phiByK(4L) == got.filter(_._1 < 8).map(_._5).min) // k=8 is S=V (φ≔0 by convention)
+    g.unpersist()
+  }
+
+  test("WL: refinement distinguishes C6 from 2×C3 where degrees cannot") {
+    // both 2-regular — round 0 and round 1 agree; by round 2 the
+    // triangle vertices see closed 2-hop neighborhoods and split.
+    // (C6 vs 2×C3 is THE textbook pair 1-WL *can* separate locally
+    // per-vertex only via multiset census... here labels stay equal
+    // per vertex — so assert census instead: both graphs are
+    // vertex-transitive, all labels equal within each graph.)
+    val c6 = graphOf(Seq((0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0)), symmetric = true)
+    val cc3 = graphOf(Seq((0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)), symmetric = true)
+    val w6 = wlByIndex(c6, 3).values.toSet
+    val w33 = wlByIndex(cc3, 3).values.toSet
+    assert(w6.size == 1 && w33.size == 1, "vertex-transitive graphs refine to one class")
+    // and the single classes agree across the two graphs: the classic
+    // 1-WL blind spot, documented behavior of color refinement
+    assert(w6 == w33)
+    c6.unpersist(); cc3.unpersist()
+  }
+}
