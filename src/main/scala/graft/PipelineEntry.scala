@@ -80,6 +80,13 @@ object PipelineEntry {
     "q_semdedup" -> ((s, dir) => Similarity.semDedup(Similarity.embeddings(s, dir))),
     // the k-means assignment itself (integer-exact Lloyd)
     "q_kmeans" -> ((s, dir) => Similarity.kmeansAssign(Similarity.embeddings(s, dir))),
+    // product-quantization codes: 4 subspaces × 8 codewords — the
+    // billion-scale ANN memory story (12 bits/vector for ADC), exact
+    // integer Lloyd per subspace so the oracle replays training
+    "q_pq" -> ((s, dir) => Similarity.pqCodes(Similarity.embeddings(s, dir))),
+    // BM25 retrieval over a deterministic data-derived query (top
+    // content words) — exact rational arithmetic, no float idf
+    "q_bm25" -> ((s, dir) => Vocab.bm25TopDocs(Dedup.docs(s, dir))),
     // ROLLUP aggregation over (source, predicted language) — the
     // grouping-sets member of the relational surface (SURVEY §2.6)
     "q_rollup" -> ((s, dir) => TextStats.langRollup(Dedup.docs(s, dir))),
@@ -791,6 +798,91 @@ object PipelineEntry {
        |)""".stripMargin
   }
 
+  /** Mirrors Vocab.bm25TopDocs: rational-BM25 with per-term floors in
+   * HUGEINT (engine: decimal(38,0)); the query = top-5 corpus-frequency
+   * terms with df·4 ≤ N, ties by term. */
+  private val bm25Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+      |), st AS (
+      |  SELECT (SELECT count(*) FROM documents) AS n, (SELECT count(*) FROM tok) AS tot
+      |), q AS (
+      |  SELECT term, df FROM (
+      |    SELECT term, count(*) AS df, sum(tf) AS ctf FROM tf GROUP BY 1) d, st
+      |  WHERE d.df * 4 <= st.n
+      |  ORDER BY ctf DESC, term LIMIT 5
+      |), sc AS (
+      |  SELECT tf.doc_id,
+      |         sum(cast((1000000::HUGEINT * (st.n - q.df + 1) * 44 * tf.tf * st.tot)
+      |             // ((q.df + 1)::HUGEINT * (20::HUGEINT * st.tot * tf.tf + 6::HUGEINT * st.tot + 18::HUGEINT * dl.dl * st.n)) AS bigint)) AS score_e6
+      |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id), st
+      |  GROUP BY 1
+      |)
+      |SELECT doc_id, score_e6, rank FROM (
+      |  SELECT doc_id, cast(score_e6 AS bigint) AS score_e6,
+      |         cast(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS bigint) AS rank
+      |  FROM sc) x
+      |WHERE rank <= 20""".stripMargin
+
+  /** Mirrors Similarity.pqCodes: per-subspace slice of the quantized
+   * vectors, then the identical Lloyd replay as ivfTrainCtes (same
+   * seeds, floor-div means, empty-cluster carry, (d2, cid) ties). */
+  private def pqSql(m: Int = 4, k: Int = 8, lloydIters: Int = 2, dim: Int = 64): String = {
+    val sub = dim / m
+    val perSub = (0 until m).map { s =>
+      val lo = s * sub
+      val iters = (1 to lloydIters).map { t =>
+        val prev = s"c${s}_${t - 1}"
+        s""", dist${s}_$t AS (
+           |  SELECT v.vec_id, c.cid, sum((v.q - c.q) * (v.q - c.q)) AS d2
+           |  FROM vq$s v JOIN $prev c ON c.i = v.i GROUP BY 1, 2
+           |), a${s}_$t AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |    FROM dist${s}_$t) z WHERE rn = 1
+           |), m${s}_$t AS (
+           |  SELECT a.cid, v.i, cast(floor(sum(v.q) * 1.0 / count(*)) AS bigint) AS q
+           |  FROM a${s}_$t a JOIN vq$s v ON v.vec_id = a.vec_id GROUP BY 1, 2
+           |), c${s}_$t AS (
+           |  SELECT cid, i, q FROM m${s}_$t
+           |  UNION ALL
+           |  SELECT c.cid, c.i, c.q FROM $prev c
+           |  WHERE c.cid NOT IN (SELECT DISTINCT cid FROM m${s}_$t)
+           |)""".stripMargin
+      }.mkString
+      s""", vq$s AS (
+         |  SELECT vec_id, i - $lo AS i, q FROM vq WHERE i >= $lo AND i < ${lo + sub}
+         |), c${s}_0 AS (
+         |  SELECT s.cid, v.i, v.q FROM seeds s JOIN vq$s v ON v.vec_id = s.vec_id
+         |)""".stripMargin + iters +
+        s""", distF$s AS (
+           |  SELECT v.vec_id, c.cid, sum((v.q - c.q) * (v.q - c.q)) AS d2
+           |  FROM vq$s v JOIN c${s}_$lloydIters c ON c.i = v.i GROUP BY 1, 2
+           |), rk$s AS (
+           |  SELECT vec_id, cid, d2,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |  FROM distF$s
+           |)""".stripMargin
+    }.mkString
+    val finals = (0 until m).map { s =>
+      s"SELECT vec_id, cast($s AS bigint) AS sub, cast(cid AS bigint) AS code, cast(d2 AS bigint) AS d2 FROM rk$s WHERE rn = 1"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH vv AS (
+       |  SELECT vec_id, cast(unnest(embedding) AS double) AS x,
+       |         generate_subscripts(embedding, 1) - 1 AS i
+       |  FROM embeddings
+       |), vq AS (
+       |  SELECT vec_id, i, cast(round(x * 1000000) AS bigint) AS q FROM vv
+       |), seeds AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       |  FROM (SELECT DISTINCT vec_id FROM vq ORDER BY vec_id LIMIT $k) s
+       |)""".stripMargin + perSub + "\n" + finals
+  }
+
   /** Mirrors Similarity.cosineDupPairs at threshold 0.30 (q_embed_dedup). */
   private val embedDedupSql: String = lshPrefix +
     """, dots AS (
@@ -906,6 +998,8 @@ object PipelineEntry {
     "q_cms" -> cmsSql,
     "q_bloom" -> bloomSql,
     "q_semdedup" -> semDedupSql(),
+    "q_pq" -> pqSql(),
+    "q_bm25" -> bm25Sql,
     "q_kmeans" -> (ivfTrainCtes(16, 2) +
       "\nSELECT vec_id, cast(cid AS bigint) AS cid FROM rk WHERE rn = 1"),
     "q_rollup" -> rollupSql,

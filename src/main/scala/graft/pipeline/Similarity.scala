@@ -227,16 +227,25 @@ object Similarity {
    * (persisted; rn = 1 is the cluster assignment). */
   private def ivfTrained(
       emb: DataFrame, nlist: Int, lloydIters: Int): (DataFrame, DataFrame) = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val p = prepared(emb)
       .withColumn("vq",
         transform(col("v"), x => round(x.cast("double") * lit(1000000.0)).cast("long")))
       .persist()
+    val fin = lloydAssign(p.select(col("vec_id"), col("vq")), nlist, lloydIters).persist()
+    (p, fin)
+  }
 
-    // seed centroids: quantized vectors of the nlist smallest vec_ids
-    var cents: IndexedSeq[(Int, Seq[Long])] = p
-      .orderBy(col("vec_id")).limit(nlist)
+  /** Exact-integer Lloyd on a quantized vector table
+   * `(vec_id, vq: array<long>)` — the kernel shared by the IVF coarse
+   * quantizer and the per-subspace PQ codebooks. Seeds = the k
+   * smallest vec_ids' vectors; means floor-divide; empty clusters
+   * keep their previous centroid. @return (vec_id, vq, cid, d2, rn)
+   * ranked by (d2, cid) — rn = 1 is the assignment. */
+  private def lloydAssign(vecs: DataFrame, k: Int, lloydIters: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var cents: IndexedSeq[(Int, Seq[Long])] = vecs
+      .orderBy(col("vec_id")).limit(k)
       .select(col("vec_id"), col("vq")).collect()
       .sortBy(_.getLong(0)).zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Long](1)) }.toIndexedSeq
@@ -249,7 +258,7 @@ object Similarity {
         lit(0L), (acc, x) => acc + x)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
-      p.select(col("vec_id"), col("vq")).crossJoin(c)
+      vecs.select(col("vec_id"), col("vq")).crossJoin(c)
         .withColumn("d2", d2)
         .withColumn("rn", row_number().over(w))
     }
@@ -267,9 +276,36 @@ object Similarity {
       // empty clusters keep their previous centroid
       cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
+    ranked(cents)
+  }
 
-    val fin = ranked(cents).persist()
-    (p, fin)
+  /**
+   * Product-quantization codes (Jégou et al., PAMI'11): split the
+   * d-dim space into `m` subspaces, train a `k`-codeword codebook per
+   * subspace (the same exact-integer Lloyd as [[ivfTopK]], on the
+   * slice), emit each vector's code + exact squared quantization
+   * error per subspace. The memory story at 100 TB: m·log₂k bits per
+   * vector (here 4 × 3 bits) replace d floats for the ADC distance
+   * phase of a billion-scale ANN index.
+   *
+   * @return (vec_id, sub, code, d2) — one row per vector × subspace
+   */
+  def pqCodes(emb: DataFrame, m: Int = 4, k: Int = 8, lloydIters: Int = 2): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val p = prepared(emb)
+      .withColumn("vq",
+        transform(col("v"), x => round(x.cast("double") * lit(1000000.0)).cast("long")))
+      .persist()
+    val out = (0 until m).map { s =>
+      val svq = p.select(col("vec_id"), slice(col("vq"), s * sub + 1, sub).as("vq"))
+      lloydAssign(svq, k, lloydIters)
+        .where(col("rn") === 1)
+        .select(col("vec_id"), lit(s.toLong).as("sub"),
+          col("cid").cast("long").as("code"), col("d2"))
+    }.reduce(_ unionByName _)
+    out
   }
 
   /** K-means cluster assignments over the embedding table — the IVF

@@ -47,6 +47,54 @@ object Vocab {
    * when it fits), then a window partitioned BY DOCUMENT — parallel
    * across docs, never a global sort.
    */
+  /**
+   * BM25 document ranking for a deterministic query — the retrieval
+   * scorer completing the tf-idf surface (Robertson-Spärck Jones;
+   * k1 = 6/5, b = 3/4 as exact rationals).
+   *
+   * Integer-exact across engines: with rational idf
+   * (N−df+1)/(df+1), the per-term score
+   * idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) reduces over the
+   * common denominator 20·tot (avgdl = tot/N) to
+   *
+   *   contrib_e6 = ⌊10⁶·(N−df+1)·44·tf·tot /
+   *                ((df+1)·(20·tot·tf + 6·tot + 18·dl·N))⌋
+   *
+   * computed in decimal(38,0) (HUGEINT in the oracle) — no floats,
+   * no logs. Per-term floors sum to the exported score_e6 (documented
+   * deviation ≤ |q| µ-units from the real-valued sum).
+   *
+   * The query is data-derived and deterministic: the `nQueryTerms`
+   * highest-corpus-frequency terms with df·4 ≤ N (content words, not
+   * stopwords), ties by term. Scale shape: the query table is
+   * broadcast; everything else is partial-aggregated groupBys and a
+   * TakeOrdered top-k — no global sort, no window beyond topK rows.
+   */
+  def bm25TopDocs(docs: DataFrame, nQueryTerms: Int = 5, topK: Int = 20): DataFrame = {
+    val t = terms(docs)
+    val n = docs.count()
+    val tot = t.count()
+    val tf = t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val q = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
+      .where(col("df") * 4 <= n)
+      .orderBy(desc("ctf"), asc("term"))
+      .limit(nQueryTerms)
+      .select(col("term"), col("df"))
+    val contrib = expr(
+      s"(cast(1000000 AS decimal(38,0)) * (${n}L - df + 1) * 44 * tf * ${tot}L)" +
+        s" div (cast(df + 1 AS decimal(38,0)) * (cast(20 AS decimal(38,0)) * ${tot}L * tf" +
+        s" + cast(6 AS decimal(38,0)) * ${tot}L + cast(18 AS decimal(38,0)) * dl * ${n}L))")
+    val scores = tf.join(broadcast(q), "term")
+      .join(dl, "doc_id")
+      .select(col("doc_id"), contrib.cast("long").as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("score_e6"))
+    val w = Window.orderBy(desc("score_e6"), asc("doc_id"))
+    scores.orderBy(desc("score_e6"), asc("doc_id")).limit(topK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   def distinctiveTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val tf = terms(docs).groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))

@@ -124,6 +124,48 @@ class PipelineSpec extends SparkSpec {
     ).toDF("vec_id", "embedding")
   }
 
+  test("pq codes: m=1 degenerates to the kmeans assignment; duplicates share codes") {
+    val pq1 = Similarity.pqCodes(embFixture, m = 1, k = 2, lloydIters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val km = Similarity.kmeansAssign(embFixture, nlist = 2, lloydIters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pq1 == km, "one whole-vector subspace IS the coarse quantizer")
+    val pq2 = Similarity.pqCodes(embFixture, m = 2, k = 2, lloydIters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(pq2.size == 10) // 5 vectors × 2 subspaces
+    (0 to 1).foreach { s => // vec 4 ≡ vec 0 → same code and error in every subspace
+      assert(pq2((0L, s.toLong)) == pq2((4L, s.toLong)))
+    }
+  }
+
+  test("bm25: engine equals a BigInt replay of the rational formula") {
+    val texts = docsFixture.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ").toSeq)
+    val n = texts.length.toLong
+    val tot = texts.map(_._2.size.toLong).sum
+    val tf = texts.flatMap { case (id, ts) => ts.map(id -> _) }
+      .groupBy(identity).map { case ((id, t), xs) => (id, t) -> xs.length.toLong }
+    val byTerm = tf.groupBy(_._1._2)
+    val df = byTerm.map { case (t, m) => t -> m.size.toLong }
+    val ctf = byTerm.map { case (t, m) => t -> m.values.sum }
+    val q = df.keys.filter(t => df(t) * 4 <= n).toSeq
+      .sortBy(t => (-ctf(t), t)).take(2)
+    val dl = texts.map { case (id, ts) => id -> ts.size.toLong }.toMap
+    val scores = texts.map(_._1).map { id =>
+      id -> q.map { t =>
+        val f = tf.getOrElse((id, t), 0L)
+        if (f == 0) BigInt(0)
+        else (BigInt(1000000) * (n - df(t) + 1) * 44 * f * tot) /
+          (BigInt(df(t) + 1) * (BigInt(20) * tot * f + BigInt(6) * tot + BigInt(18) * dl(id) * n))
+      }.sum
+    }.filter { case (id, _) => q.exists(t => tf.contains((id, t))) } // engine scores docs that contain ≥1 query term
+    val expected = scores.sortBy { case (id, s) => (-s, id) }.take(6).zipWithIndex
+      .map { case ((id, s), i) => (id, s.toLong, (i + 1).toLong) }.toSeq
+    val got = Vocab.bm25TopDocs(docsFixture, nQueryTerms = 2, topK = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._3)
+    assert(got == expected)
+  }
+
   test("brute-force cosine top-k matches a hand computation") {
     val r = Similarity.cosineTopK(embFixture, k = 2).collect()
       .map(x => ((x.getLong(0), x.getInt(3)), (x.getLong(1), x.getLong(2)))).toMap
