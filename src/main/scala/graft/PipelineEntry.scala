@@ -87,6 +87,11 @@ object PipelineEntry {
     // BM25 retrieval over a deterministic data-derived query (top
     // content words) — exact rational arithmetic, no float idf
     "q_bm25" -> ((s, dir) => Vocab.bm25TopDocs(Dedup.docs(s, dir))),
+    // RRF hybrid retrieval: BM25 pool ⊕ seeded-cosine pool, k=60
+    "q_hybrid" -> ((s, dir) =>
+      Similarity.hybridTopDocs(Dedup.docs(s, dir), Similarity.embeddings(s, dir))),
+    // the index build itself: term-partitioned positional postings
+    "q_invindex" -> ((s, dir) => Vocab.invertedIndex(Dedup.docs(s, dir))),
     // ROLLUP aggregation over (source, predicted language) — the
     // grouping-sets member of the relational surface (SURVEY §2.6)
     "q_rollup" -> ((s, dir) => TextStats.langRollup(Dedup.docs(s, dir))),
@@ -801,32 +806,75 @@ object PipelineEntry {
   /** Mirrors Vocab.bm25TopDocs: rational-BM25 with per-term floors in
    * HUGEINT (engine: decimal(38,0)); the query = top-5 corpus-frequency
    * terms with df·4 ≤ N, ties by term. */
+  private def bm25Ctes(pool: Int): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+       |), dl AS (
+       |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+       |), st AS (
+       |  SELECT (SELECT count(*) FROM documents) AS n, (SELECT count(*) FROM tok) AS tot
+       |), q AS (
+       |  SELECT term, df FROM (
+       |    SELECT term, count(*) AS df, sum(tf) AS ctf FROM tf GROUP BY 1) d, st
+       |  WHERE d.df * 4 <= st.n
+       |  ORDER BY ctf DESC, term LIMIT 5
+       |), sc AS (
+       |  SELECT tf.doc_id,
+       |         sum(cast((1000000::HUGEINT * (st.n - q.df + 1) * 44 * tf.tf * st.tot)
+       |             // ((q.df + 1)::HUGEINT * (20::HUGEINT * st.tot * tf.tf + 6::HUGEINT * st.tot + 18::HUGEINT * dl.dl * st.n)) AS bigint)) AS score_e6
+       |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id), st
+       |  GROUP BY 1
+       |), lexr AS (
+       |  SELECT doc_id, score_e6, rank FROM (
+       |    SELECT doc_id, cast(score_e6 AS bigint) AS score_e6,
+       |           cast(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS bigint) AS rank
+       |    FROM sc) x
+       |  WHERE rank <= $pool
+       |)""".stripMargin
+
   private val bm25Sql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
-      |), tf AS (
-      |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
-      |), dl AS (
-      |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
-      |), st AS (
-      |  SELECT (SELECT count(*) FROM documents) AS n, (SELECT count(*) FROM tok) AS tot
-      |), q AS (
-      |  SELECT term, df FROM (
-      |    SELECT term, count(*) AS df, sum(tf) AS ctf FROM tf GROUP BY 1) d, st
-      |  WHERE d.df * 4 <= st.n
-      |  ORDER BY ctf DESC, term LIMIT 5
-      |), sc AS (
-      |  SELECT tf.doc_id,
-      |         sum(cast((1000000::HUGEINT * (st.n - q.df + 1) * 44 * tf.tf * st.tot)
-      |             // ((q.df + 1)::HUGEINT * (20::HUGEINT * st.tot * tf.tf + 6::HUGEINT * st.tot + 18::HUGEINT * dl.dl * st.n)) AS bigint)) AS score_e6
-      |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id), st
-      |  GROUP BY 1
-      |)
-      |SELECT doc_id, score_e6, rank FROM (
-      |  SELECT doc_id, cast(score_e6 AS bigint) AS score_e6,
-      |         cast(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS bigint) AS rank
-      |  FROM sc) x
-      |WHERE rank <= 20""".stripMargin
+    bm25Ctes(20) + "\nSELECT doc_id, score_e6, rank FROM lexr"
+
+  /** Mirrors Similarity.hybridTopDocs: BM25 pool 50 + cosine pool 50
+   * seeded at the lexical rank-1 document, RRF k = 60 in integers. */
+  private val hybridSql: String =
+    bm25Ctes(50) +
+      """, vv AS (
+        |  SELECT vec_id, cast(unnest(embedding) AS double) AS x,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM vv GROUP BY 1
+        |), seedv AS (
+        |  SELECT i, x FROM vv WHERE vec_id = (SELECT doc_id FROM lexr WHERE rank = 1)
+        |), seedn AS (
+        |  SELECT nrm FROM norms WHERE vec_id = (SELECT doc_id FROM lexr WHERE rank = 1)
+        |), sd AS (
+        |  SELECT vv.vec_id, sum(vv.x * s.x) AS d FROM vv JOIN seedv s ON s.i = vv.i GROUP BY 1
+        |), sims AS (
+        |  SELECT sd.vec_id,
+        |         cast(round(sd.d / (n1.nrm * (SELECT nrm FROM seedn)) * 10000) AS bigint) AS sim_e4
+        |  FROM sd JOIN norms n1 ON n1.vec_id = sd.vec_id
+        |), semr AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT vec_id AS doc_id,
+        |           cast(row_number() OVER (ORDER BY sim_e4 DESC, vec_id) AS bigint) AS rank
+        |    FROM sims) x
+        |  WHERE rank <= 50
+        |), fused AS (
+        |  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+        |         cast(coalesce(l.rank, 0) AS bigint) AS lex_rank,
+        |         cast(coalesce(s.rank, 0) AS bigint) AS sem_rank,
+        |         cast(coalesce(1000000 // (60 + l.rank), 0)
+        |              + coalesce(1000000 // (60 + s.rank), 0) AS bigint) AS rrf_e6
+        |  FROM lexr l FULL OUTER JOIN semr s ON s.doc_id = l.doc_id
+        |)
+        |SELECT doc_id, lex_rank, sem_rank, rrf_e6, rank FROM (
+        |  SELECT *, cast(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS bigint) AS rank
+        |  FROM fused) x
+        |WHERE rank <= 20""".stripMargin
 
   /** Mirrors Similarity.pqCodes: per-subspace slice of the quantized
    * vectors, then the identical Lloyd replay as ivfTrainCtes (same
@@ -1000,6 +1048,21 @@ object PipelineEntry {
     "q_semdedup" -> semDedupSql(),
     "q_pq" -> pqSql(),
     "q_bm25" -> bm25Sql,
+    "q_hybrid" -> hybridSql,
+    "q_invindex" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+        |         generate_subscripts(string_split(lower(text), ' '), 1) - 1 AS pos
+        |  FROM documents
+        |), p AS (
+        |  SELECT term, doc_id, count(*) AS tf,
+        |         string_agg(pos, ',' ORDER BY pos) AS positions
+        |  FROM tok GROUP BY 1, 2
+        |), d AS (
+        |  SELECT term, count(*) AS df FROM p GROUP BY 1
+        |)
+        |SELECT p.term, p.doc_id, p.tf, d.df, p.positions
+        |FROM p JOIN d USING (term)""".stripMargin,
     "q_kmeans" -> (ivfTrainCtes(16, 2) +
       "\nSELECT vec_id, cast(cid AS bigint) AS cid FROM rk WHERE rn = 1"),
     "q_rollup" -> rollupSql,

@@ -371,4 +371,53 @@ object Similarity {
           .cast("long").as("sim_e4"))
       .where(col("sim_e4") >= simThresholdE4)
   }
+
+  /**
+   * Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
+   * SIGIR'09): fuse the lexical BM25 pool with a semantic cosine pool
+   * and re-rank by RRF. `doc_id ≡ vec_id` (paired tables).
+   *
+   *  - lexical list: [[Vocab.bm25TopDocs]] top `poolK` (integer-exact);
+   *  - semantic list: cosine of every embedding against the SEED —
+   *    the BM25 rank-1 document's embedding (deterministic,
+   *    data-derived "more like the best lexical hit"), ranked on
+   *    (sim_e4 desc, vec_id);
+   *  - fusion: rrf_e6 = Σ_list ⌊10⁶ / (60 + rank)⌋, absent → 0 —
+   *    pure integers, the standard k = 60.
+   *
+   * Scale shape: both pools end in TakeOrdered top-poolK; the fusion
+   * is a poolK-row full-outer join; the only per-corpus work is one
+   * broadcast dot-product scan per list.
+   */
+  def hybridTopDocs(docs: DataFrame, emb: DataFrame, nQueryTerms: Int = 5,
+      poolK: Int = 50, topK: Int = 20, rrfK: Int = 60): DataFrame = {
+    val lex = Vocab.bm25TopDocs(docs, nQueryTerms, poolK)
+      .select(col("doc_id"), col("rank").as("lex_rank")).persist()
+    val seedId = lex.where(col("lex_rank") === 1).select(col("doc_id"))
+      .first().getLong(0)
+    val p = prepared(emb)
+    val seed = p.where(col("vec_id") === seedId)
+      .select(col("v").as("w"), col("norm").as("nrm2"))
+    val sims = p.crossJoin(broadcast(seed))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("w")) / (col("norm") * col("nrm2")) * 10000)
+          .cast("long").as("sim_e4"))
+    val wSem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sim_e4").desc, col("vec_id").asc)
+    val sem = sims.orderBy(col("sim_e4").desc, col("vec_id").asc).limit(poolK)
+      .withColumn("sem_rank", row_number().over(wSem).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0L)).as("sem_rank"),
+        (coalesce(expr(s"1000000 div ($rrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($rrfK + sem_rank)"), lit(0L))).as("rrf_e6"))
+    val wOut = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_e6").desc, col("doc_id").asc)
+    // lex stays persisted until the caller's action (Bench's isolated{}
+    // / session teardown reclaims it — poolK rows)
+    fused.orderBy(col("rrf_e6").desc, col("doc_id").asc).limit(topK)
+      .withColumn("rank", row_number().over(wOut).cast("long"))
+  }
 }

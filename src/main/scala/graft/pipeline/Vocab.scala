@@ -95,6 +95,30 @@ object Vocab {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /**
+   * Positional inverted index — the retrieval-index build as a table
+   * operator: one posting row per (term, document) with the sorted
+   * 0-based position list (phrase/proximity query support) and the
+   * term's document frequency.
+   *
+   * Scale shape: ONE shuffle, keyed by term — which IS the index
+   * partitioning a search cluster wants (a term's postings land
+   * together, ready for per-shard serving). Positions stay bounded by
+   * document length (rows are (term, doc)-grained — a stopword's
+   * postings spread over many rows, never one giant cell); the
+   * |vocab|-row df side broadcasts.
+   */
+  def invertedIndex(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
+    val postings = tok.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        concat_ws(",", array_sort(collect_list(col("pos")))).as("positions"))
+    val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    postings.join(broadcast(df), "term")
+      .select(col("term"), col("doc_id"), col("tf"), col("df"), col("positions"))
+  }
+
   def distinctiveTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val tf = terms(docs).groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))

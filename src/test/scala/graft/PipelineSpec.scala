@@ -166,6 +166,49 @@ class PipelineSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("inverted index: positions, tf, and df are exact") {
+    val r = Vocab.invertedIndex(docsFixture).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> (x.getLong(2), x.getLong(3), x.getString(4)))
+      .toMap
+    assert(r(("the", 0L)) == ((2L, 3L, "0,6"))) // "the quick ... over the lazy"
+    assert(r(("fox", 0L)) == ((1L, 3L, "3")))
+    assert(r(("le", 5L))._1 == 2L) // french doc repeats "le"
+    // full replay on one doc: every token of doc 3 appears exactly once
+    val doc3 = "der hund und die katze sind nicht ein team".split(" ")
+    doc3.zipWithIndex.foreach { case (t, i) =>
+      assert(r((t, 3L)) == ((1L, 1L, i.toString)), s"term $t")
+    }
+  }
+
+  test("hybrid RRF: fuses the lexical and semantic pools exactly") {
+    val lex = Vocab.bm25TopDocs(docsFixture, nQueryTerms = 2, topK = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val vecs = embFixture.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dotd(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => a(i).toDouble * b(i).toDouble).sum
+    val seed = lex.minBy(_._2)._1
+    val semRanks: Map[Long, Long] =
+      if (!vecs.contains(seed)) Map.empty
+      else vecs.toSeq.map { case (id, v) =>
+        id -> math.round(dotd(v, vecs(seed)) /
+          (math.sqrt(dotd(v, v)) * math.sqrt(dotd(vecs(seed), vecs(seed)))) * 10000)
+      }.sortBy { case (id, s) => (-s, id) }.take(6)
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val fusedExp = (lex.keySet ++ semRanks.keySet).toSeq.map { id =>
+      val lr = lex.getOrElse(id, 0L); val sr = semRanks.getOrElse(id, 0L)
+      (id, lr, sr,
+        (if (lr > 0) 1000000L / (60 + lr) else 0L) + (if (sr > 0) 1000000L / (60 + sr) else 0L))
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(6)
+      .zipWithIndex.map { case ((id, lr, sr, s), i) => (id, lr, sr, s, (i + 1).toLong) }
+    val got = Similarity.hybridTopDocs(docsFixture, embFixture,
+      nQueryTerms = 2, poolK = 6, topK = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sortBy(_._5)
+    assert(got == fusedExp)
+    assert(semRanks.nonEmpty || !vecs.contains(seed), "pool construction sanity")
+  }
+
   test("brute-force cosine top-k matches a hand computation") {
     val r = Similarity.cosineTopK(embFixture, k = 2).collect()
       .map(x => ((x.getLong(0), x.getInt(3)), (x.getLong(1), x.getLong(2)))).toMap
