@@ -146,6 +146,17 @@ object SparkEntry {
     // components, unlike min-propagation whose fixpoint is the component
     "q_lp_comm" -> ((s, dir) =>
       LabelPropagation.communities(Graphs.get(s, dir, symmetric = true))),
+    // temporal earliest-arrival reachability over time-respecting
+    // paths — seeds at every conversation's turn 0, integer epoch-µs
+    "q_treach" -> ((s, dir) => {
+      val tr = Transcripts.fromEvents(s, dir)
+      val te = EdgeBuilder.keyEdgesTemporal(tr)
+      val seeds = EdgeBuilder.turnKey(tr).where(col("turn_idx") === 0)
+        .select(col("vkey").as("key"),
+          unix_micros(col("ts").cast("timestamp")).as("arr"))
+      val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      TemporalReach.run(te, seeds, parts).arrivals
+    }),
     // Weisfeiler-Lehman color refinement (3 rounds, commutative
     // multiset-sum hash — partially aggregates at hubs, no sorted
     // concat); equal wl ⇔ same 3-hop unfolding tree
@@ -1178,6 +1189,37 @@ object SparkEntry {
 
   private val lpCommSql: String = lpCommCtes + "\nSELECT key, community FROM l4"
 
+  /** Temporal reachability replay: recursive label-correcting over
+   * the same symmetric temporal edge table (edge time = lead ts for
+   * adjacency, turn ts for tool edges, min per pair). r carries every
+   * (key, feasible-arrival) pair — finite (arrivals ⊆ edge times), so
+   * UNION-dedup recursion terminates; min per key = earliest. */
+  private val treachSql: String = "WITH RECURSIVE " + prefixBody +
+    """, kt AS MATERIALIZED (
+      |  SELECT concat(conv_id, '#', cast(turn_idx AS varchar)) AS vkey,
+      |         epoch_us(ts) AS tus, conv_id, turn_idx, tool
+      |  FROM t
+      |), ted AS MATERIALIZED (
+      |  SELECT * FROM (
+      |    SELECT vkey AS src_key,
+      |           lead(vkey) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst_key,
+      |           lead(tus) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS tt
+      |    FROM kt) x WHERE dst_key IS NOT NULL
+      |  UNION ALL
+      |  SELECT vkey, concat('T#', tool), tus FROM kt WHERE tool IS NOT NULL
+      |), tes AS MATERIALIZED (
+      |  SELECT src_key, dst_key, min(tt) AS tt FROM (
+      |    SELECT src_key, dst_key, tt FROM ted
+      |    UNION ALL
+      |    SELECT dst_key, src_key, tt FROM ted
+      |  ) u WHERE src_key <> dst_key GROUP BY 1, 2
+      |), r(key, arr) AS (
+      |  SELECT vkey, tus FROM kt WHERE turn_idx = 0
+      |  UNION
+      |  SELECT e.dst_key, e.tt FROM r JOIN tes e ON e.src_key = r.key AND e.tt >= r.arr
+      |)
+      |SELECT key, min(arr) AS arr FROM r GROUP BY 1""".stripMargin
+
   /** WL refinement replay: same multiset-sum hash as the engine —
    * Σ 32-bit md5 prefixes of neighbor labels (DuckDB sums BIGINT into
    * HUGEINT, matching the engine's exact decimal(38,0) sum) mod
@@ -1680,6 +1722,7 @@ object SparkEntry {
     "q_coarsen" -> coarsenSql,
     "q_lp_comm" -> lpCommSql,
     "q_wl" -> wlSql,
+    "q_treach" -> treachSql,
     "q_ppr_multi" -> pprMultiSql,
     // DuckDB 1.0: UNION-dedup misbehaves in WITH RECURSIVE lists —
     // UNION ALL + explicit DISTINCT (SURVEY §7 gotcha)

@@ -100,6 +100,35 @@ object EdgeBuilder {
   }
 
   /**
+   * Symmetric TEMPORAL edge table `(src_key, dst_key, t)` — each
+   * undirected edge carries the epoch-microsecond instant it came
+   * into existence: an adjacency edge exists once its LATER turn
+   * happened (lead(ts)), a tool edge at its turn's ts. Deduped to
+   * min(t) per pair, self-loops dropped — the input contract of
+   * [[graft.algos.TemporalReach]]. All integer microseconds, no
+   * floats (same portability contract as [[keyEdgesDecayed]]).
+   */
+  def keyEdgesTemporal(transcripts: DataFrame): DataFrame = {
+    val keyed = turnKey(transcripts)
+      .withColumn("tus", unix_micros(col("ts").cast("timestamp")))
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val adj = keyed.select(
+      col("vkey").as("src_key"),
+      lead(col("vkey"), 1).over(w).as("dst_key"),
+      lead(col("tus"), 1).over(w).as("t"))
+      .where(col("dst_key").isNotNull)
+    val tool = keyed.where(col("tool").isNotNull)
+      .select(
+        col("vkey").as("src_key"),
+        concat(lit("T#"), col("tool")).as("dst_key"),
+        col("tus").as("t"))
+    val dir = adj.unionByName(tool).where(col("src_key") =!= col("dst_key"))
+    dir.unionByName(
+      dir.select(col("dst_key").as("src_key"), col("src_key").as("dst_key"), col("t")))
+      .groupBy(col("src_key"), col("dst_key")).agg(min(col("t")).as("t"))
+  }
+
+  /**
    * Dominant-direction tool-transition graph: vertex = tool, edge
    * A→B iff consecutive tool calls A-then-B (within a conversation)
    * are STRICTLY more frequent than B-then-A. Unlike the turn graph

@@ -94,6 +94,34 @@ class Round3dSpec extends SparkSpec {
     g.unpersist()
   }
 
+  // ---------- temporal earliest-arrival ----------
+
+  test("temporal reach: time-respecting only, with frontier re-expansion") {
+    import spark.implicits._
+    // a→b@30 arrives late; the cheaper a→c@10, c→b@12 path lowers b
+    // below 15, which re-enables b→d@15 — exercises re-expansion.
+    // e is a trap: only reachable via an edge OLDER than b's best.
+    val te = Seq(
+      ("a", "b", 30L), ("a", "c", 10L), ("c", "b", 12L),
+      ("b", "d", 15L), ("b", "e", 11L))
+      .toDF("src_key", "dst_key", "t")
+    val seeds = Seq(("a", 0L)).toDF("key", "arr")
+    val got = TemporalReach.run(te, seeds, numPartitions = 4).arrivals
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 0L, "c" -> 10L, "b" -> 12L, "d" -> 15L))
+    // b@12 > 11 ⇒ b→e@11 is not time-respecting; e absent ✓ (checked
+    // by the exact-map equality above)
+  }
+
+  test("temporal reach: decreasing-time chain blocks propagation") {
+    import spark.implicits._
+    val te = Seq(("a", "b", 10L), ("b", "c", 5L)).toDF("src_key", "dst_key", "t")
+    val seeds = Seq(("a", 0L)).toDF("key", "arr")
+    val got = TemporalReach.run(te, seeds, numPartitions = 4).arrivals
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 0L, "b" -> 10L))
+  }
+
   // ---------- PPR sweep cut ----------
 
   test("sweep cut: barbell graph — replay matches and argmin is the cluster") {
