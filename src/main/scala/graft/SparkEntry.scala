@@ -373,6 +373,14 @@ object SparkEntry {
     // on the transcript table; integer-exact ⌊10⁴·lift⌋ export)
     "q_tool_lift" -> ((s, dir) =>
       pipeline.Cooccur.toolLift(Transcripts.fromEvents(s, dir))),
+    // ordered tool funnel s1→s2→s3 (top-3 tools by conv usage), each
+    // step strictly after the previous — per-conv depth + completion
+    "q_funnel" -> ((s, dir) =>
+      pipeline.Funnel.toolFunnel(Transcripts.fromEvents(s, dir))),
+    // Morton/Z-order layout key over (user, hour) — two-dimensional
+    // file pruning for the snapshot-table layout story
+    "q_zorder" -> ((s, dir) =>
+      operators.ZOrder.eventsZOrder(s.read.parquet(s"$dir/events.parquet"))),
     // degree-assortativity sufficient statistics (exact integer sums)
     "q_assort" -> ((s, dir) =>
       DegreeStats.assortativity(Graphs.get(s, dir, symmetric = true))),
@@ -1189,6 +1197,39 @@ object SparkEntry {
 
   private val lpCommSql: String = lpCommCtes + "\nSELECT key, community FROM l4"
 
+  /** Funnel replay: identical step derivation (top-3 tools by
+   * distinct-conv usage, ties by name) and strictly-after step
+   * minima. */
+  private val funnelSql: String = prefix +
+    """, tl AS (
+      |  SELECT conv_id, tool, epoch_us(ts) AS tus FROM t WHERE tool IS NOT NULL
+      |), steps AS (
+      |  SELECT tool, stp FROM (
+      |    SELECT tool, row_number() OVER (ORDER BY nc DESC, tool) AS stp
+      |    FROM (SELECT tool, count(DISTINCT conv_id) AS nc FROM tl GROUP BY 1) x) y
+      |  WHERE stp <= 3
+      |), f1 AS (
+      |  SELECT tl.conv_id, min(tus) AS t1 FROM tl
+      |  JOIN steps s ON s.tool = tl.tool AND s.stp = 1 GROUP BY 1
+      |), f2 AS (
+      |  SELECT tl.conv_id, min(tus) AS t2 FROM tl
+      |  JOIN steps s ON s.tool = tl.tool AND s.stp = 2
+      |  JOIN f1 ON f1.conv_id = tl.conv_id
+      |  WHERE tl.tus > f1.t1 GROUP BY 1
+      |), f3 AS (
+      |  SELECT tl.conv_id, min(tus) AS t3 FROM tl
+      |  JOIN steps s ON s.tool = tl.tool AND s.stp = 3
+      |  JOIN f2 ON f2.conv_id = tl.conv_id
+      |  WHERE tl.tus > f2.t2 GROUP BY 1
+      |), cv AS (SELECT DISTINCT conv_id FROM t)
+      |SELECT cv.conv_id,
+      |       cast(CASE WHEN f3.t3 IS NOT NULL THEN 3
+      |                 WHEN f2.t2 IS NOT NULL THEN 2
+      |                 WHEN f1.t1 IS NOT NULL THEN 1 ELSE 0 END AS bigint) AS depth,
+      |       cast(coalesce(f3.t3, f2.t2, f1.t1, -1) AS bigint) AS done_us
+      |FROM cv LEFT JOIN f1 USING (conv_id) LEFT JOIN f2 USING (conv_id)
+      |LEFT JOIN f3 USING (conv_id)""".stripMargin
+
   /** Temporal reachability replay: recursive label-correcting over
    * the same symmetric temporal edge table (edge time = lead ts for
    * adjacency, turn ts for tool edges, min per pair). r carries every
@@ -1723,6 +1764,19 @@ object SparkEntry {
     "q_lp_comm" -> lpCommSql,
     "q_wl" -> wlSql,
     "q_treach" -> treachSql,
+    "q_funnel" -> funnelSql,
+    "q_zorder" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((u >> $i) & 1) << ${2 * i})", s"(((tb >> $i) & 1) << ${2 * i + 1})"))
+        .mkString(" + ")
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id & 65535 AS u,
+         |         ((epoch_us(ts) - (SELECT min(epoch_us(ts)) FROM events)) // 3600000000) & 65535 AS tb
+         |  FROM events
+         |)
+         |SELECT event_id, zval, zval // 268435456 AS file_bucket FROM (
+         |  SELECT event_id, cast($terms AS bigint) AS zval FROM ev) x""".stripMargin
+    },
     "q_ppr_multi" -> pprMultiSql,
     // DuckDB 1.0: UNION-dedup misbehaves in WITH RECURSIVE lists —
     // UNION ALL + explicit DISTINCT (SURVEY §7 gotcha)

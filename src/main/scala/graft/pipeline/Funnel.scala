@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Ordered funnel analysis over conversations — the product-analytics
+ * staple on the transcripts payload: how far does each conversation
+ * progress through a tool sequence s1 → s2 → s3, where each step must
+ * happen strictly AFTER the previous one?
+ *
+ * The funnel steps are data-derived and deterministic: the top-3
+ * tools by distinct-conversation usage (ties by tool name) — same
+ * "query from the corpus" pattern as BM25.
+ *
+ * All times are integer epoch-microseconds; depth/completion export
+ * exactly. Scale shape: one groupBy per step over (conv, tool) rows
+ * pre-filtered to that step's tool — three partially-aggregated
+ * shuffles keyed by conv_id, no windows, no per-conv sequence
+ * materialization (the classic funnel self-join trap at 10^12 turns
+ * is avoided: each step only carries one min per conversation).
+ */
+object Funnel {
+
+  /** @return (conv_id, depth, done_us): steps completed in order
+   * (0-3) and the completion time of the deepest step (-1 if none). */
+  def toolFunnel(transcripts: DataFrame): DataFrame = {
+    val tl = transcripts.where(col("tool").isNotNull)
+      .select(col("conv_id"), col("tool"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .persist()
+    val steps = tl.groupBy(col("tool"))
+      .agg(count_distinct(col("conv_id")).as("nc"))
+      .orderBy(desc("nc"), asc("tool")).limit(3)
+      .collect().map(_.getString(0))
+    val Seq(s1, s2, s3) = steps.toSeq
+    val t1 = tl.where(col("tool") === s1)
+      .groupBy(col("conv_id")).agg(min(col("tus")).as("t1"))
+    val t2 = tl.where(col("tool") === s2)
+      .join(t1, "conv_id").where(col("tus") > col("t1"))
+      .groupBy(col("conv_id")).agg(min(col("tus")).as("t2"))
+    val t3 = tl.where(col("tool") === s3)
+      .join(t2, "conv_id").where(col("tus") > col("t2"))
+      .groupBy(col("conv_id")).agg(min(col("tus")).as("t3"))
+    val out = transcripts.select(col("conv_id")).distinct()
+      .join(t1, Seq("conv_id"), "left")
+      .join(t2, Seq("conv_id"), "left")
+      .join(t3, Seq("conv_id"), "left")
+      .select(col("conv_id"),
+        (when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L)
+          .otherwise(0L)).as("depth"),
+        coalesce(col("t3"), col("t2"), col("t1"), lit(-1L)).as("done_us"))
+    // tl stays persisted until the caller's action (three step legs
+    // re-read it); Bench's isolated{} / session teardown reclaims it
+    out
+  }
+}

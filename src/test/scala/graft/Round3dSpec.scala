@@ -94,6 +94,63 @@ class Round3dSpec extends SparkSpec {
     g.unpersist()
   }
 
+  // ---------- funnel ----------
+
+  test("funnel: ordered-step depths on a hand fixture") {
+    import spark.implicits._
+    // usage: A in 4 convs > B in 3 > C in 2 → steps (A, B, C)
+    val tr = Seq(
+      ("c1", 0, Some("A"), "2026-01-01 00:00:01"),
+      ("c1", 1, Some("B"), "2026-01-01 00:00:02"),
+      ("c1", 2, Some("C"), "2026-01-01 00:00:03"),
+      ("c2", 0, Some("B"), "2026-01-01 00:00:01"), // B before A → B leg dead
+      ("c2", 1, Some("A"), "2026-01-01 00:00:02"),
+      ("c2", 2, Some("C"), "2026-01-01 00:00:03"),
+      ("c3", 0, Some("A"), "2026-01-01 00:00:01"),
+      ("c4", 0, None: Option[String], "2026-01-01 00:00:01"),
+      ("c5", 0, Some("A"), "2026-01-01 00:00:01"),
+      ("c5", 1, Some("B"), "2026-01-01 00:00:02"))
+      .toDF("conv_id", "turn_idx", "tool", "tss")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val m = tr.select(col("conv_id"), col("turn_idx"),
+      unix_micros(col("ts")).as("m")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val got = graft.pipeline.Funnel.toolFunnel(tr).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "c1" -> ((3L, m(("c1", 2)))),
+      "c2" -> ((1L, m(("c2", 1)))), // only A counts: B happened before A
+      "c3" -> ((1L, m(("c3", 0)))),
+      "c4" -> ((0L, -1L)),
+      "c5" -> ((2L, m(("c5", 1))))))
+  }
+
+  // ---------- z-order ----------
+
+  test("zorder: morton code equals the bit-interleave replay") {
+    import spark.implicits._
+    val ev = Seq(
+      (0L, 0L, "2026-01-01 00:10:00"), (1L, 1L, "2026-01-01 00:20:00"),
+      (2L, 65535L, "2026-01-01 05:00:00"), (3L, 43690L, "2026-01-01 02:30:00"),
+      (4L, 70000L, "2026-01-01 03:00:00")) // > 16 bits → masked
+      .toDF("event_id", "user_id", "tss")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val tus = ev.select(col("event_id"), unix_micros(col("ts")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val minTs = tus.values.min
+    def morton(u: Long, t: Long): Long = (0 until 16).map { i =>
+      (((u >> i) & 1L) << (2 * i)) | (((t >> i) & 1L) << (2 * i + 1))
+    }.sum
+    val users = Map(0L -> 0L, 1L -> 1L, 2L -> 65535L, 3L -> 43690L, 4L -> 70000L)
+    val expected = users.map { case (id, u) =>
+      val z = morton(u & 65535L, ((tus(id) - minTs) / 3600000000L) & 65535L)
+      id -> ((z, z >> 28))
+    }
+    val got = graft.operators.ZOrder.eventsZOrder(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
   // ---------- temporal earliest-arrival ----------
 
   test("temporal reach: time-respecting only, with frontier re-expansion") {
