@@ -92,6 +92,9 @@ object PipelineEntry {
       Similarity.hybridTopDocs(Dedup.docs(s, dir), Similarity.embeddings(s, dir))),
     // the index build itself: term-partitioned positional postings
     "q_invindex" -> ((s, dir) => Vocab.invertedIndex(Dedup.docs(s, dir))),
+    // exact-k weighted sampling without replacement (priority order
+    // statistics over a deterministic hash; weight = n_chars)
+    "q_wsample" -> ((s, dir) => Mix.weightedSample(Dedup.docs(s, dir))),
     // ROLLUP aggregation over (source, predicted language) — the
     // grouping-sets member of the relational surface (SURVEY §2.6)
     "q_rollup" -> ((s, dir) => TextStats.langRollup(Dedup.docs(s, dir))),
@@ -1049,6 +1052,17 @@ object PipelineEntry {
     "q_pq" -> pqSql(),
     "q_bm25" -> bm25Sql,
     "q_hybrid" -> hybridSql,
+    "q_wsample" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, n_chars,
+        |         ('0x' || substr(md5(concat('ws|', cast(doc_id AS varchar))), 1, 10))::BIGINT
+        |           * 1000000 // n_chars AS prio
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_chars, prio, rank FROM (
+        |  SELECT *, cast(row_number() OVER (ORDER BY prio, doc_id) AS bigint) AS rank
+        |  FROM p) x
+        |WHERE rank <= 50""".stripMargin,
     "q_invindex" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,

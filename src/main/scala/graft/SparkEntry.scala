@@ -381,6 +381,10 @@ object SparkEntry {
     // file pruning for the snapshot-table layout story
     "q_zorder" -> ((s, dir) =>
       operators.ZOrder.eventsZOrder(s.read.parquet(s"$dir/events.parquet"))),
+    // Holland-Leinhardt triad census of the antisymmetric
+    // tool-transition digraph (closed forms + two triangle joins)
+    "q_triads" -> ((s, dir) =>
+      TriadCensus.run(EdgeBuilder.toolTransitions(Transcripts.fromEvents(s, dir)))),
     // degree-assortativity sufficient statistics (exact integer sums)
     "q_assort" -> ((s, dir) =>
       DegreeStats.assortativity(Graphs.get(s, dir, symmetric = true))),
@@ -1197,6 +1201,42 @@ object SparkEntry {
 
   private val lpCommSql: String = lpCommCtes + "\nSELECT key, community FROM l4"
 
+  /** Triad-census replay: same closed forms over the identical
+   * dominant-direction arc set (te); hub products lift to HUGEINT. */
+  private val triadsSql: String = prefix +
+    """, tseq AS (
+      |  SELECT tool, lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+      |  FROM t WHERE tool IS NOT NULL
+      |), tcnt AS (
+      |  SELECT tool AS src, nxt AS dst, count(*) AS c FROM tseq
+      |  WHERE nxt IS NOT NULL AND nxt <> tool GROUP BY 1, 2
+      |), te AS MATERIALIZED (
+      |  SELECT a.src, a.dst FROM tcnt a
+      |  LEFT JOIN tcnt b ON b.src = a.dst AND b.dst = a.src
+      |  WHERE a.c > coalesce(b.c, 0)
+      |), od AS (SELECT src AS v, count(*) AS o FROM te GROUP BY 1
+      |), idg AS (SELECT dst AS v, count(*) AS i FROM te GROUP BY 1
+      |), dg AS (
+      |  SELECT coalesce(od.o, 0) AS o, coalesce(idg.i, 0) AS i
+      |  FROM od FULL OUTER JOIN idg ON idg.v = od.v
+      |), pp AS (SELECT coalesce(sum(i::HUGEINT * o), 0) AS p FROM dg
+      |), ddo AS (SELECT coalesce(sum(o::HUGEINT * (o - 1) // 2), 0) AS x FROM dg
+      |), ddi AS (SELECT coalesce(sum(i::HUGEINT * (i - 1) // 2), 0) AS x FROM dg
+      |), tt AS (
+      |  SELECT count(*) AS t FROM te e1
+      |  JOIN te e2 ON e2.src = e1.dst
+      |  JOIN te e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      |), cc3 AS (
+      |  SELECT count(*) // 3 AS c FROM te e1
+      |  JOIN te e2 ON e2.src = e1.dst
+      |  JOIN te e3 ON e3.src = e2.dst AND e3.dst = e1.src
+      |)
+      |SELECT '021D' AS triad_type, cast(ddo.x - tt.t AS bigint) AS n FROM ddo, tt
+      |UNION ALL SELECT '021U', cast(ddi.x - tt.t AS bigint) FROM ddi, tt
+      |UNION ALL SELECT '021C', cast(pp.p - tt.t - 3 * cc3.c AS bigint) FROM pp, tt, cc3
+      |UNION ALL SELECT '030T', cast(tt.t AS bigint) FROM tt
+      |UNION ALL SELECT '030C', cast(cc3.c AS bigint) FROM cc3""".stripMargin
+
   /** Funnel replay: identical step derivation (top-3 tools by
    * distinct-conv usage, ties by name) and strictly-after step
    * minima. */
@@ -1765,6 +1805,7 @@ object SparkEntry {
     "q_wl" -> wlSql,
     "q_treach" -> treachSql,
     "q_funnel" -> funnelSql,
+    "q_triads" -> triadsSql,
     "q_zorder" -> {
       val terms = (0 until 16).flatMap(i => Seq(
         s"(((u >> $i) & 1) << ${2 * i})", s"(((tb >> $i) & 1) << ${2 * i + 1})"))

@@ -71,6 +71,31 @@ object Mix {
    * Allreduce), broadcast back, codegen'd hash filter. NO sort, NO
    * window.
    */
+  /**
+   * Weighted priority sampling WITHOUT replacement (Duffield-Lund-
+   * Thorup / A-Res order statistics): item priority = h / w with h a
+   * deterministic uniform hash — the k SMALLEST priorities form the
+   * sample, so an item's inclusion odds scale with its weight
+   * (n_chars: long documents count more), yet the result is exact-k,
+   * replayable, and engine-portable.
+   *
+   * Integer-exact: h = 40-bit md5 prefix (< 2^40), priority =
+   * ⌊h·10⁶ / n_chars⌋ — the numerator tops out at ~1.1e18, inside
+   * long range, so both engines compute the identical priority and
+   * the (prio, doc_id) order is total. Scale shape: TakeOrdered
+   * top-k, no global sort.
+   */
+  def weightedSample(docs: DataFrame, k: Int = 50): DataFrame = {
+    val prio = expr(
+      "cast(conv(substring(md5(concat('ws|', cast(doc_id as string))), 1, 10), 16, 10) as bigint)" +
+        " * 1000000L div n_chars")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("prio").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"), col("n_chars"), prio.as("prio"))
+      .orderBy(col("prio").asc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   def temperatureMix(docs: DataFrame, totalTarget: Long = 120): DataFrame = {
     val w = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
       .select(col("source"),

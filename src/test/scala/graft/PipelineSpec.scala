@@ -166,6 +166,23 @@ class PipelineSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("weighted sampling: priorities replay and favor long docs in expectation") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = docsFixture.select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = rows.map { case (id, src, nc) =>
+      val h = java.lang.Long.parseLong(md5hex(s"ws|$id").take(10), 16)
+      (id, src, nc, h * 1000000L / nc)
+    }.sortBy(x => (x._4, x._1)).take(3).zipWithIndex
+      .map { case ((id, src, nc, p), i) => (id, src, nc, p, (i + 1).toLong) }.toSeq
+    val got = Mix.weightedSample(docsFixture, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sortBy(_._5)
+    assert(got == expected)
+  }
+
   test("inverted index: positions, tf, and df are exact") {
     val r = Vocab.invertedIndex(docsFixture).collect()
       .map(x => (x.getString(0), x.getLong(1)) -> (x.getLong(2), x.getLong(3), x.getString(4)))

@@ -94,6 +94,25 @@ class Round3dSpec extends SparkSpec {
     g.unpersist()
   }
 
+  // ---------- triad census ----------
+
+  test("triad census: known counts on a composite digraph") {
+    import spark.implicits._
+    val arcs = Seq(
+      ("a", "b"), ("b", "c"), ("a", "c"), // 030T
+      ("d", "e"), ("e", "f"), ("f", "d"), // 030C
+      ("g", "h"), ("g", "i"), // 021D
+      ("j", "k"), ("k", "l")) // 021C
+      .toDF("src_key", "dst_key")
+    val got = TriadCensus.run(arcs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "021D" -> 1L, // g's star (a's out-pair belongs to the 030T)
+      "021U" -> 0L, // c's in-pair belongs to the 030T
+      "021C" -> 1L, // j→k→l
+      "030T" -> 1L, "030C" -> 1L))
+  }
+
   // ---------- funnel ----------
 
   test("funnel: ordered-step depths on a hand fixture") {
