@@ -385,6 +385,11 @@ object SparkEntry {
     // tool-transition digraph (closed forms + two triangle joins)
     "q_triads" -> ((s, dir) =>
       TriadCensus.run(EdgeBuilder.toolTransitions(Transcripts.fromEvents(s, dir)))),
+    // TextTiling-style lexical segmentation: boundary where adjacent
+    // turns' distinct-token Jaccard dips below 0.30 (integer gate;
+    // this corpus' overlaps cluster at {0.2, 0.5, 1.0})
+    "q_segments" -> ((s, dir) =>
+      pipeline.Segment.lexical(Transcripts.fromEvents(s, dir), thrE4 = 3000)),
     // degree-assortativity sufficient statistics (exact integer sums)
     "q_assort" -> ((s, dir) =>
       DegreeStats.assortativity(Graphs.get(s, dir, symmetric = true))),
@@ -1201,6 +1206,38 @@ object SparkEntry {
 
   private val lpCommSql: String = lpCommCtes + "\nSELECT key, community FROM l4"
 
+  /** Segmentation replay: same distinct-token consecutive-turn
+   * intersection, integer boundary gate, window prefix-sum seg ids. */
+  private val segmentsSql: String = prefix +
+    """, tok AS (
+      |  SELECT DISTINCT conv_id, turn_idx, unnest(string_split(lower(text), ' ')) AS tok FROM t
+      |), szs AS (
+      |  SELECT conv_id, turn_idx, count(*) AS sz FROM tok GROUP BY 1, 2
+      |), intr AS (
+      |  SELECT a.conv_id, b.turn_idx, count(*) AS i
+      |  FROM tok a JOIN tok b ON b.conv_id = a.conv_id
+      |    AND b.turn_idx = a.turn_idx + 1 AND b.tok = a.tok
+      |  GROUP BY 1, 2
+      |), fl AS (
+      |  SELECT s.conv_id, s.turn_idx, s.sz,
+      |         lag(s.sz) OVER (PARTITION BY s.conv_id ORDER BY s.turn_idx) AS prev_sz,
+      |         coalesce(i.i, 0) AS i
+      |  FROM szs s LEFT JOIN intr i ON i.conv_id = s.conv_id AND i.turn_idx = s.turn_idx
+      |), fb AS (
+      |  SELECT conv_id, turn_idx,
+      |         CASE WHEN prev_sz IS NULL THEN 0
+      |              WHEN 10000 * i < 3000 * (prev_sz + sz - i) THEN 1 ELSE 0 END AS boundary
+      |  FROM fl
+      |), sg AS (
+      |  SELECT conv_id, turn_idx,
+      |         sum(boundary) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM fb
+      |)
+      |SELECT conv_id, cast(seg_id AS bigint) AS seg_id,
+      |       cast(min(turn_idx) AS bigint) AS start_turn, count(*) AS n_turns
+      |FROM sg GROUP BY 1, 2""".stripMargin
+
   /** Triad-census replay: same closed forms over the identical
    * dominant-direction arc set (te); hub products lift to HUGEINT. */
   private val triadsSql: String = prefix +
@@ -1806,6 +1843,7 @@ object SparkEntry {
     "q_treach" -> treachSql,
     "q_funnel" -> funnelSql,
     "q_triads" -> triadsSql,
+    "q_segments" -> segmentsSql,
     "q_zorder" -> {
       val terms = (0 until 16).flatMap(i => Seq(
         s"(((u >> $i) & 1) << ${2 * i})", s"(((tb >> $i) & 1) << ${2 * i + 1})"))

@@ -247,6 +247,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-3d retrieval/dedup ops: equi-joins only, bm25 broadcasts the query") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g", "s0", 13L), (1L, "a b c d e f h", "s0", 13L),
+      (2L, "x y z w v u t", "s1", 13L), (3L, "x y z w v u s", "s1", 13L))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .withColumn("lang", lit("en"))
+    def noCartesian(df: DataFrame, what: String): Unit =
+      assert(!collectNodes(executed(df)).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+        s"$what must not plan a cartesian product")
+    // prefix-filter join: candidate generation via the prefix-token
+    // equi-join — a cartesian anywhere is the all-pairs trap it exists
+    // to avoid
+    noCartesian(pipeline.Dedup.allPairsJoin(docs, tE4 = 3000), "allPairsJoin")
+    val bm25 = executed(pipeline.Vocab.bm25TopDocs(docs, nQueryTerms = 2, topK = 3))
+    assert(collectNodes(bm25).exists(_.isInstanceOf[BroadcastExchangeLike]),
+      s"bm25 must broadcast the |q|-row query table:\n$bm25")
+    val gs = graphOf(Seq((0, 1), (1, 2), (2, 0), (0, 3), (2, 3)), symmetric = true)
+    noCartesian(algos.WlRefine.run(gs, rounds = 2), "WL refinement")
+    gs.unpersist()
+  }
+
   test("asOfJoin: ONE hash exchange, no join node at all") {
     import spark.implicits._
     val probes = (0 until 60).map(i => (s"k${i % 5}", i)).toDF("k", "ord")

@@ -94,6 +94,23 @@ class Round3dSpec extends SparkSpec {
     g.unpersist()
   }
 
+  // ---------- lexical segmentation ----------
+
+  test("segmentation: boundary at the topic shift, none within topics") {
+    import spark.implicits._
+    val tr = Seq(
+      ("c1", 0, "alpha beta gamma delta"),
+      ("c1", 1, "alpha beta gamma epsilon"), // J = 3/5 ≥ 0.05 → same segment
+      ("c1", 2, "zz yy xx ww"), // J = 0 → boundary
+      ("c1", 3, "zz yy xx vv"),
+      ("c2", 0, "solo"))
+      .toDF("conv_id", "turn_idx", "text")
+    val got = graft.pipeline.Segment.lexical(tr).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("c1", 0L, 0L, 2L), ("c1", 1L, 2L, 2L), ("c2", 0L, 0L, 1L)))
+  }
+
   // ---------- triad census ----------
 
   test("triad census: known counts on a composite digraph") {
