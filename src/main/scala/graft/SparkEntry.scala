@@ -385,6 +385,10 @@ object SparkEntry {
     // tool-transition digraph (closed forms + two triangle joins)
     "q_triads" -> ((s, dir) =>
       TriadCensus.run(EdgeBuilder.toolTransitions(Transcripts.fromEvents(s, dir)))),
+    // densest-subgraph peel (Charikar greedy, Bahmani ε=½ parallel
+    // rounds): per-round census + exact-rational best-round flag
+    "q_densest" -> ((s, dir) =>
+      Densest.run(Graphs.get(s, dir, symmetric = true), gateNum = 1, gateDen = 1)),
     // TextTiling-style lexical segmentation: boundary where adjacent
     // turns' distinct-token Jaccard dips below 0.30 (integer gate;
     // this corpus' overlaps cluster at {0.2, 0.5, 1.0})
@@ -1206,6 +1210,40 @@ object SparkEntry {
 
   private val lpCommSql: String = lpCommCtes + "\nSELECT key, community FROM l4"
 
+  /** Densest-peel replay: recursive rounds with the 2·d·nv > 3·se
+   * survival gate evaluated via window aggregates inside the
+   * recursive term; per-round census re-joined from r; best round by
+   * HUGEINT cross-multiplication with the earliest-round tie rule. */
+  private val densestSql: String = "WITH RECURSIVE " + prefixBody + symBody +
+    """, r(key, it) AS (
+      |  SELECT DISTINCT src_key, 0 FROM esw
+      |  UNION ALL
+      |  SELECT key, it + 1 FROM (
+      |    SELECT a.key, a.it, count(*) AS d,
+      |           count(*) OVER (PARTITION BY a.it) AS nv,
+      |           sum(count(*)) OVER (PARTITION BY a.it) AS se
+      |    FROM r a JOIN esw e ON e.src_key = a.key
+      |             JOIN r b ON b.key = e.dst_key AND b.it = a.it
+      |    WHERE a.it < 999
+      |    GROUP BY a.key, a.it) x
+      |  WHERE d * nv > se
+      |), ds AS MATERIALIZED (
+      |  SELECT a.it AS round, count(DISTINCT a.key) AS nv, count(*) AS se
+      |  FROM r a JOIN esw e ON e.src_key = a.key
+      |           JOIN r b ON b.key = e.dst_key AND b.it = a.it
+      |  GROUP BY 1
+      |)
+      |SELECT cast(round AS bigint) AS round,
+      |       cast(nv AS bigint) AS n_vertices,
+      |       cast(se // 2 AS bigint) AS n_edges,
+      |       cast(10000 * (se // 2) // nv AS bigint) AS dens_e4,
+      |       cast(CASE WHEN NOT EXISTS (
+      |         SELECT 1 FROM ds o
+      |         WHERE o.se::HUGEINT * ds.nv > ds.se::HUGEINT * o.nv
+      |            OR (o.se::HUGEINT * ds.nv = ds.se::HUGEINT * o.nv AND o.round < ds.round)
+      |       ) THEN 1 ELSE 0 END AS bigint) AS is_best
+      |FROM ds""".stripMargin
+
   /** Segmentation replay: same distinct-token consecutive-turn
    * intersection, integer boundary gate, window prefix-sum seg ids. */
   private val segmentsSql: String = prefix +
@@ -1844,6 +1882,7 @@ object SparkEntry {
     "q_funnel" -> funnelSql,
     "q_triads" -> triadsSql,
     "q_segments" -> segmentsSql,
+    "q_densest" -> densestSql,
     "q_zorder" -> {
       val terms = (0 until 16).flatMap(i => Seq(
         s"(((u >> $i) & 1) << ${2 * i})", s"(((tb >> $i) & 1) << ${2 * i + 1})"))

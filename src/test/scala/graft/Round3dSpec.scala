@@ -94,6 +94,43 @@ class Round3dSpec extends SparkSpec {
     g.unpersist()
   }
 
+  // ---------- densest subgraph ----------
+
+  test("densest peel: rounds equal the plain-Scala replay; best is the clique round") {
+    // K6 (density 2.5) + a 12-vertex path tail (density ~0.46)
+    def k6 = for (i <- 0 until 6; j <- i + 1 until 6) yield (i, j)
+    val tail = (5 until 17).map(i => (i, i + 1))
+    val pairs = k6 ++ tail
+    val g = graphOf(pairs, symmetric = true)
+    // replay: same gate 2·d·nv > 3·se over live-degree>0 vertices
+    var adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val exp = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    var r = 0L
+    while (adj.nonEmpty) {
+      val deg = adj.map { case (v, ns) => v -> ns.size.toLong }
+      val nv = deg.size.toLong
+      val se = deg.values.sum
+      exp += ((r, nv, se / 2, 10000L * (se / 2) / nv))
+      val keep = deg.filter { case (_, d) => 2 * d * nv > 3 * se }.keySet
+      adj = adj.collect { case (v, ns) if keep(v) =>
+        v -> ns.intersect(keep) }.filter(_._2.nonEmpty)
+      r += 1
+    }
+    val got = Densest.run(g).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .sortBy(_._1)
+    assert(got.map(x => (x._1, x._2, x._3, x._4)).toSeq == exp.toSeq)
+    // the flagged round is the true argmax of e/v (cross-mult check)
+    val best = got.filter(_._5 == 1L)
+    assert(best.length == 1)
+    val (_, bv, be, _, _) = best.head
+    got.foreach { case (_, v, e, _, _) =>
+      assert(BigInt(e) * bv <= BigInt(be) * v)
+    }
+    g.unpersist()
+  }
+
   // ---------- lexical segmentation ----------
 
   test("segmentation: boundary at the topic shift, none within topics") {
