@@ -20,6 +20,8 @@ object PipelineEntry {
       streaming.DocStream.dedup(Dedup.docs(s, dir)).toDF()
         .select(col("doc_id"), col("text_md5"))),
     "q_minhash" -> ((s, dir) => Dedup.minhashPairs(Dedup.docs(s, dir))),
+    // Levenshtein ≤ 20 on the LSH candidates (thresholded DP verify)
+    "q_editdist" -> ((s, dir) => Dedup.editDistancePairs(Dedup.docs(s, dir))),
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(Dedup.docs(s, dir)).select(col("doc_id"), col("simhash"))),
     "q_simhash_pairs" -> ((s, dir) =>
@@ -189,6 +191,17 @@ object PipelineEntry {
   private val minhashSql: String =
     docPrefix + minhashBody(mat = false) +
       "\nSELECT doc_a, doc_b, jaccard_e4 FROM mhp"
+
+  /** Mirrors Dedup.editDistancePairs over the same cand CTE (byte ≡
+   * char Levenshtein on this ASCII corpus; unused CTEs are pruned). */
+  private val editDistSql: String =
+    docPrefix + minhashBody(mat = false) +
+      """
+        |SELECT c.doc_a, c.doc_b, levenshtein(da.text, db.text) AS edit_dist
+        |FROM cand c
+        |JOIN documents da ON da.doc_id = c.doc_a
+        |JOIN documents db ON db.doc_id = c.doc_b
+        |WHERE levenshtein(da.text, db.text) <= 20""".stripMargin
 
   /** Min-label transitive closure over the symmetric pair graph —
    * same recursion shape as SparkEntry.ccSql; every upstream CTE is
@@ -1052,6 +1065,7 @@ object PipelineEntry {
     "q_pq" -> pqSql(),
     "q_bm25" -> bm25Sql,
     "q_hybrid" -> hybridSql,
+    "q_editdist" -> editDistSql,
     "q_wsample" ->
       """WITH p AS (
         |  SELECT doc_id, source, n_chars,

@@ -57,6 +57,54 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** LSH band-bucket candidate pairs (doc_a < doc_b, deduped) — the
+   * linear-cost generator shared by the Jaccard, containment, and
+   * edit-distance verifiers. */
+  private def bandCandidates(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minhashSignature(sh, numHashes)
+    val bandCols: Seq[Column] = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      md5(concat_ws("|", cols: _*)).as(s"band$b")
+    }
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+    (0 until bands).map { b =>
+      val l = banded.select(col("doc_id").as("doc_a"), col(s"band$b").as("bh"))
+      val r = banded.select(col("doc_id").as("doc_b"), col(s"band$b").as("bh"))
+      l.join(r, "bh").where(col("doc_a") < col("doc_b")).select(col("doc_a"), col("doc_b"))
+    }.reduce(_ unionByName _).distinct()
+  }
+
+  /**
+   * Edit-distance-verified near-duplicate pairs: LSH band candidates
+   * (linear), then character-level Levenshtein ≤ maxDist on the
+   * candidate texts only — the "small textual patch" dup signal that
+   * set-based Jaccard waters down (a single long insertion moves
+   * Jaccard a lot but edit distance only by the insertion length).
+   *
+   * Scale notes: the verify uses Spark's THRESHOLDED levenshtein
+   * (early-exits the DP past maxDist — O(maxDist·len) not len²); the
+   * full texts move only for candidate pairs, never corpus-wide.
+   * Exactness caveat: DuckDB's levenshtein counts BYTES, Spark's
+   * counts CHARACTERS — identical on this ASCII corpus (verified),
+   * divergent on multi-byte text.
+   *
+   * @return (doc_a, doc_b, edit_dist) with doc_a < doc_b
+   */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 20, numHashes: Int = 12,
+      bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val sh = shingles(docs, shingleN).persist()
+    val cand = bandCandidates(sh, numHashes, bands)
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    val out = cand.join(ta, "doc_a").join(tb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b"), maxDist).cast("long").as("edit_dist"))
+      .where(col("edit_dist") >= 0) // thresholded DP returns −1 past maxDist
+    sh.unpersist()
+    out
+  }
+
   /**
    * MinHash + LSH near-duplicate pairs:
    * shingle → minhash → band buckets → bucket join (candidates) →
@@ -70,20 +118,8 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5,
       shingleN: Int = 3): DataFrame = {
-    val rows = numHashes / bands
     val sh = shingles(docs, shingleN).persist()
-    val sig = minhashSignature(sh, numHashes)
-    val bandCols: Seq[Column] = (0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
-      md5(concat_ws("|", cols: _*)).as(s"band$b")
-    }
-    val banded = sig.select(col("doc_id") +: bandCols: _*)
-    // bucket join per band; union the candidate pairs, dedup
-    val candidates = (0 until bands).map { b =>
-      val l = banded.select(col("doc_id").as("doc_a"), col(s"band$b").as("bh"))
-      val r = banded.select(col("doc_id").as("doc_b"), col(s"band$b").as("bh"))
-      l.join(r, "bh").where(col("doc_a") < col("doc_b")).select(col("doc_a"), col("doc_b"))
-    }.reduce(_ unionByName _).distinct()
+    val candidates = bandCandidates(sh, numHashes, bands)
     // exact Jaccard verify on candidates only
     val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))

@@ -166,6 +166,25 @@ class PipelineSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("edit-distance pairs: identical docs at 0; every value matches a Scala DP") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val texts = docsFixture.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Dedup.editDistancePairs(docsFixture, maxDist = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((0L, 1L)) == 0L, "identical docs hash to identical signatures → dist 0")
+    got.foreach { case ((a, b), d) =>
+      assert(d == lev(texts(a), texts(b)).toLong && d <= 20, s"pair ($a,$b)")
+    }
+  }
+
   test("weighted sampling: priorities replay and favor long docs in expectation") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
