@@ -75,7 +75,7 @@ object SnapshotTable {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
     val bucketJson = stats.map { case (b, n, lo, hi) =>
-      s"""{"bucket":$b,"rows":$n,"min_key":$lo,"max_key":$hi}"""
+      s"""{"bucket":$b,"rows":$n,"min_key":$lo,"max_key":$hi,"loc":"$path"}"""
     }.mkString("[", ",", "]")
     val numRows = stats.map(_._2).sum
     val parent = snap - 1
@@ -96,6 +96,29 @@ object SnapshotTable {
     spark.read.json(Seq(text).toDS())
   }
 
+  /** Per-bucket data locations from the manifest: (bucket → snapshot
+   * dir owning its files). Pre-merge manifests carry no "loc" — their
+   * buckets live in the snapshot's own directory. */
+  private def bucketLocs(table: String, snap: Int): Seq[(Int, String)] = {
+    val m = manifest(table, snap).select(explode(col("buckets")).as("b"))
+    val own = snapDir(table, snap)
+    val hasLoc = m.schema("b").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.contains("loc")
+    val rows =
+      if (hasLoc) m.select(col("b.bucket"), coalesce(col("b.loc"), lit(own)).as("loc"))
+      else m.select(col("b.bucket"), lit(own).as("loc"))
+    rows.collect().map(r => (r.getLong(0).toInt, r.getString(1))).sortBy(_._1).toSeq
+  }
+
+  /** Assemble a DataFrame over a set of (bucket, loc) directories —
+   * grouped by loc so Spark's partition-column inference keeps the
+   * `bucket=` column per base path. */
+  private def readBuckets(spark: SparkSession, locs: Seq[(Int, String)]): DataFrame =
+    locs.groupBy(_._2).toSeq.sortBy(_._1).map { case (loc, bs) =>
+      spark.read.option("basePath", loc)
+        .parquet(bs.map { case (b, _) => s"$loc/bucket=$b" }: _*)
+    }.reduce(_ unionByName _)
+
   /** Manifest-driven bucket selection for a key-range scan: buckets
    * whose [min_key, max_key] intersect [lo, hi] — metadata only, no
    * data file is opened. */
@@ -112,7 +135,7 @@ object SnapshotTable {
   def read(spark: SparkSession, table: String, snapshot: Option[Int] = None): DataFrame = {
     val snap = snapshot.orElse(latest(table)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $table"))
-    spark.read.parquet(snapDir(table, snap))
+    readBuckets(spark, bucketLocs(table, snap))
   }
 
   /** Key-range scan with manifest pruning: only the selected buckets'
@@ -130,9 +153,74 @@ object SnapshotTable {
     val picked = selectBuckets(table, snap, lo, hi)
     if (picked.isEmpty)
       return read(spark, table, Some(snap)).where(lit(false))
-    val base = snapDir(table, snap)
-    spark.read.option("basePath", base)
-      .parquet(picked.map(b => s"$base/bucket=$b"): _*)
+    val locs = bucketLocs(table, snap).filter { case (b, _) => picked.contains(b) }
+    readBuckets(spark, locs)
       .where(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
+
+  /**
+   * MERGE (copy-on-write upsert), the lakehouse write path: upsert
+   * `updates` keyed by (src, dst) — existing keys take the new
+   * weight, new keys insert. Only the buckets an update touches are
+   * rewritten under the new snapshot; every untouched bucket is
+   * INHERITED by manifest reference (its `loc` keeps pointing at the
+   * older snapshot's files), exactly Iceberg's COW file reuse. At
+   * 10^12 rows a point-update batch rewrites a handful of buckets,
+   * not the table.
+   *
+   * @return the new snapshot id
+   */
+  def merge(
+      updates: DataFrame,
+      buckets: DataFrame,
+      table: String): Int = {
+    val spark = updates.sparkSession
+    val prev = latest(table).getOrElse(
+      throw new IllegalStateException(s"merge into empty table $table"))
+    val m = manifest(table, prev)
+    val keyCol = m.select(col("key")).first().getString(0)
+    val prevLocs = bucketLocs(table, prev)
+    val up = updates.join(buckets.withColumnRenamed("id", keyCol), keyCol)
+    val touched = up.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val snap = prev + 1
+    val path = snapDir(table, snap)
+    val touchedLocs = prevLocs.filter { case (b, _) => touched.contains(b) }
+    // rewritten buckets: old rows minus updated keys, plus updates
+    val old = readBuckets(spark, touchedLocs)
+      .join(up.select(col("src").as("usrc"), col("dst").as("udst")),
+        col("src") === col("usrc") && col("dst") === col("udst"), "left_anti")
+    old.select(col("src"), col("dst"), col("weight"), col("bucket"))
+      .unionByName(up.select(col("src"), col("dst"), col("weight"), col("bucket")))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(keyCol, if (keyCol == "src") "dst" else "src")
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val stats = spark.read.parquet(path)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val rewritten = stats.map { case (b, n, lo2, hi2) =>
+      b -> s"""{"bucket":$b,"rows":$n,"min_key":$lo2,"max_key":$hi2,"loc":"$path"}"""
+    }.toMap
+    // inherited buckets keep their previous stats + location verbatim
+    val prevStats = m.select(explode(col("buckets")).as("b"))
+      .select(col("b.bucket"), col("b.rows"), col("b.min_key"), col("b.max_key"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2), r.getLong(3)))
+    val prevLocMap = prevLocs.toMap
+    val entries = prevStats.filterNot(e => touched.contains(e._1)).map {
+      case (b, n, lo2, hi2) =>
+        b -> s"""{"bucket":$b,"rows":$n,"min_key":$lo2,"max_key":$hi2,"loc":"${prevLocMap(b)}"}"""
+    }.toMap ++ rewritten
+    val ordered = entries.toSeq.sortBy(_._1).map(_._2)
+    val bucketJson = ordered.mkString("[", ",", "]")
+    val total = prevStats.filterNot(e => touched.contains(e._1)).map(_._2).sum +
+      stats.map(_._2).sum
+    val json =
+      s"""{"snapshot":$snap,"parent":$prev,"key":"$keyCol","num_rows":$total,"buckets":$bucketJson}"""
+    Files.writeString(Paths.get(manifestPath(table, snap)), json)
+    snap
   }
 }

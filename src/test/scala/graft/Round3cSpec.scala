@@ -260,6 +260,32 @@ class Round3cSpec extends SparkSpec {
     assert(ranged.agg(min(col("src")), max(col("src"))).first().toSeq == Seq(4L, 11L))
   }
 
+  test("SnapshotTable.merge: COW upsert rewrites only touched buckets, reuses the rest") {
+    import graft.sources.SnapshotTable
+    val table = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    val buckets = (0L until 20L).map(i => (i, (i / 5).toInt)).toDF("id", "bucket")
+    val e0 = (0L until 20L).map(i => (i, i + 100L, 1.0)).toDF("src", "dst", "weight")
+    assert(SnapshotTable.commit(e0, buckets, table) == 0)
+    // updates: overwrite (3, 103) weight, insert (4, 999) — bucket 0 only
+    val up = Seq((3L, 103L, 9.0), (4L, 999L, 7.0)).toDF("src", "dst", "weight")
+    assert(SnapshotTable.merge(up, buckets, table) == 1)
+    val v1 = SnapshotTable.read(spark, table).select("src", "dst", "weight").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(v1.size == 21) // 20 rows + 1 insert
+    assert(v1((3L, 103L)) == 9.0 && v1((4L, 999L)) == 7.0 && v1((4L, 104L)) == 1.0)
+    // time travel: snapshot 0 untouched
+    val v0 = SnapshotTable.read(spark, table, Some(0))
+    assert(v0.count() == 20 &&
+      v0.where(col("src") === 3L).first().getDouble(2) == 1.0)
+    // COW: only bucket 0 was physically rewritten under snap=1 …
+    val snap1 = new java.io.File(s"$table/snap=1")
+    assert(snap1.listFiles().map(_.getName).filter(_.startsWith("bucket=")).toSeq == Seq("bucket=0"))
+    // … and range reads resolve inherited buckets through the manifest
+    val ranged = SnapshotTable.readRange(spark, table, 6L, 12L)
+    assert(ranged.count() == 7)
+    assert(SnapshotTable.selectBuckets(table, 1, 15L, 19L) == Seq(3))
+  }
+
   // ---------- modularity statistics ----------
 
   test("communityStats: two triangles + bridge, hand-checked sums") {
