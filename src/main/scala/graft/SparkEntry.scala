@@ -385,6 +385,14 @@ object SparkEntry {
     // tool-transition digraph (closed forms + two triangle joins)
     "q_triads" -> ((s, dir) =>
       TriadCensus.run(EdgeBuilder.toolTransitions(Transcripts.fromEvents(s, dir)))),
+    // streaming decayed trending scores, batch mode (dyadic-exact
+    // decay makes the stateful operator oracle-checkable)
+    "q_trending" -> ((s, dir) => {
+      val tr = Transcripts.fromEvents(s, dir)
+      val refTs = tr.agg(max(unix_micros(col("ts").cast("timestamp"))))
+        .first().getLong(0)
+      streaming.ToolTrendStream.trending(tr, refTs).toDF()
+    }),
     // densest-subgraph peel (Charikar greedy, Bahmani ε=½ parallel
     // rounds): per-round census + exact-rational best-round flag
     "q_densest" -> ((s, dir) =>
@@ -1883,6 +1891,12 @@ object SparkEntry {
     "q_triads" -> triadsSql,
     "q_segments" -> segmentsSql,
     "q_densest" -> densestSql,
+    "q_trending" -> (prefix +
+      """, mx AS (SELECT max(epoch_us(ts)) AS m FROM t)
+        |SELECT tool,
+        |       cast(sum(1::BIGINT << (40 - least(((SELECT m FROM mx) - epoch_us(ts)) // 259200000000, 40))) AS bigint) AS score_scaled
+        |FROM t WHERE tool IS NOT NULL
+        |GROUP BY 1""".stripMargin),
     "q_zorder" -> {
       val terms = (0 until 16).flatMap(i => Seq(
         s"(((u >> $i) & 1) << ${2 * i})", s"(((tb >> $i) & 1) << ${2 * i + 1})"))

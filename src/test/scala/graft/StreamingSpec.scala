@@ -211,6 +211,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected && got == Set(0L, 2L, 9L))
   }
 
+  test("trending tools: stream state converges to the batch score under any slicing") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val all = Seq(
+      ("c1", 0, Some("A"), ts("2024-01-10 00:00:00")), // age 0 bucket
+      ("c1", 1, Some("A"), ts("2024-01-02 00:00:00")), // ~2.7 buckets → b=2
+      ("c2", 0, Some("B"), ts("2024-01-04 00:00:00")), // b=2
+      ("c2", 1, Some("A"), ts("2023-12-01 00:00:00"))) // b=13
+    val refTs = all.map(_._4.getTime * 1000L).max
+    // batch truth
+    val batch = streaming.ToolTrendStream.trending(
+      all.toDF("conv_id", "turn_idx", "tool", "ts"), refTs)
+      .collect().map(t => t.tool -> t.score_scaled).toMap
+    val expA = (1L << 40) + (1L << 38) + (1L << 27)
+    assert(batch == Map("A" -> expA, "B" -> (1L << 38)))
+    // stream in two slices: last Update row per tool = batch total
+    val input = MemoryStream[(String, Int, Option[String], java.sql.Timestamp)]
+    val q = streaming.ToolTrendStream.trending(
+      input.toDF().toDF("conv_id", "turn_idx", "tool", "ts"), refTs)
+      .writeStream.format("memory").queryName("trend_sink").outputMode("update").start()
+    try {
+      input.addData(all.take(2): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("trend_sink").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).max } // scores only grow
+    assert(last == batch)
+  }
+
   test("stream-stream interval join equals the batch join across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
