@@ -254,6 +254,12 @@ object SparkEntry {
       KCore.run(g, k = 2).core.join(g.vertices, "id")
         .select(col("key"), col("core_degree"))
     }),
+    // full core decomposition — per-vertex max-k membership
+    "q_coreness" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      KCore.coreness(g).join(g.vertices, "id")
+        .select(col("key"), col("coreness"))
+    }),
     // 3-truss: edges surviving the triangle-support peel, with their
     // fixpoint support (cohesion one notch above k-core)
     "q_truss" -> ((s, dir) => {
@@ -1160,6 +1166,43 @@ object SparkEntry {
       |)
       |SELECT key, cast(deg AS bigint) AS core_degree FROM cd WHERE deg >= 2""".stripMargin
 
+  /** Coreness replay: one kcoreSql-style recursion per k = 2..4
+   * (degeneracy here is 2; l3/l4 stay empty, proving the ceiling),
+   * membership CASE downward; every vertex has degree ≥ 1 so the
+   * floor is 1. */
+  private val corenessSql: String = {
+    val peel = (k: Int) =>
+      s""", r$k(key, it) AS (
+         |  SELECT key, 0 FROM v
+         |  UNION ALL
+         |  SELECT a.key, a.it + 1
+         |  FROM r$k a JOIN esw e ON e.src_key = a.key
+         |            JOIN r$k b ON b.key = e.dst_key AND b.it = a.it
+         |  WHERE a.it < 120
+         |  GROUP BY a.key, a.it
+         |  HAVING count(*) >= $k
+         |), l$k AS MATERIALIZED (
+         |  -- it = CAP, not max(it): an EMPTY k-core kills the recursion
+         |  -- mid-peel and max(it) would select the last non-empty
+         |  -- (non-core) survivor set; only a true fixpoint plateaus to
+         |  -- the cap (q_kcore can use max(it) because its 2-core is
+         |  -- provably non-empty)
+         |  SELECT key FROM r$k WHERE it = 120
+         |)""".stripMargin
+    "WITH RECURSIVE " + prefixBody + symBody +
+      (2 to 4).map(peel).mkString +
+      """
+        |SELECT v.key,
+        |       cast(CASE WHEN l4.key IS NOT NULL THEN 4
+        |                 WHEN l3.key IS NOT NULL THEN 3
+        |                 WHEN l2.key IS NOT NULL THEN 2
+        |                 ELSE 1 END AS bigint) AS coreness
+        |FROM v
+        |LEFT JOIN l2 ON l2.key = v.key
+        |LEFT JOIN l3 ON l3.key = v.key
+        |LEFT JOIN l4 ON l4.key = v.key""".stripMargin
+  }
+
   /** Batch-PPR replay: pprSql generalized over the top-4 hub seeds —
    * the per-iteration frame is deg × seeds, messages group by
    * (seed, dst). Same float-constant spelling as pprSql so the e5
@@ -1881,6 +1924,7 @@ object SparkEntry {
     "q_pagerank" -> pagerankSql,
     "q_hits" -> hitsSql,
     "q_kcore" -> kcoreSql,
+    "q_coreness" -> corenessSql,
     "q_truss" -> trussSql,
     "q_matching" -> matchingSql,
     "q_coarsen" -> coarsenSql,

@@ -30,6 +30,37 @@ object KCore {
 
   final case class Result(core: DataFrame, rounds: Int, aliveHistory: Seq[Long])
 
+  /**
+   * Full core decomposition: coreness(v) = max k with v in the
+   * k-core, computed as increasing-k peels ([[run]] reused verbatim)
+   * until the core empties — k-cores nest, so the per-k assignment
+   * just overwrites upward. Peel count = degeneracy + 1 (tiny on
+   * real link graphs); every vertex here has degree ≥ 1, so
+   * coreness ≥ 1 everywhere.
+   *
+   * @return (id, coreness) for every vertex
+   */
+  def coreness(graph: LinkGraph, maxK: Int = 64): DataFrame = {
+    var out = graph.vertices.select(col("id"), lit(0L).as("coreness")).graftCut
+    var k = 1
+    var stop = false
+    while (!stop && k <= maxK) {
+      val core = run(graph, k).core
+      if (core.count() == 0) stop = true
+      else {
+        val prev = out
+        out = out.join(core.select(col("id"), lit(true).as("inc")), Seq("id"), "left")
+          .select(col("id"),
+            when(col("inc"), lit(k.toLong)).otherwise(col("coreness")).as("coreness"))
+          .graftCut
+        prev.graftFree()
+        core.graftFree()
+        k += 1
+      }
+    }
+    out
+  }
+
   def run(
       graph: LinkGraph,
       k: Int,

@@ -94,6 +94,23 @@ class Round3dSpec extends SparkSpec {
     g.unpersist()
   }
 
+  // ---------- coreness ----------
+
+  test("coreness: K4=3, attached triangle=2, pendant chain=1") {
+    val pairs = Seq(
+      (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), // K4
+      (4, 5), (5, 6), (4, 6), // triangle
+      (3, 4), // bridge
+      (6, 7), (7, 8)) // chain
+    val g = graphOf(pairs, symmetric = true)
+    val got = byIndex(g, KCore.coreness(g), "coreness")
+      .map { case (v, c) => v -> c.asInstanceOf[Long] }
+    val expected = Map(0 -> 3L, 1 -> 3L, 2 -> 3L, 3 -> 3L,
+      4 -> 2L, 5 -> 2L, 6 -> 2L, 7 -> 1L, 8 -> 1L)
+    assert(got == expected)
+    g.unpersist()
+  }
+
   // ---------- densest subgraph ----------
 
   test("densest peel: rounds equal the plain-Scala replay; best is the clique round") {
