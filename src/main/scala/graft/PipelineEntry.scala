@@ -105,6 +105,9 @@ object PipelineEntry {
     // near-dup clusters = transitive closure of the MinHash pair graph
     // via the graph engine's HashMin CC (the pipeline×graph synergy op)
     "q_dedup_clusters" -> ((s, dir) => Dedup.clusters(Dedup.docs(s, dir))),
+    // leakage-safe split: the hash is over the CLUSTER id, so near-dup
+    // paraphrases can never straddle train/heldout
+    "q_split" -> ((s, dir) => Dedup.leakageSafeSplit(Dedup.docs(s, dir))),
     // eval-set n-gram decontamination (n=3 exercises the 30-70-token
     // synthetic docs; production would run 8-13)
     "q_decontam" -> ((s, dir) => Decontam.contamination(Dedup.docs(s, dir))),
@@ -207,7 +210,8 @@ object PipelineEntry {
    * same recursion shape as SparkEntry.ccSql; every upstream CTE is
    * MATERIALIZED so a recursion step does not re-derive the whole
    * MinHash pipeline (the SparkEntry BC-oracle lesson: 55 s → 1 s). */
-  private val dedupClustersSql: String = {
+  /** Shared near-dup cluster CTE chain ending in lab(d, cluster_id). */
+  private val dedupClustersCtes: String = {
     // docPrefix with WITH RECURSIVE; sh must be materialized too
     val recPrefix = "WITH RECURSIVE " + docPrefix.stripPrefix("WITH ")
       .replace("), sh AS (", "), sh AS MATERIALIZED (")
@@ -222,11 +226,22 @@ object PipelineEntry {
         |  SELECT pe.b, r.l FROM r JOIN pe ON pe.a = r.d WHERE r.l < pe.b
         |), lab AS (
         |  SELECT d, min(l) AS cluster_id FROM r GROUP BY d
-        |)
-        |SELECT d AS doc_id, cluster_id,
-        |       cast(CASE WHEN d = cluster_id THEN 1 ELSE 0 END AS bigint) AS is_keeper
-        |FROM lab""".stripMargin
+        |)""".stripMargin
   }
+
+  private val dedupClustersSql: String = dedupClustersCtes +
+    """
+      |SELECT d AS doc_id, cluster_id,
+      |       cast(CASE WHEN d = cluster_id THEN 1 ELSE 0 END AS bigint) AS is_keeper
+      |FROM lab""".stripMargin
+
+  /** Mirrors Dedup.leakageSafeSplit (10% heldout by cluster hash). */
+  private val splitSql: String = dedupClustersCtes +
+    s"""
+       |SELECT d AS doc_id, cluster_id,
+       |       CASE WHEN ('0x' || substr(md5(concat('sp|', cast(cluster_id AS varchar))), 1, 8))::BIGINT
+       |                 < ${4294967296L * 100 / 1000} THEN 'heldout' ELSE 'train' END AS split
+       |FROM lab""".stripMargin
 
   private val decontamSql: String = docPrefix +
     """, ev AS (
@@ -1042,6 +1057,7 @@ object PipelineEntry {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "q_minhash" -> minhashSql,
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_split" -> splitSql,
     "q_decontam" -> decontamSql,
     "q_sample" -> sampleSql,
     "q_mix_temp" -> mixTempSql,

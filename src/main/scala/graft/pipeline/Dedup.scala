@@ -249,6 +249,33 @@ object Dedup {
   }
 
   /**
+   * Leakage-safe train/heldout split: hash the near-dup CLUSTER id,
+   * not the document id — every transitive near-duplicate of a
+   * heldout document is heldout too, so no evaluation example has a
+   * paraphrase in training (the split-leakage failure mode doc-level
+   * hashing cannot prevent). Deterministic md5-threshold assignment
+   * like [[Mix.stratifiedSample]].
+   *
+   * @param heldoutPermille heldout fraction ×1000 (default 10%)
+   * @return (doc_id, cluster_id, split)
+   */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      heldoutPermille: Long = 100,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      shingleN: Int = 3): DataFrame = {
+    val thresh = 4294967296L * heldoutPermille / 1000L
+    clusters(docs, numHashes, bands, threshold, shingleN)
+      .select(col("doc_id"), col("cluster_id"),
+        when(
+          conv(substring(md5(concat(lit("sp|"), col("cluster_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") < thresh,
+          lit("heldout")).otherwise(lit("train")).as("split"))
+  }
+
+  /**
    * Blocked exact-substring dedup stats (the scalable approximation
    * of suffix-array substring dedup, Lee et al. 2022): each document
    * splits into NON-overlapping `span`-token blocks; a block occurring

@@ -166,6 +166,27 @@ class PipelineSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("leakage-safe split: cluster-mates always land on the same side") {
+    val r = Dedup.leakageSafeSplit(docsFixture, heldoutPermille = 500).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2))))
+    assert(r.length == 6)
+    // every member of a cluster carries the cluster's split
+    r.groupBy(_._2._1).values.foreach { members =>
+      assert(members.map(_._2._2).toSet.size == 1, s"split leak in $members")
+    }
+    // docs 0 and 1 are exact dups → same cluster by construction
+    val byDoc = r.toMap
+    assert(byDoc(0L)._1 == byDoc(1L)._1)
+    // the split value replays the md5 threshold exactly
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    r.foreach { case (_, (cl, sp)) =>
+      val h = java.lang.Long.parseLong(md5hex(s"sp|$cl").take(8), 16)
+      assert(sp == (if (h < 4294967296L * 500 / 1000) "heldout" else "train"))
+    }
+  }
+
   test("edit-distance pairs: identical docs at 0; every value matches a Scala DP") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
