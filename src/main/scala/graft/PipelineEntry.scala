@@ -108,6 +108,9 @@ object PipelineEntry {
     // leakage-safe split: the hash is over the CLUSTER id, so near-dup
     // paraphrases can never straddle train/heldout
     "q_split" -> ((s, dir) => Dedup.leakageSafeSplit(Dedup.docs(s, dir))),
+    // mergeable-sketch set algebra: per-pair union registers reduced
+    // to exact-integer sufficient statistics
+    "q_hll_pairs" -> ((s, dir) => Sketch.hllPairStats(Dedup.docs(s, dir))),
     // eval-set n-gram decontamination (n=3 exercises the 30-70-token
     // synthetic docs; production would run 8-13)
     "q_decontam" -> ((s, dir) => Decontam.contamination(Dedup.docs(s, dir))),
@@ -599,16 +602,41 @@ object PipelineEntry {
   /** HLL registers — mirrors Sketch.hll: 60-bit md5 token hash,
    * bucket = low p bits, rho = 53 − bitlen(h >> p) (bin() is
    * minimal-width on BIGINT, so length(bin(w)) = bitlen). */
-  private val hllSql: String =
+  private val hllCtes: String =
     """WITH t AS (
       |  SELECT source, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM (
       |    SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents) u
       |), b AS (
       |  SELECT source, h % 256 AS bucket, h // 256 AS w FROM t
+      |), regs AS (
+      |  SELECT source, cast(bucket AS bigint) AS bucket,
+      |         cast(max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS bigint) AS max_rho
+      |  FROM b GROUP BY 1, 2
+      |)""".stripMargin
+
+  private val hllSql: String =
+    hllCtes + "\nSELECT source, bucket, max_rho FROM regs"
+
+  /** Mirrors Sketch.hllPairStats: register-wise max per source pair,
+   * dyadic harmonic sum scaled to exact integers. */
+  private val hllPairsSql: String = hllCtes +
+    """, srcs AS (SELECT DISTINCT source FROM documents
+      |), prs AS (
+      |  SELECT x.source AS source_a, y.source AS source_b
+      |  FROM srcs x JOIN srcs y ON x.source < y.source
+      |), uu AS (
+      |  SELECT p.source_a, p.source_b, r.bucket, r.max_rho
+      |  FROM prs p JOIN regs r ON r.source = p.source_a
+      |  UNION ALL
+      |  SELECT p.source_a, p.source_b, r.bucket, r.max_rho
+      |  FROM prs p JOIN regs r ON r.source = p.source_b
+      |), mm AS (
+      |  SELECT source_a, source_b, bucket, max(max_rho) AS r FROM uu GROUP BY 1, 2, 3
       |)
-      |SELECT source, cast(bucket AS bigint) AS bucket,
-      |       cast(max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS bigint) AS max_rho
-      |FROM b GROUP BY 1, 2""".stripMargin
+      |SELECT source_a, source_b,
+      |       cast(256 - count(*) AS bigint) AS zeros,
+      |       cast(sum(1::BIGINT << (53 - r)) + (256 - count(*)) * (1::BIGINT << 53) AS bigint) AS sum_scaled
+      |FROM mm GROUP BY 1, 2""".stripMargin
 
   /** Count-min counter cells — mirrors Sketch.countMin (md5 salted by
    * the row index). */
@@ -1075,6 +1103,7 @@ object PipelineEntry {
     "q_quantiles_src" -> quantilesSrcSql,
     "q_tfidf" -> tfidfSql,
     "q_hll" -> hllSql,
+    "q_hll_pairs" -> hllPairsSql,
     "q_cms" -> cmsSql,
     "q_bloom" -> bloomSql,
     "q_semdedup" -> semDedupSql(),

@@ -66,6 +66,40 @@ object Sketch {
     if (e <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else e
   }
 
+  /**
+   * HLL register ALGEBRA: for every source pair, the union sketch's
+   * integer sufficient statistics — register-wise max (the HLL merge)
+   * reduced to (zeros, Σ 2^(53−r) scaled by 2^53-for-absent). The
+   * consumer turns these into |A∪B| via the standard estimator and
+   * |A∩B| via inclusion-exclusion with the per-source q_hll rows; the
+   * ENGINE's export stays exact-integer (the 2^-r harmonic sum is
+   * dyadic, so it scales to an exact long — same trick as the decay
+   * weights). Mergeability is the point: set overlap between any two
+   * 100 TB shards from kilobyte sketches, no rescan.
+   *
+   * @return (source_a, source_b, zeros, sum_scaled)
+   */
+  def hllPairStats(docs: DataFrame): DataFrame = {
+    val regs = hll(docs)
+    val srcs = docs.select(col("source")).distinct()
+    val pairs = srcs.as("x").join(srcs.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"))
+    val ra = regs.select(col("source").as("source_a"), col("bucket"), col("max_rho"))
+    val rb = regs.select(col("source").as("source_b"), col("bucket"), col("max_rho"))
+    val u = pairs.join(ra, "source_a")
+      .select(col("source_a"), col("source_b"), col("bucket"), col("max_rho"))
+      .unionByName(pairs.join(rb, "source_b")
+        .select(col("source_a"), col("source_b"), col("bucket"), col("max_rho")))
+      .groupBy(col("source_a"), col("source_b"), col("bucket"))
+      .agg(max(col("max_rho")).as("r"))
+    u.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("present"),
+        sum(expr("shiftleft(1L, cast(53 - r as int))")).as("s"))
+      .select(col("source_a"), col("source_b"),
+        (lit(hllM.toLong) - col("present")).as("zeros"),
+        (col("s") + (lit(hllM.toLong) - col("present")) * lit(1L << 53)).as("sum_scaled"))
+  }
+
   /** Count-min depth (independent hash rows) and width (counters). */
   val cmsDepth = 4
   val cmsWidth = 256

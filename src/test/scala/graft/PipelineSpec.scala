@@ -166,6 +166,33 @@ class PipelineSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("hll pair algebra: union stats equal the register-max replay") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "en", "s0", 22L),
+      (1L, "alpha beta gamma delta", "en", "s1", 22L), // s1 ≡ s0 vocab
+      (2L, "omega psi chi phi", "en", "s2", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val regs = Sketch.hll(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .groupBy(_._1._1).map { case (s, xs) => s -> xs.map { case ((_, b), v) => b -> v }.toMap }
+    def statsOf(m: Map[Long, Long]): (Long, Long) = {
+      val zeros = 256L - m.size
+      (zeros, m.values.map(r => 1L << (53 - r)).sum + zeros * (1L << 53))
+    }
+    val got = Sketch.hllPairStats(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val srcs = regs.keys.toSeq.sorted
+    val expected = (for {
+      a <- srcs; b <- srcs if a < b
+      merged = (regs(a).keySet ++ regs(b).keySet).map(k =>
+        k -> math.max(regs(a).getOrElse(k, 0L), regs(b).getOrElse(k, 0L))).toMap
+    } yield (a, b) -> statsOf(merged)).toMap
+    assert(got == expected)
+    // identical vocabularies: the union IS each side
+    assert(got(("s0", "s1")) == statsOf(regs("s0")))
+  }
+
   test("leakage-safe split: cluster-mates always land on the same side") {
     val r = Dedup.leakageSafeSplit(docsFixture, heldoutPermille = 500).collect()
       .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2))))
