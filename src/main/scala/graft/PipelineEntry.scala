@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Curate, Decontam, Dedup, Mix, Multimodal, Quantiles, Similarity, Sketch, TextStats, Vocab}
+import graft.pipeline.{Cooccur, Curate, Decontam, Dedup, Mix, Multimodal, Quantiles, Similarity, Sketch, TextStats, Vocab}
 
 /** Driver-contract entries for the training-data pipeline operators
  * (dedup / similarity / text analysis / multimodal) over the
@@ -111,6 +111,10 @@ object PipelineEntry {
     // mergeable-sketch set algebra: per-pair union registers reduced
     // to exact-integer sufficient statistics
     "q_hll_pairs" -> ((s, dir) => Sketch.hllPairStats(Dedup.docs(s, dir))),
+    // windowed word co-occurrence lift (integer PMI core), top-100
+    "q_word_pmi" -> ((s, dir) => Cooccur.wordPmi(Dedup.docs(s, dir))),
+    // exact k-sigma length outliers per source (no float mean/sqrt)
+    "q_outliers" -> ((s, dir) => TextStats.lengthOutliers(Dedup.docs(s, dir))),
     // eval-set n-gram decontamination (n=3 exercises the 30-70-token
     // synthetic docs; production would run 8-13)
     "q_decontam" -> ((s, dir) => Decontam.contamination(Dedup.docs(s, dir))),
@@ -1104,6 +1108,42 @@ object PipelineEntry {
     "q_tfidf" -> tfidfSql,
     "q_hll" -> hllSql,
     "q_hll_pairs" -> hllPairsSql,
+    "q_word_pmi" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+        |         generate_subscripts(string_split(lower(text), ' '), 1) - 1 AS pos
+        |  FROM documents
+        |), st AS (
+        |  SELECT (SELECT count(*) FROM tok) AS t
+        |), pr AS (
+        |  SELECT least(a.w, b.w) AS word_a, greatest(a.w, b.w) AS word_b, count(*) AS n_ab
+        |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+        |    AND b.pos > a.pos AND b.pos <= a.pos + 3 AND a.w <> b.w
+        |  GROUP BY 1, 2
+        |), npt AS (SELECT coalesce(sum(n_ab), 0) AS np FROM pr
+        |), mg AS (SELECT w, count(*) AS n FROM tok GROUP BY 1)
+        |SELECT word_a, word_b, n_ab, lift_e4 FROM (
+        |  SELECT p.word_a, p.word_b, p.n_ab,
+        |         cast((p.n_ab::HUGEINT * 10000 * st.t * st.t)
+        |              // (npt.np::HUGEINT * ma.n * mb.n) AS bigint) AS lift_e4,
+        |         row_number() OVER (ORDER BY p.n_ab DESC, p.word_a, p.word_b) AS rk
+        |  FROM pr p
+        |  JOIN mg ma ON ma.w = p.word_a
+        |  JOIN mg mb ON mb.w = p.word_b
+        |  CROSS JOIN st CROSS JOIN npt
+        |  WHERE p.n_ab >= 5) x
+        |WHERE rk <= 100""".stripMargin,
+    "q_outliers" ->
+      """WITH st AS (
+        |  SELECT source, count(*) AS n, sum(n_chars) AS s, sum(n_chars * n_chars) AS ssq
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |       cast(CASE WHEN (st.n::HUGEINT * d.n_chars - st.s)
+        |                      * (st.n::HUGEINT * d.n_chars - st.s)
+        |                      > 9 * (st.n::HUGEINT * st.ssq - st.s::HUGEINT * st.s)
+        |                 THEN 1 ELSE 0 END AS bigint) AS is_outlier
+        |FROM documents d JOIN st ON st.source = d.source""".stripMargin,
     "q_cms" -> cmsSql,
     "q_bloom" -> bloomSql,
     "q_semdedup" -> semDedupSql(),

@@ -20,6 +20,51 @@ import org.apache.spark.sql.functions._
  */
 object Cooccur {
 
+  /**
+   * Windowed word co-occurrence lift (integer PMI core) over
+   * documents: unordered word pairs within a ±`window` token
+   * distance, lift_e4 = ⌊10⁴ · n_ab·T² / (Np·n_a·n_b)⌋ with T = total
+   * tokens, Np = total windowed pairs — the distributional-feature
+   * builder (PMI = log lift; exporting the ratio keeps it integer).
+   *
+   * Scale shape: the pair generator is a per-document positional
+   * self-join bounded to `window` successors — fan-out ≤ window per
+   * token, LINEAR in corpus size, never doc×doc; marginals broadcast.
+   * The lift numerator runs in decimal(38,0)/HUGEINT (fits through
+   * T ≈ 10^9 tokens; beyond that rescale T or go log-space).
+   *
+   * @return top-`k` pairs by (n_ab desc, word_a, word_b) with
+   *         support ≥ minSupport: (word_a, word_b, n_ab, lift_e4)
+   */
+  def wordPmi(docs: DataFrame, window: Int = 3, minSupport: Long = 5,
+      k: Int = 100): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+      .persist()
+    val t = tok.count()
+    val pairs = tok.as("a")
+      .join(tok.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") > col("a.pos") && col("b.pos") <= col("a.pos") + window &&
+          col("a.w") =!= col("b.w"))
+      .select(least(col("a.w"), col("b.w")).as("word_a"),
+        greatest(col("a.w"), col("b.w")).as("word_b"))
+      .groupBy(col("word_a"), col("word_b")).agg(count(lit(1)).as("n_ab"))
+      .persist()
+    val np = pairs.agg(coalesce(sum(col("n_ab")), lit(0L))).first().getLong(0)
+    val marg = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val out = pairs.where(col("n_ab") >= minSupport)
+      .join(broadcast(marg.select(col("w").as("word_a"), col("n").as("n_a"))), "word_a")
+      .join(broadcast(marg.select(col("w").as("word_b"), col("n").as("n_b"))), "word_b")
+      .select(col("word_a"), col("word_b"), col("n_ab"),
+        expr(s"(cast(n_ab AS decimal(38,0)) * 10000 * ${t}L * ${t}L)" +
+          s" div (cast(${np}L AS decimal(38,0)) * n_a * n_b)")
+          .cast("long").as("lift_e4"))
+      .orderBy(desc("n_ab"), asc("word_a"), asc("word_b"))
+      .limit(k)
+    out
+  }
+
   /** @param transcripts (conv_id, turn_idx, role, text, tool, ts)
    *  @return (tool_a, tool_b, n_ab, n_a, n_b, lift_e4), tool_a < tool_b */
   def toolLift(transcripts: DataFrame): DataFrame = {

@@ -167,6 +167,34 @@ object TextStats {
         expr("rarity_sum_e6 div n_tokens").as("rarity_mean_e6"))
   }
 
+  /**
+   * Per-source document-length outliers by an EXACT k-sigma gate:
+   * |x − μ| > k·σ cross-multiplied into pure integers —
+   * (n·x − s)² > k²·(n·ssq − s²), with s = Σx, ssq = Σx² over the
+   * doc's source — no float mean, no float sqrt, so the flag is
+   * bit-identical across engines and parallelism. The data-quality
+   * triage gate (truncated/concatenated crawl records show up as
+   * length anomalies first).
+   *
+   * Scale: one per-source aggregate (broadcast back), one codegen'd
+   * filter expression; squares run in decimal(38,0)/HUGEINT.
+   *
+   * @return (doc_id, source, n_chars, is_outlier)
+   */
+  def lengthOutliers(docs: DataFrame, kSigma: Long = 3): DataFrame = {
+    val stats = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      sum(col("n_chars")).as("s"),
+      sum(col("n_chars") * col("n_chars")).as("ssq"))
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(stats), "source")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr(s"cast(CASE WHEN (cast(n AS decimal(38,0)) * n_chars - s) *" +
+          s" (cast(n AS decimal(38,0)) * n_chars - s) >" +
+          s" ${kSigma * kSigma} * (cast(n AS decimal(38,0)) * ssq - cast(s AS decimal(38,0)) * s)" +
+          s" THEN 1 ELSE 0 END AS bigint)").as("is_outlier"))
+  }
+
   /** Document fingerprint: the k smallest md5(3-gram shingle) hashes,
    * joined — a bottom-k sketch (winnowing-style) stable under small
    * edits. Identical in DuckDB (string-min over md5). */

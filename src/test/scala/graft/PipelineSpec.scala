@@ -166,6 +166,52 @@ class PipelineSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("word PMI: windowed pairs and integer lift equal the replay") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "hot dog hot dog hot dog stand", "en", "s0", 29L),
+      (1L, "hot dog cart near the stand", "en", "s0", 27L),
+      (2L, "cold cat cold cat cold cat nap", "en", "s0", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val texts = Map(0L -> "hot dog hot dog hot dog stand",
+      1L -> "hot dog cart near the stand", 2L -> "cold cat cold cat cold cat nap")
+    val toks = texts.map { case (id, t) => id -> t.split(" ").toSeq }
+    val t = toks.values.map(_.size).sum.toLong
+    val pairCounts = toks.values.flatMap { ws =>
+      for {
+        i <- ws.indices; j <- i + 1 to math.min(i + 3, ws.size - 1)
+        if ws(i) != ws(j)
+      } yield if (ws(i) < ws(j)) (ws(i), ws(j)) else (ws(j), ws(i))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val np = pairCounts.values.sum
+    val marg = toks.values.flatten.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val expected = pairCounts.filter(_._2 >= 2).toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(100)
+      .map { case ((a, b), n) =>
+        (a, b, n, (BigInt(n) * 10000 * t * t / (BigInt(np) * marg(a) * marg(b))).toLong)
+      }
+    val got = Cooccur.wordPmi(docs, window = 3, minSupport = 2, k = 100).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("length outliers: exact k-sigma gate flags the single extreme doc") {
+    import spark.implicits._
+    val docs = ((0L until 12L).map(i => (i, "x", "en", "s0", 10L)) :+
+      ((99L, "x", "en", "s0", 1000L))).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val n = BigInt(rows.length); val s = BigInt(rows.map(_._2).sum)
+    val ssq = rows.map(x => BigInt(x._2) * x._2).sum
+    val expected = rows.map { case (id, x) =>
+      id -> (if ((n * x - s).pow(2) > 9 * (n * ssq - s * s)) 1L else 0L)
+    }.toMap
+    val got = TextStats.lengthOutliers(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == expected)
+    assert(got(99L) == 1L && got.values.sum == 1L)
+  }
+
   test("hll pair algebra: union stats equal the register-max replay") {
     import spark.implicits._
     val docs = Seq(
