@@ -25,9 +25,39 @@ import org.apache.spark.sql.functions._
  */
 object SnapshotTable {
 
+  // per-bucket bloom over the NON-cluster column (dst): 960 bits as
+  // 16 × 60-bit words (JSON-safe longs), 3 md5-derived probes — the
+  // secondary point-lookup index the cluster key cannot serve
+  private val bloomK = 3
+  private val bloomBits = 960L
+  private val bloomWordBits = 60L
+  private val bloomWords = 16
+
   private def snapDir(table: String, snap: Int) = s"$table/snap=$snap"
   private def manifestPath(table: String, snap: Int) =
     s"${snapDir(table, snap)}/_manifest.json"
+
+  /** Per-bucket dense bloom word arrays over `dst` for the files just
+   * written under `path`. */
+  private def bucketBlooms(spark: SparkSession, path: String): Map[Int, Seq[Long]] = {
+    val h = expr("cast(conv(substring(md5(cast(dst as string)), 1, 15), 16, 10) as bigint)")
+    val slices = (0 until bloomK).map(i =>
+      pmod(shiftright(h, i * 12), lit(bloomBits)))
+    val rows = spark.read.parquet(path)
+      .select(col("bucket"), explode(array(slices: _*)).as("pos"))
+      .select(col("bucket"),
+        expr(s"pos div $bloomWordBits").as("w"),
+        expr(s"shiftleft(cast(1 as bigint), cast(pos % $bloomWordBits as int))").as("m"))
+      .groupBy(col("bucket"), col("w")).agg(expr("bit_or(m)").as("b"))
+      .collect().map(r => (r.getInt(0), r.getLong(1).toInt, r.getLong(2)))
+    rows.groupBy(_._1).map { case (bkt, xs) =>
+      val arr = Array.fill(bloomWords)(0L)
+      xs.foreach { case (_, w, b) => arr(w) = b }
+      bkt -> arr.toSeq
+    }
+  }
+
+  private def bloomJson(words: Seq[Long]): String = words.mkString("[", ",", "]")
 
   /** Latest committed snapshot id (manifest present), if any. */
   def latest(table: String): Option[Int] = {
@@ -74,8 +104,9 @@ object SnapshotTable {
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
+    val blooms = bucketBlooms(spark, path)
     val bucketJson = stats.map { case (b, n, lo, hi) =>
-      s"""{"bucket":$b,"rows":$n,"min_key":$lo,"max_key":$hi,"loc":"$path"}"""
+      s"""{"bucket":$b,"rows":$n,"min_key":$lo,"max_key":$hi,"loc":"$path","bloom":${bloomJson(blooms(b))}}"""
     }.mkString("[", ",", "]")
     val numRows = stats.map(_._2).sum
     val parent = snap - 1
@@ -118,6 +149,49 @@ object SnapshotTable {
       spark.read.option("basePath", loc)
         .parquet(bs.map { case (b, _) => s"$loc/bucket=$b" }: _*)
     }.reduce(_ unionByName _)
+
+  /** Per-bucket bloom word arrays from the manifest (empty map when
+   * the snapshot predates blooms). */
+  private def bucketBloomMap(table: String, snap: Int): Map[Int, Seq[Long]] = {
+    val m = manifest(table, snap).select(explode(col("buckets")).as("b"))
+    val hasBloom = m.schema("b").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.contains("bloom")
+    if (!hasBloom) return Map.empty
+    m.select(col("b.bucket"), col("b.bloom"))
+      .where(col("b.bloom").isNotNull)
+      .collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toSeq).toMap
+  }
+
+  /** Bloom-pruned candidate buckets for a point lookup on `dst` —
+   * metadata only. A bucket without a bloom can never be pruned. */
+  def pointBuckets(table: String, snap: Int, dst: Long): Seq[Int] = {
+    val blooms = bucketBloomMap(table, snap)
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(dst.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    bucketLocs(table, snap).map(_._1).filter { b =>
+      blooms.get(b).forall { ws =>
+        (0 until bloomK).forall { i =>
+          val pos = (h >> (i * 12)) % bloomBits
+          (ws((pos / bloomWordBits).toInt) & (1L << (pos % bloomWordBits).toInt)) != 0L
+        }
+      }
+    }
+  }
+
+  /** Point lookup on the non-cluster column: bloom-select buckets,
+   * open only those, exact filter on top (blooms never false-negate,
+   * so the result is exact). */
+  def readPoint(spark: SparkSession, table: String, dst: Long,
+      snapshot: Option[Int] = None): DataFrame = {
+    val snap = snapshot.orElse(latest(table)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $table"))
+    val picked = pointBuckets(table, snap, dst).toSet
+    val locs = bucketLocs(table, snap).filter { case (b, _) => picked.contains(b) }
+    if (locs.isEmpty) return read(spark, table, Some(snap)).where(lit(false))
+    readBuckets(spark, locs).where(col("dst") === dst)
+  }
 
   /** Manifest-driven bucket selection for a key-range scan: buckets
    * whose [min_key, max_key] intersect [lo, hi] — metadata only, no
@@ -202,17 +276,20 @@ object SnapshotTable {
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
+    val newBlooms = bucketBlooms(spark, path)
     val rewritten = stats.map { case (b, n, lo2, hi2) =>
-      b -> s"""{"bucket":$b,"rows":$n,"min_key":$lo2,"max_key":$hi2,"loc":"$path"}"""
+      b -> s"""{"bucket":$b,"rows":$n,"min_key":$lo2,"max_key":$hi2,"loc":"$path","bloom":${bloomJson(newBlooms(b))}}"""
     }.toMap
-    // inherited buckets keep their previous stats + location verbatim
+    // inherited buckets keep their previous stats + location + bloom
+    val prevBlooms = bucketBloomMap(table, prev)
     val prevStats = m.select(explode(col("buckets")).as("b"))
       .select(col("b.bucket"), col("b.rows"), col("b.min_key"), col("b.max_key"))
       .collect().map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2), r.getLong(3)))
     val prevLocMap = prevLocs.toMap
     val entries = prevStats.filterNot(e => touched.contains(e._1)).map {
       case (b, n, lo2, hi2) =>
-        b -> s"""{"bucket":$b,"rows":$n,"min_key":$lo2,"max_key":$hi2,"loc":"${prevLocMap(b)}"}"""
+        val bj = prevBlooms.get(b).map(ws => s""","bloom":${bloomJson(ws)}""").getOrElse("")
+        b -> s"""{"bucket":$b,"rows":$n,"min_key":$lo2,"max_key":$hi2,"loc":"${prevLocMap(b)}"$bj}"""
     }.toMap ++ rewritten
     val ordered = entries.toSeq.sortBy(_._1).map(_._2)
     val bucketJson = ordered.mkString("[", ",", "]")

@@ -128,9 +128,15 @@ class PlanSpec extends SparkSpec {
     val r = algos.DeltaStepping.run(path, root, delta = 2.0)
     assert(r.distances.count() == 51)
     assert(r.buckets >= 20, s"expected many buckets, got ${r.buckets}")
-    val after = spark.sparkContext.getPersistentRDDs.size
-    assert(after - before <= 3,
-      s"persistent RDDs grew by ${after - before} across ${r.buckets} buckets")
+    // graftFree uses unpersist(blocking = false): under full-suite
+    // cache pressure the async eviction can lag the snapshot below by
+    // one RDD (observed flake: 4 > 3 in-suite, 3 in isolation) — poll
+    // briefly for convergence instead of racing the cleaner
+    def growth = spark.sparkContext.getPersistentRDDs.size - before
+    var tries = 0
+    while (growth > 3 && tries < 20) { Thread.sleep(250); tries += 1 }
+    assert(growth <= 3,
+      s"persistent RDDs grew by $growth across ${r.buckets} buckets")
     r.distances.graftFree()
     path.unpersist()
   }

@@ -286,6 +286,28 @@ class Round3cSpec extends SparkSpec {
     assert(SnapshotTable.selectBuckets(table, 1, 15L, 19L) == Seq(3))
   }
 
+  test("SnapshotTable: bloom point-lookup prunes buckets; exact through merge") {
+    import graft.sources.SnapshotTable
+    val table = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    val buckets = (0L until 20L).map(i => (i, (i / 5).toInt)).toDF("id", "bucket")
+    val e0 = (0L until 20L).map(i => (i, i + 100L, 1.0)).toDF("src", "dst", "weight")
+    SnapshotTable.commit(e0, buckets, table)
+    // dst=117 lives only in bucket 3; blooms must keep 3 and prune most
+    val pb = SnapshotTable.pointBuckets(table, 0, 117L)
+    assert(pb.contains(3) && pb.size <= 2, s"picked $pb")
+    val hit = SnapshotTable.readPoint(spark, table, 117L).collect()
+    assert(hit.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((17L, 117L)))
+    // absent key: no false negatives required, exact empty result
+    assert(SnapshotTable.readPoint(spark, table, 555L).count() == 0)
+    // after a merge, inherited buckets keep their blooms
+    val up = Seq((3L, 103L, 9.0)).toDF("src", "dst", "weight")
+    SnapshotTable.merge(up, buckets, table)
+    val pb1 = SnapshotTable.pointBuckets(table, 1, 117L)
+    assert(pb1.contains(3) && pb1.size <= 2, s"picked $pb1 after merge")
+    val w = SnapshotTable.readPoint(spark, table, 103L).collect()
+    assert(w.map(r => (r.getLong(0), r.getDouble(2))).toSeq == Seq((3L, 9.0)))
+  }
+
   // ---------- modularity statistics ----------
 
   test("communityStats: two triangles + bridge, hand-checked sums") {
