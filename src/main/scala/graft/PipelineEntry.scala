@@ -115,6 +115,10 @@ object PipelineEntry {
     "q_word_pmi" -> ((s, dir) => Cooccur.wordPmi(Dedup.docs(s, dir))),
     // exact k-sigma length outliers per source (no float mean/sqrt)
     "q_outliers" -> ((s, dir) => TextStats.lengthOutliers(Dedup.docs(s, dir))),
+    // REAL binary codec path: synthesize canonical RIFF/WAV blobs,
+    // decode the 44-byte PCM header back from the bytes
+    "q_wav" -> ((s, dir) =>
+      Multimodal.decodeWav(Multimodal.wavTable(Dedup.docs(s, dir)))),
     // eval-set n-gram decontamination (n=3 exercises the 30-70-token
     // synthetic docs; production would run 8-13)
     "q_decontam" -> ((s, dir) => Decontam.contamination(Dedup.docs(s, dir))),
@@ -201,6 +205,50 @@ object PipelineEntry {
   private val minhashSql: String =
     docPrefix + minhashBody(mat = false) +
       "\nSELECT doc_a, doc_b, jaccard_e4 FROM mhp"
+
+  /** Mirrors Multimodal.wavTable + decodeWav: the oracle builds the
+   * same canonical WAV hex image (header fields little-endian) and
+   * parses it back with the identical slices — DuckDB works in hex
+   * space throughout (no blob substring in 1.0); the engine round-
+   * trips through actual binary. */
+  private val wavSql: String = {
+    def le32(x: String): String =
+      s"concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex((($x) // 256) % 256), 2, '0')," +
+        s" lpad(hex((($x) // 65536) % 256), 2, '0'), lpad(hex((($x) // 16777216) % 256), 2, '0'))"
+    def le16(x: String): String =
+      s"concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex((($x) // 256) % 256), 2, '0'))"
+    def rd32(p: Int): String =
+      s"('0x' || substring(hx, ${(p + 3) * 2 - 1}, 2) || substring(hx, ${(p + 2) * 2 - 1}, 2)" +
+        s" || substring(hx, ${(p + 1) * 2 - 1}, 2) || substring(hx, ${p * 2 - 1}, 2))::BIGINT"
+    def rd16(p: Int): String =
+      s"('0x' || substring(hx, ${(p + 1) * 2 - 1}, 2) || substring(hx, ${p * 2 - 1}, 2))::BIGINT"
+    s"""WITH p AS (
+       |  SELECT doc_id AS media_id,
+       |         CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sr,
+       |         doc_id % 2 + 1 AS ch,
+       |         octet_length(encode(text)) AS ds,
+       |         hex(encode(text)) AS ph
+       |  FROM documents
+       |), w AS (
+       |  SELECT media_id, upper(concat(
+       |    '52494646', ${le32("ds + 36")}, '57415645', '666D7420', '10000000', '0100',
+       |    ${le16("ch")}, ${le32("sr")}, ${le32("sr * ch * 2")}, ${le16("ch * 2")},
+       |    '1000', '64617461', ${le32("ds")}, ph)) AS hx
+       |  FROM p
+       |)
+       |SELECT media_id,
+       |       cast(CASE WHEN substring(hx, 1, 8) = '52494646'
+       |                  AND substring(hx, 17, 8) = '57415645'
+       |                  AND substring(hx, 25, 8) = '666D7420' THEN 1 ELSE 0 END AS bigint) AS valid,
+       |       cast(${rd16(23)} AS bigint) AS channels,
+       |       cast(${rd32(25)} AS bigint) AS sample_rate,
+       |       cast(${rd32(29)} AS bigint) AS byte_rate,
+       |       cast(${rd16(35)} AS bigint) AS bits,
+       |       cast(${rd32(41)} AS bigint) AS data_bytes,
+       |       cast((${rd32(41)} * 1000) // ${rd32(29)} AS bigint) AS duration_ms,
+       |       md5(substring(hx, 89, 1000000000)) AS payload_md5
+       |FROM w""".stripMargin
+  }
 
   /** Mirrors Dedup.editDistancePairs over the same cand CTE (byte ≡
    * char Levenshtein on this ASCII corpus; unused CTEs are pruned). */
@@ -1151,6 +1199,7 @@ object PipelineEntry {
     "q_bm25" -> bm25Sql,
     "q_hybrid" -> hybridSql,
     "q_editdist" -> editDistSql,
+    "q_wav" -> wavSql,
     "q_wsample" ->
       """WITH p AS (
         |  SELECT doc_id, source, n_chars,

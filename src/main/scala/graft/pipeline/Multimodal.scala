@@ -33,6 +33,76 @@ object Multimodal {
         length(col("text")).as("nbytes"),
         col("source").as("origin")).as("meta"))
 
+  // ---------------------------------------------------------------
+  // REAL codec path: RIFF/WAV. The container synthesizes genuine
+  // 44-byte WAV headers (canonical PCM layout, little-endian fields)
+  // and the decoder parses them BACK FROM THE BYTES — actual binary
+  // format work, not a hash fake. Byte access is `hex(blob)` +
+  // hex-string slicing (byte i ↔ hex chars 2i−1..2i), the one blob
+  // primitive both engines share; every field rebuild is
+  // whole-stage-codegen'd string/conv arithmetic, no UDF.
+  // ---------------------------------------------------------------
+
+  private def le32Hex(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lpad(hex(pmod(x, lit(256L))), 2, "0"),
+      lpad(hex(pmod(x.divide(lit(256L)).cast("long"), lit(256L))), 2, "0"),
+      lpad(hex(pmod(x.divide(lit(65536L)).cast("long"), lit(256L))), 2, "0"),
+      lpad(hex(pmod(x.divide(lit(16777216L)).cast("long"), lit(256L))), 2, "0"))
+
+  private def le16Hex(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lpad(hex(pmod(x, lit(256L))), 2, "0"),
+      lpad(hex(pmod(x.divide(lit(256L)).cast("long"), lit(256L))), 2, "0"))
+
+  /** Synthesize REAL WAV blobs from documents: canonical 44-byte PCM
+   * header (RIFF/WAVE/fmt/data chunks, little-endian) + the text
+   * bytes as sample payload. sample_rate/channels vary by doc_id. */
+  def wavTable(docs: DataFrame): DataFrame = {
+    val sr = element_at(
+      array(lit(8000L), lit(16000L), lit(44100L)),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    val ch = pmod(col("doc_id"), lit(2)) + 1
+    val payload = encode(col("text"), "UTF-8")
+    val dataSize = length(payload).cast("long")
+    val byteRate = sr * ch * 2
+    val headerHex = upper(concat(
+      lit("52494646"), le32Hex(dataSize + 36), // "RIFF", chunk size
+      lit("57415645"), lit("666d7420"), // "WAVE", "fmt "
+      lit("10000000"), lit("0100"), // fmt size 16, PCM
+      le16Hex(ch), le32Hex(sr), le32Hex(byteRate),
+      le16Hex(ch * 2), lit("1000"), // block align, 16 bits
+      lit("64617461"), le32Hex(dataSize))) // "data", size
+    docs.select(col("doc_id").as("media_id"),
+      concat(unhex(headerHex), payload).as("wav"))
+  }
+
+  /** Decode the WAV header FROM THE BYTES: little-endian field
+   * reconstruction over the blob's hex image, plus a payload digest
+   * and validity flags for the RIFF/fmt magics. */
+  def decodeWav(wavs: DataFrame): DataFrame = {
+    // little-endian field at 1-based BYTE offset p: reversed byte-pair
+    // slices of the hex image (byte i ↔ hex chars 2i−1..2i)
+    def le32s(p: Int): String =
+      s"cast(conv(concat(substring(hx, ${(p + 3) * 2 - 1}, 2), substring(hx, ${(p + 2) * 2 - 1}, 2)," +
+        s" substring(hx, ${(p + 1) * 2 - 1}, 2), substring(hx, ${p * 2 - 1}, 2)), 16, 10) as bigint)"
+    def le32(p: Int) = expr(le32s(p))
+    def le16(p: Int) =
+      expr(s"cast(conv(concat(substring(hx, ${(p + 1) * 2 - 1}, 2), substring(hx, ${p * 2 - 1}, 2)), 16, 10) as bigint)")
+    wavs.select(col("media_id"), upper(hex(col("wav"))).as("hx"))
+      .select(col("media_id"),
+        (substring(col("hx"), 1, 8) === "52494646" &&
+          substring(col("hx"), 17, 8) === "57415645" &&
+          substring(col("hx"), 25, 8) === "666D7420").cast("long").as("valid"),
+        le16(23).as("channels"),
+        le32(25).as("sample_rate"),
+        le32(29).as("byte_rate"),
+        le16(35).as("bits"),
+        le32(41).as("data_bytes"),
+        expr(s"(${le32s(41)} * 1000) div ${le32s(29)}").as("duration_ms"),
+        md5(substring(col("hx"), 89, 1000000000)).as("payload_md5"))
+  }
+
   /** STUB DECODE — deterministic fake: dimensions/duration derived
    * from three disjoint 40-bit segments of the blob's md5, not a real
    * codec (see class doc). md5 segments (vs xxhash64) keep the fake

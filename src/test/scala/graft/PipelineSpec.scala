@@ -166,6 +166,31 @@ class PipelineSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("wav decode: parses a ByteBuffer-authored header (independent writer)") {
+    import spark.implicits._
+    val payload = "hello samples".getBytes("UTF-8")
+    val bb = java.nio.ByteBuffer.allocate(44 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + payload.length); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(2)
+    bb.putInt(22050); bb.putInt(22050 * 2 * 2); bb.putShort(4); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(payload.length); bb.put(payload)
+    val df = Seq((7L, bb.array())).toDF("media_id", "wav")
+    val r = Multimodal.decodeWav(df).collect().head
+    assert(r.getLong(1) == 1L, "RIFF/WAVE/fmt magics")
+    assert(r.getLong(2) == 2L && r.getLong(3) == 22050L && r.getLong(4) == 88200L)
+    assert(r.getLong(5) == 16L && r.getLong(6) == payload.length.toLong)
+    assert(r.getLong(7) == payload.length * 1000L / 88200L)
+    // round-trip: engine-synthesized blobs parse back to their params
+    val docs = Seq((3L, "abc def", "en", "s0", 7L), (4L, "xyz", "en", "s0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rt = Multimodal.decodeWav(Multimodal.wavTable(docs)).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(6))))
+      .toMap
+    assert(rt(3L) == ((1L, 2L, 8000L, 7L))) // 3%3=0 → 8 kHz, 3%2+1 = 2 ch
+    assert(rt(4L) == ((1L, 1L, 16000L, 3L)))
+  }
+
   test("word PMI: windowed pairs and integer lift equal the replay") {
     import spark.implicits._
     val docs = Seq(
