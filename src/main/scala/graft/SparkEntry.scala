@@ -391,6 +391,9 @@ object SparkEntry {
     // tool-transition digraph (closed forms + two triangle joins)
     "q_triads" -> ((s, dir) =>
       TriadCensus.run(EdgeBuilder.toolTransitions(Transcripts.fromEvents(s, dir)))),
+    // per-conversation latency profile (integer µs; value-at-rank median)
+    "q_latency" -> ((s, dir) =>
+      pipeline.Funnel.latency(Transcripts.fromEvents(s, dir))),
     // streaming decayed trending scores, batch mode (dyadic-exact
     // decay makes the stateful operator oracle-checkable)
     "q_trending" -> ((s, dir) => {
@@ -1934,6 +1937,29 @@ object SparkEntry {
     "q_funnel" -> funnelSql,
     "q_triads" -> triadsSql,
     "q_segments" -> segmentsSql,
+    "q_latency" -> (prefix +
+      """, g AS (
+        |  SELECT conv_id, turn_idx, epoch_us(ts) AS tus,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+        |  FROM t
+        |), st AS (
+        |  SELECT conv_id, count(*) AS n_turns,
+        |         max(tus) - min(tus) AS span_us,
+        |         coalesce(max(gap), -1) AS max_gap_us
+        |  FROM g GROUP BY 1
+        |), md AS (
+        |  SELECT conv_id, gap AS median_gap_us FROM (
+        |    SELECT conv_id, gap,
+        |           row_number() OVER (PARTITION BY conv_id ORDER BY gap, turn_idx) AS rn,
+        |           count(*) OVER (PARTITION BY conv_id) AS m
+        |    FROM g WHERE gap IS NOT NULL) x
+        |  WHERE rn = (m + 1) // 2
+        |)
+        |SELECT st.conv_id, cast(n_turns AS bigint) AS n_turns,
+        |       cast(span_us AS bigint) AS span_us,
+        |       cast(max_gap_us AS bigint) AS max_gap_us,
+        |       cast(coalesce(md.median_gap_us, -1) AS bigint) AS median_gap_us
+        |FROM st LEFT JOIN md ON md.conv_id = st.conv_id""".stripMargin),
     "q_densest" -> densestSql,
     "q_trending" -> (prefix +
       """, mx AS (SELECT max(epoch_us(ts)) AS m FROM t)

@@ -22,6 +22,41 @@ import org.apache.spark.sql.functions._
  */
 object Funnel {
 
+  /**
+   * Per-conversation response-latency profile: turn count, total
+   * span, max and (lower-)median inter-turn gap — all integer epoch
+   * microseconds. The median is the value at rank ⌈m/2⌉ of the gap
+   * multiset (value-at-rank is tie-order independent, so both
+   * engines agree without a float percentile). Single-turn
+   * conversations report −1 gaps. Windows are per-conversation —
+   * parallel across the corpus, no global sort.
+   *
+   * @return (conv_id, n_turns, span_us, max_gap_us, median_gap_us)
+   */
+  def latency(transcripts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val gaps = transcripts
+      .select(col("conv_id"), col("turn_idx"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+    val stats = gaps.groupBy(col("conv_id")).agg(
+      count(lit(1)).as("n_turns"),
+      (max(col("tus")) - min(col("tus"))).as("span_us"),
+      coalesce(max(col("gap")), lit(-1L)).as("max_gap_us"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("gap"), col("turn_idx"))
+    val med = gaps.where(col("gap").isNotNull)
+      .withColumn("rn", row_number().over(wg))
+      .withColumn("m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("conv_id"))))
+      .where(col("rn") === expr("(m + 1) div 2"))
+      .select(col("conv_id"), col("gap").as("median_gap_us"))
+    stats.join(med, Seq("conv_id"), "left")
+      .select(col("conv_id"), col("n_turns"), col("span_us"), col("max_gap_us"),
+        coalesce(col("median_gap_us"), lit(-1L)).as("median_gap_us"))
+  }
+
   /** @return (conv_id, depth, done_us): steps completed in order
    * (0-3) and the completion time of the deepest step (-1 if none). */
   def toolFunnel(transcripts: DataFrame): DataFrame = {

@@ -215,6 +215,24 @@ class Round3dSpec extends SparkSpec {
       "c5" -> ((2L, m(("c5", 1))))))
   }
 
+  // ---------- latency profile ----------
+
+  test("latency: span/max/lower-median gaps, single-turn sentinel") {
+    import spark.implicits._
+    val tr = Seq(
+      ("c1", 0, "2026-01-01 00:00:00"), ("c1", 1, "2026-01-01 00:00:02"),
+      ("c1", 2, "2026-01-01 00:00:03"), ("c1", 3, "2026-01-01 00:00:08"),
+      ("c1", 4, "2026-01-01 00:00:09"), // gaps 2,1,5,1 s → median(lower) 1 s
+      ("c2", 0, "2026-01-01 00:00:00"))
+      .toDF("conv_id", "turn_idx", "tss")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val got = graft.pipeline.Funnel.latency(tr).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got("c1") == ((5L, 9000000L, 5000000L, 1000000L)))
+    assert(got("c2") == ((1L, 0L, -1L, -1L)))
+  }
+
   // ---------- z-order ----------
 
   test("zorder: morton code equals the bit-interleave replay") {
