@@ -28,4 +28,15 @@ object Graphs {
         LinkGraph.fromKeyEdges(keyEdges, symmetric = false, shufflePartitions(spark))
       }
     })
+
+  private val capCache = scala.collection.concurrent.TrieMap[String, LinkGraph]()
+
+  /** Symmetric graph over hashed integer CAPACITIES
+   * (EdgeBuilder.keyEdgesCapacity) — shared by the bottleneck-path
+   * and spanning-forest queries. */
+  def getCapacity(spark: SparkSession, sfDir: String): LinkGraph =
+    capCache.getOrElseUpdate(sfDir, {
+      val ke = EdgeBuilder.keyEdgesCapacity(transcripts(spark, sfDir))
+      LinkGraph.fromKeyEdges(ke, symmetric = true, shufflePartitions(spark))
+    })
 }

@@ -531,6 +531,42 @@ object SparkEntry {
       operators.Bipartite.project(m)
         .select(col("a").as("conv_a"), col("b").as("conv_b"), col("shared"))
     }),
+    // butterfly (bipartite 4-cycle) counting on the tool–conversation
+    // graph: per tool pair, shared-conversation count c and C(c,2)
+    // butterflies — the bipartite cohesion motif (entity-side wedge
+    // generator, so hub TOOLS cost nothing; see Bipartite.butterflies)
+    "q_butterflies" -> ((s, dir) => {
+      val m = Transcripts.fromEvents(s, dir)
+        .where(col("tool").isNotNull)
+        .select(col("conv_id").as("entity"), col("tool").as("group"))
+      operators.Bipartite.butterflies(m)
+        .select(col("group_a").as("tool_a"), col("group_b").as("tool_b"),
+          col("n_shared"), col("n_bf"))
+    }),
+    // hop-bounded widest path (max-bottleneck routing) from the
+    // busiest hub over hashed integer capacities — the max-min dual
+    // of q_sssp; the hop bound (12) keeps the superstep count a query
+    // constant (the unbounded variant walks the max spanning tree,
+    // Θ(|V|) hops — see algos.WidestPath)
+    "q_widest" -> ((s, dir) => {
+      val g = Graphs.getCapacity(s, dir)
+      WidestPath.run(g, rootId(g), maxHops = 12).caps.join(g.vertices, "id")
+        .select(col("key"), col("cap").cast("long").as("cap"))
+    }),
+    // Borůvka minimum spanning forest over the hashed capacities —
+    // O(log V) contraction rounds; the (w, akey, bkey) total order
+    // makes the MSF unique, so the oracle's entirely different merge
+    // schedule (one-hop label merging) must emit the identical edges
+    "q_msf" -> ((s, dir) => {
+      val g = Graphs.getCapacity(s, dir)
+      Msf.run(g).forest
+        .select(col("a_key"), col("b_key"), col("w").cast("long").as("w"))
+    }),
+    // PII-style pattern scrub over every turn: digit runs → '<N>'
+    // (count + redacted text; the pattern is a parameter — see
+    // pipeline.Redact for the email/phone production classes)
+    "q_redact" -> ((s, dir) =>
+      pipeline.Redact.scrub(Transcripts.fromEvents(s, dir))),
     // batched multi-root Brandes: the 4 landmark hubs' σ/dependency
     // pairs in ONE forward/backward pass (the sampled-approximate-BC
     // building block — K roots at O(diameter) jobs total)
@@ -1752,6 +1788,100 @@ object SparkEntry {
       |       cast(min(kv) AS bigint) AS k_min, cast(max(kv) AS bigint) AS k_max
       |FROM kvx WHERE kv IS NOT NULL GROUP BY 1""".stripMargin
 
+  /** Butterfly counts per tool pair: shared-conversation count c ≥ 2
+   * and C(c,2) — plain pair aggregation, mirrors
+   * Bipartite.butterflies (uncapped). */
+  private val butterfliesSql: String = prefix +
+    """, tu AS (
+      |  SELECT DISTINCT conv_id, tool FROM t WHERE tool IS NOT NULL
+      |)
+      |SELECT a.tool AS tool_a, b.tool AS tool_b,
+      |       cast(count(*) AS bigint) AS n_shared,
+      |       cast(count(*) * (count(*) - 1) // 2 AS bigint) AS n_bf
+      |FROM tu a JOIN tu b ON a.conv_id = b.conv_id AND a.tool < b.tool
+      |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
+  /** Hop-bounded (12) widest-path capacities from the max-degree root
+   * over the hashed [1,97] edge capacities — max(least) label-
+   * correcting recursion: step h's rows cover all ≤h-hop paths
+   * (frontier Bellman-Ford), final answer = max per key. Mirrors
+   * EdgeBuilder.keyEdgesCapacity + algos.WidestPath exactly. */
+  private val widestSql: String = "WITH RECURSIVE " + prefixBody + symBody +
+    """, esc AS MATERIALIZED (
+      |  SELECT src_key, dst_key,
+      |         1 + ('0x' || substr(md5(concat('cap|', least(src_key, dst_key), '|', greatest(src_key, dst_key))), 1, 10))::BIGINT % 97 AS w
+      |  FROM esw
+      |), r(key, cap, i) AS (
+      |  SELECT rkey, cast(1e18 AS double), 0 FROM rt
+      |  UNION ALL
+      |  SELECT esc.dst_key, max(least(r.cap, cast(esc.w AS double))), min(r.i) + 1
+      |  FROM r JOIN esc ON esc.src_key = r.key
+      |  WHERE r.i < 12 GROUP BY esc.dst_key
+      |)
+      |SELECT key, cast(max(cap) AS bigint) AS cap FROM r GROUP BY key""".stripMargin
+
+  /** The unique MSF over the hashed capacities, via a schedule the
+   * engine does NOT run: each step every label group picks its
+   * (w,a,b)-minimum crossing edge (an MSF edge for ANY vertex set, by
+   * the cut property), labels merge ONE hop along just-chosen edges
+   * (groups stay chosen-connected — merging along arbitrary crossing
+   * edges would break completeness), and chosen edges accumulate.
+   * At the plateau the chosen set spans every component: a spanning
+   * subset of a forest IS the forest, so the output equals the
+   * engine's Borůvka result row-for-row. `it = cap` selects the
+   * fixpoint (plateau re-emits to the cap; one-hop merging converges
+   * in ≪ cap steps — validated against the engine at sf0.01 by the
+   * driver's correctness gate, where a too-low cap would hash-miss). */
+  private val msfSql: String = {
+    val cap = 100
+    val chosen =
+      s"""(SELECT x.it, x.g, x.h, x.a, x.b, x.w,
+         |        row_number() OVER (PARTITION BY x.g ORDER BY x.w, x.a, x.b) AS rn
+         | FROM (
+         |   SELECT la.it,
+         |          CASE f.flip WHEN 0 THEN la.b ELSE lb.b END AS g,
+         |          CASE f.flip WHEN 0 THEN lb.b ELSE la.b END AS h,
+         |          em.w, em.a, em.b
+         |   FROM em
+         |   JOIN r la ON la.typ = 'L' AND la.a = em.a
+         |   JOIN r lb ON lb.typ = 'L' AND lb.a = em.b
+         |   CROSS JOIN (VALUES (0), (1)) f(flip)
+         |   WHERE la.b <> lb.b AND la.it < $cap
+         | ) x)""".stripMargin
+    "WITH RECURSIVE " + prefixBody +
+      s""", em AS MATERIALIZED (
+         |  SELECT a, b, 1 + ('0x' || substr(md5(concat('cap|', a, '|', b)), 1, 10))::BIGINT % 97 AS w
+         |  FROM (SELECT DISTINCT least(src_key, dst_key) AS a, greatest(src_key, dst_key) AS b
+         |        FROM e WHERE src_key <> dst_key) u
+         |), r(it, typ, a, b, w) AS (
+         |  SELECT 0, 'L', key, key, cast(0 AS bigint) FROM v
+         |  UNION ALL
+         |  SELECT * FROM (
+         |    SELECT r.it + 1, 'E', r.a, r.b, r.w FROM r WHERE r.typ = 'E' AND r.it < $cap
+         |    UNION ALL
+         |    SELECT c.it + 1, 'E', c.a, c.b, c.w FROM $chosen c WHERE c.rn = 1
+         |    UNION ALL
+         |    SELECT l.it + 1, 'L', l.a, least(l.b, coalesce(mm.mn, l.b)), cast(0 AS bigint)
+         |    FROM r l LEFT JOIN (
+         |      SELECT c2.g, min(c2.h) AS mn FROM $chosen c2 WHERE c2.rn = 1 GROUP BY c2.g
+         |    ) mm ON mm.g = l.b
+         |    WHERE l.typ = 'L' AND l.it < $cap
+         |  ) step
+         |)
+         |SELECT DISTINCT a AS a_key, b AS b_key, w
+         |FROM r WHERE typ = 'E' AND it = $cap""".stripMargin
+  }
+
+  /** Digit-run scrub replay: RE2's `[0-9]+` ≡ Java's on this corpus
+   * (plain character class — the portability contract of
+   * pipeline.Redact). */
+  private val redactSql: String = prefix +
+    """
+      |SELECT conv_id, turn_idx,
+      |       cast(len(regexp_extract_all(text, '[0-9]+')) AS bigint) AS n_matches,
+      |       regexp_replace(text, '[0-9]+', '<N>', 'g') AS red_text
+      |FROM t""".stripMargin
+
   /** Multi-root [[bcSql]]: the forward recursion carries (root, key,
    * lvl, σ) with all 4 searches advancing in lockstep by GLOBAL level
    * (exactly the engine's batched schedule); the backward sweep steps
@@ -2021,6 +2151,10 @@ object SparkEntry {
         |SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, count(*) AS shared
         |FROM m a JOIN m b ON a.tool = b.tool AND a.conv_id < b.conv_id
         |GROUP BY 1, 2""".stripMargin),
+    "q_butterflies" -> butterfliesSql,
+    "q_widest" -> widestSql,
+    "q_msf" -> msfSql,
+    "q_redact" -> redactSql,
     "q_bc_multi" -> bcMultiSql,
     "q_bc_approx" -> bcApproxSql,
     "q_triangles" -> (prefix +

@@ -100,6 +100,25 @@ object EdgeBuilder {
   }
 
   /**
+   * [[keyEdges]] with hashed integer CAPACITIES in [1, 97] instead of
+   * the 1.0/2.0 parity weights — the input for bottleneck-path and
+   * spanning-forest algorithms, which are degenerate on a two-valued
+   * weight set. w = 1 + (40-bit md5 of the canonical undirected pair)
+   * mod 97: deterministic, direction-independent, and replayable in
+   * the DuckDB oracle via the same md5 (no RNG, no float). The (w,
+   * least_key, greatest_key) TOTAL order these weights induce makes
+   * the minimum spanning forest unique, so MSF output is
+   * hash-comparable across engines.
+   */
+  def keyEdgesCapacity(transcripts: DataFrame): DataFrame =
+    keyEdges(transcripts).select(
+      col("src_key"), col("dst_key"), col("kind"),
+      (expr(
+        "cast(conv(substring(md5(concat('cap|', least(src_key, dst_key), '|', " +
+          "greatest(src_key, dst_key))), 1, 10), 16, 10) as bigint)") % 97 + 1)
+        .cast("double").as("weight"))
+
+  /**
    * Symmetric TEMPORAL edge table `(src_key, dst_key, t)` — each
    * undirected edge carries the epoch-microsecond instant it came
    * into existence: an adjacency edge exists once its LATER turn
