@@ -61,6 +61,9 @@ object PipelineEntry {
         col("word_tokens").cast("long").as("word_tokens"),
         col("distinct_tokens").cast("long").as("distinct_tokens"))),
     "q_fingerprint" -> ((s, dir) => TextStats.fingerprint(Dedup.docs(s, dir))),
+    // positional winnowing (MOSS): guaranteed-window fingerprints —
+    // any shared ≥6-token span between docs shares a selected hash
+    "q_winnow" -> ((s, dir) => TextStats.winnow(Dedup.docs(s, dir))),
     // Gopher-style repetition gates: per-doc duplicate/top n-gram
     // counts, computed entirely inside the row (no shuffle)
     "q_repetition" -> ((s, dir) => TextStats.repetition(Dedup.docs(s, dir))),
@@ -554,6 +557,38 @@ object PipelineEntry {
       |)
       |SELECT doc_id, string_agg(h, ',' ORDER BY h) AS fingerprint
       |FROM r WHERE rn <= 3 GROUP BY doc_id""".stripMargin
+
+  /** Positional winnowing replay: same packed hp = h·2²⁰+(2²⁰−1−pos)
+   * window-min trick as TextStats.winnow; generate_subscripts is
+   * 1-based, Spark's posexplode 0-based, hence `pos - 1`. */
+  private val winnowSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, pos,
+      |         ('0x' || substr(md5(concat(tok, ' ', t1, ' ', t2)), 1, 10))::BIGINT AS h
+      |  FROM (
+      |    SELECT doc_id, pos - 1 AS pos, tok,
+      |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+      |           lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+      |    FROM (
+      |      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |             generate_subscripts(string_split(text, ' '), 1) AS pos
+      |      FROM documents) x) y
+      |  WHERE t2 IS NOT NULL
+      |), c AS (
+      |  SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS hp,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+      |         count(*) OVER (PARTITION BY doc_id) AS m
+      |  FROM g
+      |), s AS (
+      |  SELECT doc_id, rn, m,
+      |         min(hp) OVER (PARTITION BY doc_id ORDER BY pos
+      |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+      |  FROM c
+      |)
+      |SELECT DISTINCT doc_id,
+      |       cast(1048575 - (sel % 1048576) AS bigint) AS pos,
+      |       cast(sel // 1048576 AS bigint) AS h
+      |FROM s WHERE rn <= greatest(m - 3, 1)""".stripMargin
 
   /** Word-n-gram repetition stats; LEFT JOIN keeps docs shorter than n
    * tokens (all-zero rows), matching the Spark side's empty-array
@@ -1149,6 +1184,7 @@ object PipelineEntry {
     "q_quality" -> qualitySql,
     "q_tokens" -> tokensSql,
     "q_fingerprint" -> fingerprintSql,
+    "q_winnow" -> winnowSql,
     "q_repetition" -> repetitionSql,
     "q_vocab" -> vocabSql,
     "q_quantiles" -> quantilesSql,

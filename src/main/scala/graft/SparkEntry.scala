@@ -562,6 +562,15 @@ object SparkEntry {
       Msf.run(g).forest
         .select(col("a_key"), col("b_key"), col("w").cast("long").as("w"))
     }),
+    // Jones–Plassmann greedy coloring by md5 priority: color(v) =
+    // mex of higher-priority neighbor colors — schedule-independent
+    // (equals sequential greedy in decreasing priority order), so the
+    // oracle's round replay must match without sharing engine detail
+    "q_coloring" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      Coloring.run(g).colors.join(g.vertices, "id")
+        .select(col("key"), col("colr"))
+    }),
     // PII-style pattern scrub over every turn: digit runs → '<N>'
     // (count + redacted text; the pattern is a parameter — see
     // pipeline.Redact for the email/phone production classes)
@@ -1872,6 +1881,60 @@ object SparkEntry {
          |FROM r WHERE typ = 'E' AND it = $cap""".stripMargin
   }
 
+  /** Jones–Plassmann replay: priorities = 60-bit md5(key) (ties by
+   * key), `hi` orients each undirected edge higher→lower. Base =
+   * vertices with no higher neighbor (color 0); each step colors the
+   * uncolored vertices whose higher neighbors are ALL colored, via
+   * the sorted-gap mex (first i where the i-th distinct used color ≠
+   * i-1, else the count). The recursive working table carries the
+   * full colored set forward each step; plateau re-emits to the cap.
+   * Round count = longest priority-decreasing path (≈ O(log n) for
+   * hash priorities) ≪ cap. */
+  private val coloringSql: String = {
+    val cap = 60
+    "WITH RECURSIVE " + prefixBody + symBody +
+      s""", pr AS MATERIALIZED (
+         |  SELECT key, ('0x' || substr(md5(key), 1, 15))::BIGINT AS p FROM v
+         |), hi AS MATERIALIZED (
+         |  SELECT e.src_key AS u, e.dst_key AS vv
+         |  FROM esw e JOIN pr a ON a.key = e.src_key JOIN pr b ON b.key = e.dst_key
+         |  WHERE (a.p > b.p) OR (a.p = b.p AND e.src_key > e.dst_key)
+         |), degh AS MATERIALIZED (
+         |  SELECT vv, count(*) AS nh FROM hi GROUP BY vv
+         |), r(it, key, colr) AS (
+         |  SELECT 0, key, cast(0 AS bigint) FROM v
+         |  WHERE key NOT IN (SELECT vv FROM hi)
+         |  UNION ALL
+         |  SELECT * FROM (
+         |    SELECT r.it + 1, r.key, r.colr FROM r WHERE r.it < $cap
+         |    UNION ALL
+         |    SELECT q.kit + 1, q.v,
+         |           coalesce(min(CASE WHEN q.colr <> q.rn - 1 THEN q.rn - 1 END),
+         |                    max(q.nc))
+         |    FROM (
+         |      SELECT w.v, w.kit, uu.colr,
+         |             row_number() OVER (PARTITION BY w.v ORDER BY uu.colr) AS rn,
+         |             count(*) OVER (PARTITION BY w.v) AS nc
+         |      FROM (
+         |        SELECT hi.vv AS v, min(rc.it) AS kit
+         |        FROM hi
+         |        JOIN r rc ON rc.key = hi.u
+         |        JOIN degh d ON d.vv = hi.vv
+         |        LEFT JOIN r self ON self.key = hi.vv
+         |        WHERE self.key IS NULL AND rc.it < $cap
+         |        GROUP BY hi.vv
+         |        HAVING count(*) = min(d.nh)
+         |      ) w
+         |      JOIN (
+         |        SELECT DISTINCT hi2.vv AS v, rc2.colr
+         |        FROM hi hi2 JOIN r rc2 ON rc2.key = hi2.u
+         |      ) uu ON uu.v = w.v
+         |    ) q GROUP BY q.v, q.kit
+         |  ) step
+         |)
+         |SELECT key, colr FROM r WHERE it = $cap""".stripMargin
+  }
+
   /** Digit-run scrub replay: RE2's `[0-9]+` ≡ Java's on this corpus
    * (plain character class — the portability contract of
    * pipeline.Redact). */
@@ -2154,6 +2217,7 @@ object SparkEntry {
     "q_butterflies" -> butterfliesSql,
     "q_widest" -> widestSql,
     "q_msf" -> msfSql,
+    "q_coloring" -> coloringSql,
     "q_redact" -> redactSql,
     "q_bc_multi" -> bcMultiSql,
     "q_bc_approx" -> bcApproxSql,

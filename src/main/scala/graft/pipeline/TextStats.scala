@@ -207,4 +207,49 @@ object TextStats {
       .groupBy(col("doc_id"))
       .agg(concat_ws(",", array_sort(collect_list(col("h")))).as("fingerprint"))
   }
+
+  /**
+   * POSITIONAL winnowing (Schleimer–Wilkerson–Aiken, the MOSS
+   * algorithm) — unlike [[fingerprint]]'s global bottom-k, winnowing
+   * guarantees a match-detection window: every run of `w` consecutive
+   * 3-gram hashes contributes its minimum, so any shared substring of
+   * ≥ w+2 tokens between two documents shares at least one selected
+   * (pos, hash) fingerprint. The plagiarism/near-dup-span detector
+   * that bottom-k sketches cannot express.
+   *
+   * Selection rule (the paper's robust variant): per window the
+   * minimum hash, ties broken by the RIGHTMOST position. Both
+   * engines compute it as one integer: hp = h·2²⁰ + (2²⁰−1−pos)
+   * (h < 2⁴⁰ from 10 md5 hex chars, pos < 2²⁰), whose window-min is
+   * exactly (min h, max pos). Docs with fewer than w grams yield
+   * their single all-gram window, so every tokenizable doc gets ≥ 1
+   * fingerprint.
+   *
+   * Scale shape: one shuffle (by doc_id) feeds BOTH the gram windows
+   * and the frame min — per-doc sorted windows, no self-join, no
+   * global sort; output is a distinct over the selected rows.
+   */
+  def winnow(docs: DataFrame, w: Int = 4): DataFrame = {
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = Dedup.tokens(docs)
+      .withColumn("t1", lead(col("tok"), 1).over(ord))
+      .withColumn("t2", lead(col("tok"), 2).over(ord))
+      .where(col("t2").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        expr("cast(conv(substring(md5(concat_ws(' ', tok, t1, t2)), 1, 10), 16, 10) as bigint)")
+          .as("h"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .select(col("doc_id"), col("pos"),
+        (col("h") * lit(1048576L) + (lit(1048575L) - col("pos"))).as("hp"))
+      .withColumn("sel", min(col("hp")).over(frame))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .where(col("rn") <= greatest(col("m") - (w - 1), lit(1)))
+      .select(col("doc_id"),
+        (lit(1048575L) - pmod(col("sel"), lit(1048576L))).as("pos"),
+        expr("sel div 1048576").as("h"))
+      .distinct()
+  }
 }

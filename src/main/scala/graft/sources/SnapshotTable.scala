@@ -85,17 +85,27 @@ object SnapshotTable {
    * @param key     cluster column ("src" or "dst")
    * @return the new snapshot id
    */
+  /** @param maxRecordsPerFile when > 0, cap rows per data file (the
+   *                            writer rolls to a new file at the cap)
+   *                            — models the small-file fragmentation
+   *                            a many-executor streaming ingest
+   *                            leaves behind, which [[compact]]
+   *                            exists to repair */
   def commit(
       edges: DataFrame,
       buckets: DataFrame,
       table: String,
-      key: String = "src"): Int = {
+      key: String = "src",
+      maxRecordsPerFile: Int = 0): Int = {
     val snap = latest(table).map(_ + 1).getOrElse(0)
     val path = snapDir(table, snap)
+    val other = if (key == "src") "dst" else "src"
     edges.join(buckets.withColumnRenamed("id", key), key)
       .repartition(col("bucket"))
-      .sortWithinPartitions(key, if (key == "src") "dst" else "src")
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      .sortWithinPartitions(key, other)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", if (maxRecordsPerFile > 0) maxRecordsPerFile else 0)
+      .partitionBy("bucket").parquet(path)
     val spark = edges.sparkSession
     val stats = spark.read.parquet(path)
       .groupBy(col("bucket"))
@@ -297,6 +307,57 @@ object SnapshotTable {
       stats.map(_._2).sum
     val json =
       s"""{"snapshot":$snap,"parent":$prev,"key":"$keyCol","num_rows":$total,"buckets":$bucketJson}"""
+    Files.writeString(Paths.get(manifestPath(table, snap)), json)
+    snap
+  }
+
+  /**
+   * Compaction (Iceberg `rewrite_data_files`): rewrite every bucket
+   * whose directory holds more than one data file into a single
+   * file, inherit the rest by manifest reference. A PURE maintenance
+   * snapshot — no logical change, so the rewritten buckets' manifest
+   * stats and blooms are INHERITED verbatim (the rows are identical;
+   * only `loc` moves), and [[changes]] between the two snapshots is
+   * empty even though [[changedBuckets]] lists every compacted
+   * bucket. At 10^12 rows this is the small-file defragmentation an
+   * append-heavy table needs; it reads and writes only the
+   * fragmented buckets.
+   *
+   * @return the new snapshot id, or the CURRENT one when no bucket
+   *         is fragmented (no empty snapshots)
+   */
+  def compact(spark: SparkSession, table: String): Int = {
+    val prev = latest(table).getOrElse(
+      throw new IllegalStateException(s"compact of empty table $table"))
+    val m = manifest(table, prev)
+    val keyCol = m.select(col("key")).first().getString(0)
+    val locs = bucketLocs(table, prev)
+    val multi = locs.filter { case (b, loc) =>
+      val fs = new java.io.File(s"$loc/bucket=$b").listFiles()
+      fs != null && fs.count(f => f.getName.endsWith(".parquet")) > 1
+    }.map(_._1).toSet
+    if (multi.isEmpty) return prev
+    val snap = prev + 1
+    val path = snapDir(table, snap)
+    readBuckets(spark, locs.filter { case (b, _) => multi.contains(b) })
+      .repartition(col("bucket"))
+      .sortWithinPartitions(keyCol, if (keyCol == "src") "dst" else "src")
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // manifest: identical stats + blooms, loc flipped for compacted buckets
+    val prevBlooms = bucketBloomMap(table, prev)
+    val prevLocMap = locs.toMap
+    val prevStats = m.select(explode(col("buckets")).as("b"))
+      .select(col("b.bucket"), col("b.rows"), col("b.min_key"), col("b.max_key"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val entries = prevStats.map { case (b, n, lo, hi) =>
+      val loc = if (multi.contains(b)) path else prevLocMap(b)
+      val bj = prevBlooms.get(b).map(ws => s""","bloom":${bloomJson(ws)}""").getOrElse("")
+      s"""{"bucket":$b,"rows":$n,"min_key":$lo,"max_key":$hi,"loc":"$loc"$bj}"""
+    }
+    val total = prevStats.map(_._2).sum
+    val json =
+      s"""{"snapshot":$snap,"parent":$prev,"key":"$keyCol","num_rows":$total,"buckets":${entries.mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get(manifestPath(table, snap)), json)
     snap
   }

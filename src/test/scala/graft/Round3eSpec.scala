@@ -158,6 +158,119 @@ class Round3eSpec extends SparkSpec {
     g.unpersist()
   }
 
+  // ---------- Jones–Plassmann coloring ----------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Sequential greedy coloring in decreasing (md5-priority, key)
+   * order with mex over higher-priority neighbors — the schedule-
+   * independent meaning of the JP result. */
+  private def bruteColoring(n: Int, pairs: Seq[(Int, Int)]): Map[Int, Long] = {
+    val adj = (0 until n).map(v => v -> pairs.collect {
+      case (a, b) if a == v => b
+      case (a, b) if b == v => a
+    }.toSet).toMap
+    def pri(v: Int): (Long, String) =
+      (java.lang.Long.parseLong(md5hex(keyOf(v)).take(15), 16), keyOf(v))
+    val order = (0 until n).sortBy(v => pri(v)).reverse // decreasing
+    val color = scala.collection.mutable.Map[Int, Long]()
+    for (v <- order) {
+      val used = adj(v).flatMap(color.get) // colored ⇔ higher priority
+      color(v) = Iterator.from(0).map(_.toLong).find(!used.contains(_)).get
+    }
+    color.toMap
+  }
+
+  test("coloring: equals sequential greedy by priority; proper on random graphs") {
+    for (seed <- 1 to 3) {
+      val n = 16
+      val pairs = (0 until n).flatMap(i =>
+        Seq((i, (i + 1) % n), (i, (i * 5 + seed) % n)).filter(p => p._1 != p._2))
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val g = graphOf(pairs, symmetric = true)
+      val got = byIndex(g, algos.Coloring.run(g).colors, "colr")
+        .map { case (v, c) => v -> c.asInstanceOf[Long] }
+      assert(got == bruteColoring(n, pairs), s"seed=$seed")
+      // proper coloring: no edge is monochromatic
+      pairs.foreach { case (a, b) => assert(got(a) != got(b), s"edge ($a,$b)") }
+      g.unpersist()
+    }
+  }
+
+  // ---------- positional winnowing ----------
+
+  /** Plain-Scala winnowing replay (same md5 40-bit gram hashes). */
+  private def bruteWinnow(text: String, w: Int = 4): Set[(Long, Long)] = {
+    val toks = text.split(" ")
+    val grams = (0 to toks.length - 3).map { i =>
+      val h = java.lang.Long.parseLong(
+        md5hex(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").take(10), 16)
+      (i.toLong, h)
+    }
+    val starts = 0 to math.max(grams.length - w, 0)
+    starts.flatMap { s =>
+      val win = grams.slice(s, s + w)
+      Some(win.minBy { case (p, h) => (h, -p) }).map { case (p, h) => (p, h) }
+    }.toSet
+  }
+
+  test("winnow: matches the plain-Scala replay, incl. short docs") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "a b c d e f g h",
+      2L -> "x y z w", // 2 grams < window: single all-gram frame
+      3L -> "p q r") // 1 gram
+    val docs = texts.toDF("doc_id", "text")
+    val got = graft.pipeline.TextStats.winnow(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).groupBy(_._1)
+      .map { case (d, xs) => d -> xs.map(_._2).toSet }
+    texts.foreach { case (d, t) =>
+      assert(got(d) == bruteWinnow(t), s"doc $d")
+    }
+  }
+
+  test("winnow: docs sharing a long span share a fingerprint hash") {
+    import spark.implicits._
+    val shared = "k1 k2 k3 k4 k5 k6 k7 k8"
+    val docs = Seq(
+      1L -> s"aa bb cc $shared dd ee",
+      2L -> s"zz $shared yy xx ww vv uu").toDF("doc_id", "text")
+    val hs = graft.pipeline.TextStats.winnow(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (d, xs) => d -> xs.map(_._2).toSet }
+    // winnowing guarantee: any shared ≥ w+k-1 = 6-token span ⇒ shared hash
+    assert((hs(1L) intersect hs(2L)).nonEmpty)
+  }
+
+  // ---------- compaction ----------
+
+  test("SnapshotTable.compact: single file per bucket, zero logical change") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val table = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val buckets = (0L until 20L).map(i => (i, (i / 5).toInt)).toDF("id", "bucket")
+    val e0 = (0L until 20L).map(i => (i, i + 100L, 1.0)).toDF("src", "dst", "weight")
+    assert(SnapshotTable.commit(e0, buckets, table, maxRecordsPerFile = 2) == 0)
+    def files(snap: Int, b: Int) =
+      new java.io.File(s"$table/snap=$snap/bucket=$b").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    assert((0 to 3).exists(files(0, _) > 1), "capped commit must fragment")
+    assert(SnapshotTable.compact(spark, table) == 1)
+    (0 to 3).foreach(b => assert(files(1, b) == 1, s"bucket $b not compacted"))
+    // identical data, manifest-visible rewrite, EMPTY row-level changelog
+    val v0 = SnapshotTable.read(spark, table, Some(0)).select("src", "dst", "weight")
+    val v1 = SnapshotTable.read(spark, table, Some(1)).select("src", "dst", "weight")
+    assert(v0.collect().toSet == v1.collect().toSet)
+    assert(SnapshotTable.changedBuckets(table, 0, 1).nonEmpty)
+    assert(SnapshotTable.changes(spark, table, 0, 1).count() == 0)
+    // idempotent: nothing fragmented → no new snapshot
+    assert(SnapshotTable.compact(spark, table) == 1)
+    // point lookups still prune through inherited blooms
+    assert(SnapshotTable.readPoint(spark, table, 117L).count() == 1)
+  }
+
   // ---------- snapshot changelog (CDC) ----------
 
   test("SnapshotTable.changes: incremental read diffs only rewritten buckets") {
