@@ -136,6 +136,12 @@ object PipelineEntry {
     // corpus-rarity scoring (integer-exact stand-in for unigram-LM
     // perplexity filtering; rare vocabulary scores high)
     "q_rarity" -> ((s, dir) => TextStats.rarity(Dedup.docs(s, dir))),
+    // conditional-trigram LM predictability (the Markov upgrade of
+    // q_rarity: corpus-trained p(w3|w1w2), integer mean probability)
+    "q_lm_score" -> ((s, dir) => TextStats.lmScore(Dedup.docs(s, dir))),
+    // DBSCAN density clustering over embeddings: cosine eps-graph,
+    // degree-gated cores, HashMin CC clusters, min-id border attach
+    "q_dbscan" -> ((s, dir) => Similarity.dbscan(Similarity.embeddings(s, dir))),
     // asymmetric containment pairs over the MinHash-LSH candidates —
     // the subset-duplicate signal Jaccard misses
     "q_containment" -> ((s, dir) => Dedup.containmentPairs(Dedup.docs(s, dir))),
@@ -1131,6 +1137,104 @@ object PipelineEntry {
       |       cast(rsum // n_tokens AS bigint) AS rarity_mean_e6
       |FROM p""".stripMargin
 
+  /** Mirrors TextStats.lmScore: corpus-trained conditional trigram
+   * p(w3|w1w2) as ⌊10⁶·C₃/C₂⌋ per gram; C₂ summed over the same gram
+   * rows so the model is a true conditional. Docs with < 3 tokens
+   * keep an all-zero row (LEFT JOIN). */
+  private val lmScoreSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w1,
+      |         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, w1,
+      |         lead(w1, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+      |         lead(w1, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+      |  FROM tok
+      |), t AS (
+      |  SELECT * FROM g WHERE w3 IS NOT NULL
+      |), c3 AS (
+      |  SELECT w1, w2, w3, count(*) AS n3 FROM t GROUP BY 1, 2, 3
+      |), c2 AS (
+      |  SELECT w1, w2, sum(n3) AS n2 FROM c3 GROUP BY 1, 2
+      |), s AS (
+      |  SELECT t.doc_id, (1000000 * c3.n3) // c2.n2 AS p6
+      |  FROM t JOIN c3 USING (w1, w2, w3) JOIN c2 USING (w1, w2)
+      |), agg AS (
+      |  SELECT doc_id, count(*) AS n_grams, sum(p6) AS lm_sum_e6 FROM s GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      |       cast(coalesce(a.n_grams, 0) AS bigint) AS n_grams,
+      |       cast(coalesce(a.lm_sum_e6, 0) AS bigint) AS lm_sum_e6,
+      |       cast(CASE WHEN a.n_grams IS NULL OR a.n_grams = 0 THEN 0
+      |                 ELSE a.lm_sum_e6 // a.n_grams END AS bigint) AS lm_mean_e6
+      |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+
+  /** Mirrors Similarity.dbscan (threshold 3300, minPts 3): quadratic
+   * cosine pairs, degree-gated cores, HashMin CC over the core-core
+   * subgraph (plateau-to-cap recursion — every core re-emits each
+   * step, so `it = CAP` is the fixpoint), min-cluster border attach.
+   * Cap 30 ≫ the core-graph diameter at this density. */
+  private def dbscanSql(cap: Int = 30): String =
+    s"""WITH RECURSIVE v AS MATERIALIZED (
+       |  SELECT vec_id, cast(unnest(embedding) AS double) AS x,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), norms AS MATERIALIZED (
+       |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1
+       |), pairs AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT d.a, d.b,
+       |           cast(round(d.d / (na.nrm * nb.nrm) * 10000) AS bigint) AS sim_e4
+       |    FROM (
+       |      SELECT a.vec_id AS a, b.vec_id AS b, sum(a.x*b.x) AS d
+       |      FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+       |      GROUP BY 1, 2) d
+       |    JOIN norms na ON na.vec_id = d.a
+       |    JOIN norms nb ON nb.vec_id = d.b) s
+       |  WHERE sim_e4 >= 3300
+       |), deg AS MATERIALIZED (
+       |  SELECT vec_id, count(*) AS n_nbrs FROM (
+       |    SELECT a AS vec_id FROM pairs UNION ALL SELECT b FROM pairs) u
+       |  GROUP BY 1
+       |), cores AS MATERIALIZED (
+       |  SELECT vec_id FROM deg WHERE n_nbrs >= 3
+       |), ce AS MATERIALIZED (
+       |  SELECT p.a AS u, p.b AS w FROM pairs p
+       |  JOIN cores ca ON ca.vec_id = p.a JOIN cores cb ON cb.vec_id = p.b
+       |  UNION ALL
+       |  SELECT p.b, p.a FROM pairs p
+       |  JOIN cores ca ON ca.vec_id = p.a JOIN cores cb ON cb.vec_id = p.b
+       |), r(it, id, lbl) AS (
+       |  SELECT 0, vec_id, vec_id FROM cores
+       |  UNION ALL
+       |  SELECT r.it + 1, r.id, least(r.lbl, coalesce(min(r2.lbl), r.lbl))
+       |  FROM r
+       |  LEFT JOIN ce ON ce.u = r.id
+       |  LEFT JOIN r r2 ON r2.id = ce.w
+       |  WHERE r.it < $cap
+       |  GROUP BY r.it, r.id, r.lbl
+       |), fin AS (
+       |  SELECT id AS vec_id, lbl AS cluster FROM r WHERE it = $cap
+       |), border AS (
+       |  SELECT vec_id, min(cluster) AS cluster FROM (
+       |    SELECT p.b AS vec_id, f.cluster FROM pairs p JOIN fin f ON f.vec_id = p.a
+       |    UNION ALL
+       |    SELECT p.a, f.cluster FROM pairs p JOIN fin f ON f.vec_id = p.b) u
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM cores)
+       |  GROUP BY 1
+       |)
+       |SELECT e.vec_id,
+       |       cast(coalesce(f.cluster, b.cluster, -1) AS bigint) AS cluster,
+       |       CASE WHEN f.vec_id IS NOT NULL THEN 'core'
+       |            WHEN b.vec_id IS NOT NULL THEN 'border'
+       |            ELSE 'noise' END AS role,
+       |       cast(coalesce(deg.n_nbrs, 0) AS bigint) AS n_nbrs
+       |FROM embeddings e
+       |LEFT JOIN fin f ON f.vec_id = e.vec_id
+       |LEFT JOIN border b ON b.vec_id = e.vec_id
+       |LEFT JOIN deg ON deg.vec_id = e.vec_id""".stripMargin
+
   /** Mirrors Dedup.containmentPairs: the minhash band candidates'
    * exact intersections, kept when either direction's containment
    * ≥ 0.5 (integer-exact threshold), exports 10⁴·i // sz. */
@@ -1266,6 +1370,8 @@ object PipelineEntry {
     "q_rollup" -> rollupSql,
     "q_dupspans" -> dupSpansSql,
     "q_rarity" -> raritySql,
+    "q_lm_score" -> lmScoreSql,
+    "q_dbscan" -> dbscanSql(),
     "q_containment" -> containmentSql,
     "q_curate" -> curateSql)
 }

@@ -379,6 +379,10 @@ object SparkEntry {
     // on the transcript table; integer-exact ⌊10⁴·lift⌋ export)
     "q_tool_lift" -> ((s, dir) =>
       pipeline.Cooccur.toolLift(Transcripts.fromEvents(s, dir))),
+    // A-priori frequent tool itemsets (1-3) with a relative support
+    // threshold; downward-closure pruning keeps the mine linear
+    "q_itemsets" -> ((s, dir) =>
+      pipeline.Cooccur.frequentItemsets(Transcripts.fromEvents(s, dir))),
     // ordered tool funnel s1→s2→s3 (top-3 tools by conv usage), each
     // step strictly after the previous — per-conv depth + completion
     "q_funnel" -> ((s, dir) =>
@@ -1118,6 +1122,36 @@ object SparkEntry {
       |JOIN marg ma ON ma.tool = pr.tool_a
       |JOIN marg mb ON mb.tool = pr.tool_b
       |CROSS JOIN nc""".stripMargin
+
+  /** Mirrors Cooccur.frequentItemsets: support counted over the
+   * distinct (conv, tool) set; threshold = max(2, ⌊nConvs/30⌋). The
+   * oracle mines WITHOUT a-priori pruning — downward closure makes
+   * the pruned engine plan exact, so results must coincide. */
+  private val itemsetsSql: String = prefix +
+    """, ct AS MATERIALIZED (
+      |  SELECT DISTINCT conv_id, tool FROM t WHERE tool IS NOT NULL
+      |), ms AS (
+      |  SELECT greatest(2, count(DISTINCT conv_id) // 30) AS m FROM t
+      |), f1 AS (
+      |  SELECT tool, count(*) AS support FROM ct GROUP BY 1
+      |  HAVING count(*) >= (SELECT m FROM ms)
+      |), f2 AS (
+      |  SELECT a.tool AS ta, b.tool AS tb, count(*) AS support
+      |  FROM ct a JOIN ct b ON a.conv_id = b.conv_id AND a.tool < b.tool
+      |  GROUP BY 1, 2 HAVING count(*) >= (SELECT m FROM ms)
+      |), f3 AS (
+      |  SELECT a.tool AS ta, b.tool AS tb, c.tool AS tc, count(*) AS support
+      |  FROM ct a
+      |  JOIN ct b ON a.conv_id = b.conv_id AND a.tool < b.tool
+      |  JOIN ct c ON b.conv_id = c.conv_id AND b.tool < c.tool
+      |  GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT m FROM ms)
+      |)
+      |SELECT tool AS itemset, cast(1 AS bigint) AS sz,
+      |       cast(support AS bigint) AS support FROM f1
+      |UNION ALL
+      |SELECT concat(ta, ',', tb), 2, support FROM f2
+      |UNION ALL
+      |SELECT concat(ta, ',', tb, ',', tc), 3, support FROM f3""".stripMargin
 
   /** Luby MIS replay: one recursion step = one round; a row is
    * (key, state, round) with state 'a'ctive or 'm'ember. Winners =
@@ -2036,6 +2070,7 @@ object SparkEntry {
     "q_edge_jaccard" -> edgeJaccardSql,
     "q_cc_sizes" -> ccSizesSql,
     "q_tool_lift" -> toolLiftSql,
+    "q_itemsets" -> itemsetsSql,
     "q_diameter" -> diameterSql,
     "q_mis" -> misSql,
     "q_sssp" -> ssspSql,

@@ -97,4 +97,68 @@ object Cooccur {
     convTools.unpersist(blocking = false)
     out
   }
+
+  /**
+   * A-priori frequent tool itemsets (sizes 1–3) over conversations —
+   * the market-basket miner behind "which tool BUNDLES co-occur":
+   * singletons, pairs, and triples of tools used within one
+   * conversation with support ≥ max(2, ⌊nConvs / supportDivisor⌋)
+   * (a RELATIVE threshold, so the same query is meaningful at every
+   * scale factor).
+   *
+   * A-priori pruning, Spark-shaped: level-k candidates are generated
+   * only from conversations restricted to FREQUENT singletons
+   * (broadcast semi-join before the pair self-join), and triple
+   * counting only touches triples whose (a,b) and (b,c) sub-pairs are
+   * frequent (two more broadcast semi-joins) — the downward-closure
+   * property says no other triple can reach the threshold, so the
+   * pruned plan is EXACT, not approximate. Pair/triple fan-out per
+   * conversation is (basket choose k), constant for bounded baskets —
+   * the whole mine is linear in conversation count.
+   *
+   * @return (itemset: comma-joined sorted tools, sz, support)
+   */
+  def frequentItemsets(
+      transcripts: DataFrame,
+      supportDivisor: Long = 30): DataFrame = {
+    val ct = transcripts
+      .where(col("tool").isNotNull)
+      .select(col("conv_id"), col("tool"))
+      .distinct()
+      .cache()
+    val nConvs = transcripts.select(col("conv_id")).distinct().count()
+    val minSup = math.max(2L, nConvs / supportDivisor)
+
+    val f1 = ct.groupBy(col("tool")).agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSup)
+      .cache()
+    val tx = ct.join(broadcast(f1.select(col("tool"))), "tool")
+      .select(col("conv_id"), col("tool"))
+    val f2 = tx.as("a").join(tx.as("b"), "conv_id")
+      .where(col("a.tool") < col("b.tool"))
+      .groupBy(col("a.tool").as("ta"), col("b.tool").as("tb"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSup)
+      .cache()
+    val p = f2.select(col("ta"), col("tb"))
+    val f3 = tx.as("a").join(tx.as("b"), "conv_id")
+      .where(col("a.tool") < col("b.tool"))
+      .join(broadcast(p),
+        col("a.tool") === col("ta") && col("b.tool") === col("tb"))
+      .select(col("conv_id"), col("a.tool").as("x"), col("b.tool").as("y"))
+      .join(tx.as("c"), "conv_id")
+      .where(col("y") < col("c.tool"))
+      .join(broadcast(p.select(col("ta").as("pb"), col("tb").as("pc"))),
+        col("y") === col("pb") && col("c.tool") === col("pc"))
+      .groupBy(col("x"), col("y"), col("c.tool").as("z"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSup)
+    val out = f1.select(col("tool").as("itemset"), lit(1L).as("sz"), col("support"))
+      .unionByName(f2.select(concat_ws(",", col("ta"), col("tb")).as("itemset"),
+        lit(2L).as("sz"), col("support")))
+      .unionByName(f3.select(concat_ws(",", col("x"), col("y"), col("z")).as("itemset"),
+        lit(3L).as("sz"), col("support")))
+    ct.unpersist(blocking = false)
+    out
+  }
 }

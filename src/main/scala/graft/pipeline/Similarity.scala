@@ -420,4 +420,80 @@ object Similarity {
     fused.orderBy(col("rrf_e6").desc, col("doc_id").asc).limit(topK)
       .withColumn("rank", row_number().over(wOut).cast("long"))
   }
+
+  /**
+   * DBSCAN density clustering over the embedding column, with cosine
+   * similarity as the (inverted) metric: `u ~ v` iff
+   * sim_e4(u,v) ≥ `simThresholdE4`. Core points have ≥ `minPts`
+   * neighbors; clusters are the connected components of the
+   * core–core subgraph (run through the SAME HashMin engine as the
+   * graph queries — cluster id = min core vec_id, deterministic);
+   * border points attach to the smallest cluster id among their core
+   * neighbors (the paper's "first claimer" made order-free); the rest
+   * is noise (cluster −1). No centroids, no k — the density dual of
+   * [[semDedup]]'s centroid clustering.
+   *
+   * Exactness baseline: the neighbor graph is the full quadratic
+   * kernel (same codegen'd dot as [[cosineTopK]]), so the DuckDB
+   * oracle replays it bit-for-bit. The scale path swaps the pair
+   * generator for [[cosineDupPairs]]' LSH-bucketed candidates (recall
+   * < 1 ⇒ approximate DBSCAN — fewer cores, never wrong merges of
+   * far points); everything downstream (degree gate, CC, border
+   * attach) is unchanged and linear.
+   *
+   * @return (vec_id, cluster, role, n_nbrs) — role ∈ core|border|noise
+   */
+  def dbscan(
+      emb: DataFrame,
+      simThresholdE4: Long = 3300,
+      minPts: Int = 3,
+      numPartitions: Int = 8): DataFrame = {
+    val p = prepared(emb).persist()
+    val a = p.select(col("vec_id").as("va"), col("v"), col("norm").as("na"))
+    val b = p.select(col("vec_id").as("vb"), col("v").as("w"), col("norm").as("nb"))
+    val pairs = a.join(b, col("va") < col("vb"))
+      .where(round(dot(col("v"), col("w")) / (col("na") * col("nb")) * 10000)
+        .cast("long") >= simThresholdE4)
+      .select(col("va"), col("vb"))
+      .persist()
+    val deg = pairs.select(col("va").as("vec_id"))
+      .unionByName(pairs.select(col("vb").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_nbrs"))
+    val cores = deg.where(col("n_nbrs") >= minPts).select(col("vec_id")).persist()
+
+    val coreEdges = pairs
+      .join(cores.select(col("vec_id").as("va")), "va")
+      .join(cores.select(col("vec_id").as("vb")), "vb")
+      .select(col("va").as("src"), col("vb").as("dst"), lit(1.0).as("weight"))
+    val nV = emb.agg(max(col("vec_id"))).first().getLong(0) + 1
+    val g = graft.LinkGraph.fromIdEdges(coreEdges, nV, symmetric = true, numPartitions)
+    // identity id space: HashMin's label IS min core id in the cluster;
+    // isolated cores (no core neighbor) label themselves — still clusters
+    val coreClu = graft.algos.ConnectedComponents.run(g).labels
+      .join(cores.select(col("vec_id")), col("id") === col("vec_id"))
+      .select(col("vec_id"), col("lbl").as("cluster"))
+
+    val adjCore = pairs
+      .join(coreClu.select(col("vec_id").as("va"), col("cluster")), "va")
+      .select(col("vb").as("vec_id"), col("cluster"))
+      .unionByName(pairs
+        .join(coreClu.select(col("vec_id").as("vb"), col("cluster")), "vb")
+        .select(col("va").as("vec_id"), col("cluster")))
+    val border = adjCore
+      .join(cores, Seq("vec_id"), "left_anti")
+      .groupBy(col("vec_id")).agg(min(col("cluster")).as("cluster"))
+
+    val out = emb.select(col("vec_id"))
+      .join(deg, Seq("vec_id"), "left")
+      .join(coreClu.select(col("vec_id"), col("cluster").as("cc")), Seq("vec_id"), "left")
+      .join(border.select(col("vec_id"), col("cluster").as("bc")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cc"), col("bc"), lit(-1L)).cast("long").as("cluster"),
+        when(col("cc").isNotNull, "core")
+          .when(col("bc").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"))
+    p.unpersist(blocking = false)
+    out
+  }
 }

@@ -229,6 +229,55 @@ object TextStats {
    * and the frame min — per-doc sorted windows, no self-join, no
    * global sort; output is a distinct over the selected rows.
    */
+  /**
+   * Conditional-trigram language-model predictability score — the
+   * Markov upgrade of [[rarity]]'s unigram stand-in for perplexity
+   * filtering (CCNet-style): train a word-trigram model ON THE CORPUS
+   * ITSELF (one aggregation), then score every document by its mean
+   * conditional probability p(w₃ | w₁w₂) = C(w₁w₂w₃) / C(w₁w₂·).
+   * Gibberish and shuffled text score low (unseen continuations);
+   * boilerplate scores suspiciously high — both ends are the filter
+   * targets.
+   *
+   * Integer-exact across engines: each gram contributes
+   * ⌊10⁶·C₃/C₂⌋ (C₂ = Σ_w₃ C₃ over the SAME gram rows, so the model
+   * is a true conditional distribution and the max per-gram score is
+   * 10⁶). No logs — `ln` is not correctly rounded and differs across
+   * libm builds; the mean-probability score is filter-equivalent and
+   * bit-stable.
+   *
+   * Scale shape: three linear shuffles — gram counts (groupBy gram),
+   * prefix counts (second groupBy, map-side combinable), score join
+   * back on the gram key (the trigram vocabulary is NOT broadcastable
+   * at web scale — this stays a shuffle join by design), then one
+   * groupBy(doc_id). Docs with < 3 tokens keep an all-zero row.
+   *
+   * @return (doc_id, n_grams, lm_sum_e6, lm_mean_e6)
+   */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = docs
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(ord))
+      .withColumn("w3", lead(col("w1"), 2).over(ord))
+      .where(col("w3").isNotNull)
+    val c3 = grams.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n3"))
+    val c2 = c3.groupBy(col("w1"), col("w2")).agg(sum(col("n3")).as("n2"))
+    val scored = grams
+      .join(c3, Seq("w1", "w2", "w3"))
+      .join(c2, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(expr("(1000000L * n3) div n2")).as("lm_sum_e6"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("lm_sum_e6"), lit(0L)).as("lm_sum_e6"),
+        expr("CASE WHEN n_grams IS NULL OR n_grams = 0 THEN 0L" +
+          " ELSE lm_sum_e6 div n_grams END").as("lm_mean_e6"))
+  }
+
   def winnow(docs: DataFrame, w: Int = 4): DataFrame = {
     val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val grams = Dedup.tokens(docs)

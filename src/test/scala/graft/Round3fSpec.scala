@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Cooccur, Similarity, TextStats}
+
+/** Round-3f operators: conditional-trigram LM scoring, a-priori
+ * frequent itemsets, DBSCAN over embeddings. */
+class Round3fSpec extends SparkSpec {
+
+  // ---------- conditional-trigram LM score ----------
+
+  /** Plain-Scala replay: corpus trigram counts → per-doc mean of
+   * ⌊10⁶·C₃/C₂⌋. */
+  private def bruteLm(texts: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+    val grams = texts.flatMap { case (_, t) =>
+      val w = t.toLowerCase.split(" ")
+      (0 to w.length - 3).map(i => (w(i), w(i + 1), w(i + 2)))
+    }
+    val c3 = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c2 = grams.groupBy(g => (g._1, g._2)).view.mapValues(_.size.toLong).toMap
+    texts.map { case (d, t) =>
+      val w = t.toLowerCase.split(" ")
+      val ps = (0 to w.length - 3).map { i =>
+        val g = (w(i), w(i + 1), w(i + 2))
+        1000000L * c3(g) / c2((g._1, g._2))
+      }
+      d -> (ps.size.toLong, ps.sum, if (ps.isEmpty) 0L else ps.sum / ps.size)
+    }.toMap
+  }
+
+  test("lmScore: matches the plain replay; repeated text maxes out; short docs zero") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "m n o m n o m n o", // disjoint vocab: every prefix has ONE continuation
+      2L -> "a b c x y z a b d", // 'a b' splits c/d
+      3L -> "q r", // < 3 tokens → zero row
+      4L -> "x y z q q q")
+    val docs = texts.toDF("doc_id", "text")
+    val got = TextStats.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == bruteLm(texts))
+    assert(got(1L)._3 == 1000000L) // pure repetition ⇒ mean prob 1
+    assert(got(3L) == ((0L, 0L, 0L)))
+  }
+
+  // ---------- a-priori frequent itemsets ----------
+
+  test("frequentItemsets: supports are exact and pruning loses nothing") {
+    import spark.implicits._
+    // baskets: 4 convs with {A,B,C}, 3 with {A,B}, 1 with {D}
+    val rows =
+      (1 to 4).flatMap(i => Seq("A", "B", "C").map(t => (s"c$i", t))) ++
+        (5 to 7).flatMap(i => Seq("A", "B").map(t => (s"c$i", t))) ++
+        Seq(("c8", "D")) ++
+        Seq(("c1", "A")) // duplicate (conv, tool) must not inflate support
+    val t = rows.toDF("conv_id", "tool")
+      .select(col("conv_id"), col("tool"), lit("x").as("text"))
+    // supportDivisor 2 → minSup = max(2, 8/2) = 4
+    val got = Cooccur.frequentItemsets(t, supportDivisor = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set(
+      ("A", 1L, 7L), ("B", 1L, 7L), ("C", 1L, 4L),
+      ("A,B", 2L, 7L), ("A,C", 2L, 4L), ("B,C", 2L, 4L),
+      ("A,B,C", 3L, 4L))
+    assert(got == want)
+  }
+
+  // ---------- DBSCAN ----------
+
+  /** Two angular fans of 5 (cores at minPts 4, threshold cos 0.98 —
+   * neighbors iff within 10°), one trailing border point within 10°
+   * of only THREE cluster-0 cores (deg 3 < minPts), one orthogonal
+   * noise point. */
+  test("dbscan: cores, border attach, noise on a hand-built constellation") {
+    import spark.implicits._
+    def ray(deg: Double, plane: Int) = {
+      val r = math.toRadians(deg)
+      if (plane == 0) Array(math.cos(r).toFloat, math.sin(r).toFloat, 0f)
+      else Array(0f, math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val emb = (
+      (0L to 4L).map(i => (i, ray(2.0 * i, 0))) ++ // fan A: 0°..8° in xy
+        (5L to 9L).map(i => (i, ray(90 + 2.0 * (i - 5), 0))) ++ // fan B: 90°..98°
+        Seq((10L, ray(14.0, 0))) ++ // border: within 10° of 4°,6°,8° only
+        Seq((11L, ray(90, 1)))) // +z noise
+      .map { case (id, a) => (id, a, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.dbscan(emb, simThresholdE4 = 9800L, minPts = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    (0L to 4L).foreach(i => assert(got(i)._1 == 0L && got(i)._2 == "core", s"vec $i: ${got(i)}"))
+    (5L to 9L).foreach(i => assert(got(i)._1 == 5L && got(i)._2 == "core", s"vec $i: ${got(i)}"))
+    assert(got(10L) == ((0L, "border", 3L)))
+    assert(got(11L) == ((-1L, "noise", 0L)))
+  }
+
+  test("dbscan: minPts above any degree yields all-noise") {
+    import spark.implicits._
+    val emb = (0L until 6L)
+      .map(i => (i, Array(1f, i.toFloat / 100), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.dbscan(emb, simThresholdE4 = 9000L, minPts = 50).collect()
+    assert(got.forall(r => r.getString(2) == "noise" && r.getLong(1) == -1L))
+  }
+}
