@@ -575,6 +575,12 @@ object SparkEntry {
       Coloring.run(g).colors.join(g.vertices, "id")
         .select(col("key"), col("colr"))
     }),
+    // SCAN structural clustering (ε=0.6, μ=3): neighborhood-agreement
+    // communities plus the hub/outlier triage LP and modularity lack;
+    // σ rides the degree-oriented triangle machinery, clusters ride
+    // star-contraction CC (O(log n) rounds on the long thin σ-chains)
+    "q_scan" -> ((s, dir) =>
+      Scan.run(Graphs.get(s, dir, symmetric = true)).assign),
     // PII-style pattern scrub over every turn: digit runs → '<N>'
     // (count + redacted text; the pattern is a parameter — see
     // pipeline.Redact for the email/phone production classes)
@@ -1969,6 +1975,74 @@ object SparkEntry {
          |SELECT key, colr FROM r WHERE it = $cap""".stripMargin
   }
 
+  /** SCAN replay (mirrors algos.Scan at ε²·10⁴ = 3600, μ = 3):
+   * per-edge common-neighbor counts over the symmetrized key graph,
+   * integer σ test, ε-degree(+self) core gate, HashMin-on-keys over
+   * the core-core ε-subgraph (plateau-to-cap — cluster label IS the
+   * min member key, which equals the engine's min(key)-per-component
+   * naming), min-cluster member attach, ≥2-distinct-neighbor-cluster
+   * hub test. Cap 100 ≫ the longest σ-chain (fixpoint verified at 99
+   * on sf0.01). */
+  private val scanSql: String = {
+    val cap = 100
+    "WITH RECURSIVE " + prefixBody + symBody +
+      s""", degk AS MATERIALIZED (
+         |  SELECT src_key AS key, count(*) AS d FROM esw GROUP BY 1
+         |), ed AS MATERIALIZED (
+         |  SELECT src_key AS u, dst_key AS v FROM esw WHERE src_key < dst_key
+         |), cm AS MATERIALIZED (
+         |  SELECT a.src_key AS u, b.src_key AS v, count(*) AS c
+         |  FROM esw a JOIN esw b ON a.dst_key = b.dst_key AND a.src_key < b.src_key
+         |  JOIN ed ON ed.u = a.src_key AND ed.v = b.src_key
+         |  GROUP BY 1, 2
+         |), epse AS MATERIALIZED (
+         |  SELECT ed.u, ed.v
+         |  FROM ed LEFT JOIN cm ON cm.u = ed.u AND cm.v = ed.v
+         |  JOIN degk du ON du.key = ed.u JOIN degk dv ON dv.key = ed.v
+         |  WHERE 10000 * (coalesce(cm.c, 0) + 2) * (coalesce(cm.c, 0) + 2)
+         |        >= 3600 * (du.d + 1) * (dv.d + 1)
+         |), nd AS (
+         |  SELECT key, count(*) + 1 AS ne FROM (
+         |    SELECT u AS key FROM epse UNION ALL SELECT v FROM epse) x GROUP BY 1
+         |), cores AS MATERIALIZED (
+         |  SELECT key FROM nd WHERE ne >= 3
+         |), cee AS MATERIALIZED (
+         |  SELECT e1.u, e1.v FROM epse e1
+         |  JOIN cores ca ON ca.key = e1.u JOIN cores cb ON cb.key = e1.v
+         |  UNION ALL
+         |  SELECT e1.v, e1.u FROM epse e1
+         |  JOIN cores ca ON ca.key = e1.u JOIN cores cb ON cb.key = e1.v
+         |), r(it, key, lbl) AS (
+         |  SELECT 0, key, key FROM cores
+         |  UNION ALL
+         |  SELECT r.it + 1, r.key, least(r.lbl, coalesce(min(r2.lbl), r.lbl))
+         |  FROM r LEFT JOIN cee ON cee.u = r.key LEFT JOIN r r2 ON r2.key = cee.v
+         |  WHERE r.it < $cap
+         |  GROUP BY r.it, r.key, r.lbl
+         |), fin AS MATERIALIZED (
+         |  SELECT key, lbl AS cluster FROM r WHERE it = $cap
+         |), members AS MATERIALIZED (
+         |  SELECT key, min(cluster) AS cluster FROM (
+         |    SELECT e1.v AS key, f.cluster FROM epse e1 JOIN fin f ON f.key = e1.u
+         |    UNION ALL
+         |    SELECT e1.u, f.cluster FROM epse e1 JOIN fin f ON f.key = e1.v) x
+         |  WHERE key NOT IN (SELECT key FROM cores)
+         |  GROUP BY 1
+         |), clustered AS MATERIALIZED (
+         |  SELECT key, cluster, 'core' AS role FROM fin
+         |  UNION ALL
+         |  SELECT key, cluster, 'member' AS role FROM members
+         |), nbrc AS (
+         |  SELECT esw.src_key AS key, count(DISTINCT c.cluster) AS nc
+         |  FROM esw JOIN clustered c ON c.key = esw.dst_key
+         |  GROUP BY 1
+         |)
+         |SELECT v.key, coalesce(c.cluster, '-') AS cluster,
+         |       coalesce(c.role, CASE WHEN nbrc.nc >= 2 THEN 'hub' ELSE 'outlier' END) AS role
+         |FROM v LEFT JOIN clustered c ON c.key = v.key
+         |LEFT JOIN nbrc ON nbrc.key = v.key""".stripMargin
+  }
+
   /** Digit-run scrub replay: RE2's `[0-9]+` ≡ Java's on this corpus
    * (plain character class — the portability contract of
    * pipeline.Redact). */
@@ -2253,6 +2327,7 @@ object SparkEntry {
     "q_widest" -> widestSql,
     "q_msf" -> msfSql,
     "q_coloring" -> coloringSql,
+    "q_scan" -> scanSql,
     "q_redact" -> redactSql,
     "q_bc_multi" -> bcMultiSql,
     "q_bc_approx" -> bcApproxSql,

@@ -94,6 +94,72 @@ class Round3fSpec extends SparkSpec {
     assert(got(11L) == ((-1L, "noise", 0L)))
   }
 
+  // ---------- SCAN structural clustering ----------
+
+  /** Literal SCAN per the KDD'07 definitions (union-find, closed
+   * neighborhoods) — an independent replay of algos.Scan. */
+  private def bruteScan(
+      n: Int, pairs: Seq[(Int, Int)], eps2e4: Long, mu: Int): Map[String, (String, String)] = {
+    val adj = (0 until n).map(v => v -> pairs.collect {
+      case (a, b) if a == v => b
+      case (a, b) if b == v => a
+    }.toSet).toMap
+    def ok(u: Int, v: Int): Boolean = {
+      val c = (adj(u) intersect adj(v)).size.toLong
+      10000L * (c + 2) * (c + 2) >= eps2e4 * (adj(u).size + 1) * (adj(v).size + 1)
+    }
+    val epsN = (0 until n).map(v => v -> adj(v).filter(ok(v, _))).toMap
+    val core = (0 until n).filter(v => epsN(v).size + 1 >= mu).toSet
+    val parent = scala.collection.mutable.Map((0 until n).map(v => v -> v): _*)
+    def find(v: Int): Int = if (parent(v) == v) v else { parent(v) = find(parent(v)); parent(v) }
+    for (u <- core; v <- epsN(u) if core(v)) parent(find(u)) = find(v)
+    val clusterOf = core.map(v => v -> core.filter(w => find(w) == find(v))
+      .map(keyOf).min).toMap
+    val memberOf = (0 until n).filterNot(core).flatMap { v =>
+      val cs = epsN(v).filter(core).map(clusterOf)
+      if (cs.nonEmpty) Some(v -> cs.min) else None
+    }.toMap
+    (0 until n).map { v =>
+      if (core(v)) keyOf(v) -> ((clusterOf(v), "core"))
+      else if (memberOf.contains(v)) keyOf(v) -> ((memberOf(v), "member"))
+      else {
+        val nbrClusters = adj(v).flatMap(w =>
+          clusterOf.get(w).orElse(memberOf.get(w)))
+        keyOf(v) -> (("-", if (nbrClusters.size >= 2) "hub" else "outlier"))
+      }
+    }.toMap
+  }
+
+  test("scan: two cliques, a bridging hub, a pendant outlier; equals the literal replay") {
+    val cliqueA = for (i <- 0 to 3; j <- i + 1 to 3) yield (i, j)
+    val cliqueB = for (i <- 4 to 7; j <- i + 1 to 7) yield (i, j)
+    val pairs = cliqueA ++ cliqueB ++ Seq((8, 0), (8, 4), (9, 3))
+    val g = graphOf(pairs, symmetric = true)
+    val got = algos.Scan.run(g, eps2E4 = 6400, mu = 3).assign.collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got == bruteScan(10, pairs, 6400, 3))
+    assert(got(keyOf(8)) == (("-", "hub"))) // touches both cliques
+    assert(got(keyOf(9)) == (("-", "outlier"))) // pendant off clique A
+    assert(got(keyOf(0)) == ((keyOf(0), "core")))
+    assert(got(keyOf(5))._1 == keyOf(4)) // cluster named by min core key
+    g.unpersist()
+  }
+
+  test("scan: equals the literal replay on random graphs") {
+    for (seed <- 1 to 3) {
+      val n = 14
+      val pairs = (0 until n).flatMap(i =>
+        Seq((i, (i + 1) % n), (i, (i * 3 + seed) % n), (i, (i * 7 + 2 * seed) % n))
+          .filter(p => p._1 != p._2))
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val g = graphOf(pairs, symmetric = true)
+      val got = algos.Scan.run(g, eps2E4 = 4900, mu = 3).assign.collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+      assert(got == bruteScan(n, pairs, 4900, 3), s"seed=$seed")
+      g.unpersist()
+    }
+  }
+
   test("dbscan: minPts above any degree yields all-noise") {
     import spark.implicits._
     val emb = (0L until 6L)
