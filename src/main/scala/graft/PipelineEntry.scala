@@ -142,6 +142,9 @@ object PipelineEntry {
     // DBSCAN density clustering over embeddings: cosine eps-graph,
     // degree-gated cores, HashMin CC clusters, min-id border attach
     "q_dbscan" -> ((s, dir) => Similarity.dbscan(Similarity.embeddings(s, dir))),
+    // cross-source shingle-overlap matrix (contamination/provenance
+    // report; shingle-keyed join, fan-out bounded by #sources²)
+    "q_source_overlap" -> ((s, dir) => Dedup.sourceOverlap(Dedup.docs(s, dir))),
     // asymmetric containment pairs over the MinHash-LSH candidates —
     // the subset-duplicate signal Jaccard misses
     "q_containment" -> ((s, dir) => Dedup.containmentPairs(Dedup.docs(s, dir))),
@@ -1235,6 +1238,34 @@ object PipelineEntry {
        |LEFT JOIN border b ON b.vec_id = e.vec_id
        |LEFT JOIN deg ON deg.vec_id = e.vec_id""".stripMargin
 
+  /** Mirrors Dedup.sourceOverlap: distinct (source, 3-gram shingle),
+   * pairwise shared counts, containment vs the smaller side. */
+  private val sourceOverlapSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, concat_ws(' ', tok, t1, t2) AS shingle FROM (
+      |    SELECT doc_id, tok,
+      |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+      |           lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+      |    FROM tok) x WHERE t2 IS NOT NULL
+      |), sg AS MATERIALIZED (
+      |  SELECT DISTINCT d.source, g.shingle FROM g JOIN documents d USING (doc_id)
+      |), tot AS (
+      |  SELECT source, count(*) AS n FROM sg GROUP BY 1
+      |), sh AS (
+      |  SELECT a.source AS sa, b.source AS sb, count(*) AS n_shared
+      |  FROM sg a JOIN sg b ON a.shingle = b.shingle AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT sa AS source_a, sb AS source_b,
+      |       cast(n_shared AS bigint) AS n_shared,
+      |       cast(ta.n AS bigint) AS n_a, cast(tb.n AS bigint) AS n_b,
+      |       cast((10000 * n_shared) // least(ta.n, tb.n) AS bigint) AS containment_e4
+      |FROM sh JOIN tot ta ON ta.source = sa JOIN tot tb ON tb.source = sb""".stripMargin
+
   /** Mirrors Dedup.containmentPairs: the minhash band candidates'
    * exact intersections, kept when either direction's containment
    * ≥ 0.5 (integer-exact threshold), exports 10⁴·i // sz. */
@@ -1372,6 +1403,7 @@ object PipelineEntry {
     "q_rarity" -> raritySql,
     "q_lm_score" -> lmScoreSql,
     "q_dbscan" -> dbscanSql(),
+    "q_source_overlap" -> sourceOverlapSql,
     "q_containment" -> containmentSql,
     "q_curate" -> curateSql)
 }

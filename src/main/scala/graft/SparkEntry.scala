@@ -581,6 +581,19 @@ object SparkEntry {
     // star-contraction CC (O(log n) rounds on the long thin σ-chains)
     "q_scan" -> ((s, dir) =>
       Scan.run(Graphs.get(s, dir, symmetric = true)).assign),
+    // Eulerian circuit/trail census per component (Hierholzer degree
+    // parity over the CCStar labels — one aggregate, no iteration)
+    "q_euler" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      DegreeStats.eulerCensus(g, CCStar.run(g).labels)
+    }),
+    // bipartiteness / odd-cycle census: parity BFS from every
+    // component's min-key vertex at once (DataFrame seeds — no
+    // driver root list), conflict edges certify odd cycles
+    "q_bipartite" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      OddCycle.run(g, CCStar.run(g).labels).census
+    }),
     // PII-style pattern scrub over every turn: digit runs → '<N>'
     // (count + redacted text; the pattern is a parameter — see
     // pipeline.Redact for the email/phone production classes)
@@ -2043,6 +2056,51 @@ object SparkEntry {
          |LEFT JOIN nbrc ON nbrc.key = v.key""".stripMargin
   }
 
+  /** Mirrors DegreeStats.eulerCensus: Hierholzer degree-parity per
+   * component; component naming + membership from the conversation-
+   * level CC trick (ccBody). */
+  private val eulerSql: String = "WITH RECURSIVE " + prefixBody + symBody + ccBody +
+    """, degk AS (
+      |  SELECT src_key AS key, count(*) AS d FROM esw GROUP BY 1
+      |)
+      |SELECT rep.component,
+      |       cast(count(*) AS bigint) AS n_vertices,
+      |       cast(sum(d) // 2 AS bigint) AS n_edges,
+      |       cast(sum(d % 2) AS bigint) AS n_odd,
+      |       CASE WHEN sum(d % 2) = 0 THEN 'circuit'
+      |            WHEN sum(d % 2) = 2 THEN 'trail' ELSE 'none' END AS euler
+      |FROM vc JOIN degk USING (key) JOIN rep USING (lc)
+      |GROUP BY 1""".stripMargin
+
+  /** Mirrors algos.OddCycle: min-dist parity levels seeded at each
+   * component's min key (bfsSql's label-correcting capped recursion,
+   * seeds = rep), conflict edges counted once per undirected edge.
+   * Components partition the graph, so each key is reached only by
+   * its own component's seed. */
+  private val bipartiteSql: String = "WITH RECURSIVE " + prefixBody + symBody + ccBody +
+    """, pb(key, lvl) AS (
+      |  SELECT component, 0 FROM rep
+      |  UNION ALL
+      |  SELECT esw.dst_key, min(pb.lvl) + 1 FROM pb JOIN esw ON esw.src_key = pb.key
+      |  WHERE pb.lvl < 60 GROUP BY esw.dst_key
+      |), lev AS MATERIALIZED (
+      |  SELECT key, min(lvl) AS l FROM pb GROUP BY key
+      |), confl AS (
+      |  SELECT vc.lc, count(*) AS n_conflicts
+      |  FROM esw
+      |  JOIN lev a ON a.key = esw.src_key
+      |  JOIN lev b ON b.key = esw.dst_key
+      |  JOIN vc ON vc.key = esw.src_key
+      |  WHERE esw.src_key < esw.dst_key AND (a.l + b.l) % 2 = 0
+      |  GROUP BY 1
+      |), nv AS (
+      |  SELECT lc, count(*) AS n_vertices FROM vc GROUP BY 1
+      |)
+      |SELECT rep.component, cast(nv.n_vertices AS bigint) AS n_vertices,
+      |       cast(coalesce(confl.n_conflicts, 0) AS bigint) AS n_conflicts,
+      |       cast(CASE WHEN coalesce(confl.n_conflicts, 0) = 0 THEN 1 ELSE 0 END AS bigint) AS bipartite
+      |FROM rep JOIN nv USING (lc) LEFT JOIN confl USING (lc)""".stripMargin
+
   /** Digit-run scrub replay: RE2's `[0-9]+` ≡ Java's on this corpus
    * (plain character class — the portability contract of
    * pipeline.Redact). */
@@ -2328,6 +2386,8 @@ object SparkEntry {
     "q_msf" -> msfSql,
     "q_coloring" -> coloringSql,
     "q_scan" -> scanSql,
+    "q_euler" -> eulerSql,
+    "q_bipartite" -> bipartiteSql,
     "q_redact" -> redactSql,
     "q_bc_multi" -> bcMultiSql,
     "q_bc_approx" -> bcApproxSql,

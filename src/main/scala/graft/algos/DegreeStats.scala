@@ -92,4 +92,36 @@ object DegreeStats {
         count(lit(1)).as("n_components"),
         min(col("sz")).as("min_size"),
         max(col("sz")).as("max_size"))
+
+  /**
+   * Eulerian classification per connected component — the
+   * route-inspection census (Hierholzer's condition): a component
+   * carries an Eulerian CIRCUIT when every degree is even, an
+   * Eulerian TRAIL when exactly two vertices have odd degree,
+   * otherwise none. Pure degree parity over the existing CC labels —
+   * one grouped aggregate, no iteration, no new shuffle beyond the
+   * labels join.
+   *
+   * @param labels (id, lbl) from any CC run on the same graph
+   * @return (component, n_vertices, n_edges, n_odd, euler) — one row
+   *         per component, named by its lexicographically smallest
+   *         member key (the repo's component-naming convention)
+   */
+  def eulerCensus(graph: LinkGraph, labels: DataFrame): DataFrame = {
+    require(graph.symmetric, "Euler census expects the symmetrized graph")
+    val deg = graph.degrees.select(col("id"), col("out_degree").as("d"))
+    val keyed = labels.join(graph.vertices, "id")
+      .select(col("id"), col("key"), col("lbl"))
+    val reps = keyed.groupBy(col("lbl")).agg(min(col("key")).as("component"))
+    keyed.join(deg, "id").join(reps, "lbl")
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("n_vertices"),
+        expr("sum(d) div 2").as("n_edges"), // symmetric ⇒ Σd even, exact
+        sum(col("d") % 2).as("n_odd"))
+      .select(col("component"), col("n_vertices"), col("n_edges"), col("n_odd"),
+        when(col("n_odd") === 0, "circuit")
+          .when(col("n_odd") === 2, "trail")
+          .otherwise("none").as("euler"))
+  }
 }

@@ -447,4 +447,42 @@ object Dedup {
     sh.unpersist()
     out
   }
+
+  /**
+   * Cross-source shingle-overlap matrix — the corpus contamination /
+   * provenance report: for every source pair, how many distinct
+   * word n-grams they share, plus the containment ratio against the
+   * smaller side (10⁴-scaled integer). High containment between a
+   * "web" and a "curated" source means the curated set leaked into
+   * the crawl (or vice versa) and dedup/decontam must run ACROSS the
+   * pair, not within each.
+   *
+   * Scale shape: one distinct over (source, shingle), then a
+   * shingle-keyed self-join whose fan-out per shingle is bounded by
+   * (#sources choose 2) — sources are a small dimension, so the join
+   * is linear in distinct shingles. Totals broadcast back. At web
+   * scale, shrink the shuffle payload by hashing the shingle string
+   * to 64 bits first (collisions only perturb counts ~2⁻⁶⁴).
+   *
+   * @return (source_a, source_b, n_shared, n_a, n_b, containment_e4)
+   */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sg = shingles(docs, n)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("shingle")).distinct()
+      .persist()
+    val totals = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = sg.as("a").join(sg.as("b"), "shingle")
+      .where(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val out = shared
+      .join(broadcast(totals.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(totals.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        expr("(10000 * n_shared) div least(n_a, n_b)").as("containment_e4"))
+    sg.unpersist(blocking = false)
+    out
+  }
 }

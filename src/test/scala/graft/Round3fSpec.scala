@@ -160,6 +160,61 @@ class Round3fSpec extends SparkSpec {
     }
   }
 
+  // ---------- Euler census + bipartiteness ----------
+
+  test("eulerCensus: circuit on a cycle, trail on a path, none on a star+chord") {
+    // comp A: 4-cycle (all even → circuit); comp B: path of 3 (2 odd → trail);
+    // comp C: star K1,3 (3 odd leaves + center odd → none)
+    val pairs = Seq((0, 1), (1, 2), (2, 3), (3, 0),
+      (4, 5), (5, 6),
+      (7, 8), (7, 9), (7, 10))
+    val g = graphOf(pairs, symmetric = true)
+    val labels = algos.CCStar.run(g).labels
+    val got = algos.DegreeStats.eulerCensus(g, labels).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got(keyOf(0)) == ((4L, 4L, 0L, "circuit")))
+    assert(got(keyOf(4)) == ((3L, 2L, 2L, "trail")))
+    assert(got(keyOf(7)) == ((4L, 3L, 4L, "none")))
+    g.unpersist()
+  }
+
+  test("oddCycle: even cycle bipartite, odd cycle one conflict, seed pinned at min key") {
+    // comp A: 6-cycle (bipartite); comp B: 5-cycle (1 conflict edge);
+    // comp C: triangle + pendant (1 conflict)
+    val pairs = (0 to 5).map(i => (i, (i + 1) % 6 match { case 0 => 0; case j => j })) // 0-1..5-0
+      .filter(p => p._1 != p._2) ++ Seq((5, 0)) ++
+      (6 to 9).map(i => (i, if (i == 10) 6 else i + 1)).filter(_._2 <= 10) ++ Seq((10, 6)) ++
+      Seq((11, 12), (12, 13), (13, 11), (13, 14))
+    val g = graphOf(pairs.distinct, symmetric = true)
+    val labels = algos.CCStar.run(g).labels
+    val got = algos.OddCycle.run(g, labels).census.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(keyOf(0)) == ((6L, 0L, 1L)), s"6-cycle: ${got(keyOf(0))}")
+    assert(got(keyOf(6)) == ((5L, 1L, 0L)), s"5-cycle: ${got(keyOf(6))}")
+    // triangle: levels from v11 are 0,1,1 → the (12,13) edge conflicts
+    assert(got(keyOf(11)) == ((4L, 1L, 0L)), s"triangle+pendant: ${got(keyOf(11))}")
+    g.unpersist()
+  }
+
+  // ---------- cross-source overlap ----------
+
+  test("sourceOverlap: shared shingles and containment are exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e", "s1"), // shingles: abc bcd cde
+      (2L, "a b c x y", "s2"), // abc bcx cxy
+      (3L, "b c d q r", "s2"), // bcd cdq dqr
+      (4L, "z z z z", "s3")) // zzz (x2 distinct → 1)
+      .toDF("doc_id", "text", "source")
+    val got = pipeline.Dedup.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // s1={abc,bcd,cde}, s2={abc,bcx,cxy,bcd,cdq,dqr}, s3={zzz}
+    assert(got(("s1", "s2")) == ((2L, 3L, 6L, 10000L * 2 / 3)))
+    assert(!got.contains(("s1", "s3")) && !got.contains(("s2", "s3")))
+  }
+
   test("dbscan: minPts above any degree yields all-noise") {
     import spark.implicits._
     val emb = (0L until 6L)
