@@ -594,6 +594,13 @@ object SparkEntry {
       val g = Graphs.get(s, dir, symmetric = true)
       OddCycle.run(g, CCStar.run(g).labels).census
     }),
+    // exact distributed bridge (cut-edge) finding: BFS forest +
+    // pointer-doubled ancestor closure + symmetric-difference
+    // coverage — bridge ⇔ tree edge covered by zero non-tree edges.
+    // Engine tree uses min-ID parents, oracle min-KEY parents: the
+    // matching output is itself evidence bridges are tree-independent
+    "q_bridges" -> ((s, dir) =>
+      Bridges.run(Graphs.get(s, dir, symmetric = true)).bridges),
     // PII-style pattern scrub over every turn: digit runs → '<N>'
     // (count + redacted text; the pattern is a parameter — see
     // pipeline.Redact for the email/phone production classes)
@@ -2101,6 +2108,54 @@ object SparkEntry {
       |       cast(CASE WHEN coalesce(confl.n_conflicts, 0) = 0 THEN 1 ELSE 0 END AS bigint) AS bipartite
       |FROM rep JOIN nv USING (lc) LEFT JOIN confl USING (lc)""".stripMargin
 
+  /** Mirrors algos.Bridges via a DIFFERENT spanning tree (min-KEY
+   * parents vs the engine's min-ID parents) — agreement doubles as
+   * evidence the bridge set is tree-independent. Levels from each
+   * component's min key (cap 60), parent = min neighbor key one
+   * level up, linear ancestor recursion (stops at roots), coverage
+   * = |Anc(u) ⊕ Anc(v)| per tree edge over non-tree edges. */
+  private val bridgesSql: String = "WITH RECURSIVE " + prefixBody + symBody + ccBody +
+    """, pb(key, lvl) AS (
+      |  SELECT component, 0 FROM rep
+      |  UNION ALL
+      |  SELECT esw.dst_key, min(pb.lvl) + 1 FROM pb JOIN esw ON esw.src_key = pb.key
+      |  WHERE pb.lvl < 60 GROUP BY esw.dst_key
+      |), lev AS MATERIALIZED (
+      |  SELECT key, min(lvl) AS l FROM pb GROUP BY key
+      |), par AS MATERIALIZED (
+      |  SELECT lv.key AS v, min(b.key) AS p
+      |  FROM lev lv JOIN esw ON esw.src_key = lv.key
+      |  JOIN lev b ON b.key = esw.dst_key AND b.l = lv.l - 1
+      |  GROUP BY 1
+      |), anc(v, a) AS (
+      |  SELECT key, key FROM lev
+      |  UNION ALL
+      |  SELECT anc.v, par.p FROM anc JOIN par ON par.v = anc.a
+      |), tp AS MATERIALIZED (
+      |  SELECT least(v, p) AS u, greatest(v, p) AS v2 FROM par
+      |), nt AS MATERIALIZED (
+      |  SELECT e1.src_key AS u, e1.dst_key AS v
+      |  FROM esw e1 LEFT JOIN tp ON tp.u = e1.src_key AND tp.v2 = e1.dst_key
+      |  WHERE e1.src_key < e1.dst_key AND tp.u IS NULL
+      |), su AS MATERIALIZED (
+      |  SELECT nt.u, nt.v, anc.a AS c FROM nt JOIN anc ON anc.v = nt.u
+      |), tv AS MATERIALIZED (
+      |  SELECT nt.u, nt.v, anc.a AS c FROM nt JOIN anc ON anc.v = nt.v
+      |), cov AS (
+      |  SELECT c, count(*) AS n FROM (
+      |    SELECT u, v, c FROM su UNION ALL SELECT u, v, c FROM tv
+      |    ) x
+      |  GROUP BY c
+      |), covb AS (
+      |  SELECT su.c, count(*) AS nb FROM su JOIN tv USING (u, v, c) GROUP BY 1
+      |)
+      |SELECT least(vc2.key, pk.key) AS u_key, greatest(vc2.key, pk.key) AS v_key
+      |FROM par
+      |JOIN v vc2 ON vc2.key = par.v JOIN v pk ON pk.key = par.p
+      |LEFT JOIN cov ON cov.c = par.v
+      |LEFT JOIN covb ON covb.c = par.v
+      |WHERE coalesce(cov.n, 0) - 2 * coalesce(covb.nb, 0) = 0""".stripMargin
+
   /** Digit-run scrub replay: RE2's `[0-9]+` ≡ Java's on this corpus
    * (plain character class — the portability contract of
    * pipeline.Redact). */
@@ -2388,6 +2443,7 @@ object SparkEntry {
     "q_scan" -> scanSql,
     "q_euler" -> eulerSql,
     "q_bipartite" -> bipartiteSql,
+    "q_bridges" -> bridgesSql,
     "q_redact" -> redactSql,
     "q_bc_multi" -> bcMultiSql,
     "q_bc_approx" -> bcApproxSql,

@@ -197,6 +197,54 @@ class Round3fSpec extends SparkSpec {
     g.unpersist()
   }
 
+  // ---------- bridges ----------
+
+  /** Brute bridges: an edge is a bridge iff removing it increases the
+   * component count (literal definition, tiny graphs). */
+  private def bruteBridges(n: Int, pairs: Seq[(Int, Int)]): Set[(String, String)] = {
+    def comps(es: Seq[(Int, Int)]): Int = {
+      val parent = scala.collection.mutable.Map((0 until n).map(v => v -> v): _*)
+      def find(v: Int): Int = if (parent(v) == v) v else { parent(v) = find(parent(v)); parent(v) }
+      es.foreach { case (a, b) => parent(find(a)) = find(b) }
+      (0 until n).map(find).distinct.size
+    }
+    val base = comps(pairs)
+    pairs.filter(e => comps(pairs.filterNot(_ == e)) > base)
+      .map { case (a, b) =>
+        (Seq(keyOf(a), keyOf(b)).min, Seq(keyOf(a), keyOf(b)).max) }.toSet
+  }
+
+  test("bridges: cycles contribute none, chains all, lollipop stem only") {
+    // 5-cycle (no bridges) -- stem -- triangle (no bridges), plus an
+    // isolated chain (all bridges)
+    val pairs = Seq((0, 1), (1, 2), (2, 3), (3, 4), (4, 0), // cycle
+      (2, 5), (5, 6), // stem: both bridges
+      (6, 7), (7, 8), (8, 6), // triangle
+      (9, 10), (10, 11)) // chain: both bridges
+    val g = graphOf(pairs, symmetric = true)
+    val got = algos.Bridges.run(g).bridges.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == bruteBridges(12, pairs))
+    assert(got == Set((keyOf(2), keyOf(5)), (keyOf(5), keyOf(6)),
+      (keyOf(9), keyOf(10)), (keyOf(10), keyOf(11))))
+    g.unpersist()
+  }
+
+  test("bridges: equals the removal-count brute force on random graphs") {
+    for (seed <- 1 to 3) {
+      val n = 15
+      val pairs = (0 until n).flatMap(i =>
+        Seq((i, (i + 2) % n), (i, (i * 5 + seed) % n)).filter(p => p._1 != p._2))
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct ++
+        Seq((0, n), (n, n + 1)) // guarantee at least one pendant chain
+      val g = graphOf(pairs.distinct, symmetric = true)
+      val got = algos.Bridges.run(g).bridges.collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == bruteBridges(n + 2, pairs.distinct), s"seed=$seed")
+      g.unpersist()
+    }
+  }
+
   // ---------- cross-source overlap ----------
 
   test("sourceOverlap: shared shingles and containment are exact") {
