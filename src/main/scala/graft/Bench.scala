@@ -77,6 +77,10 @@ object Bench {
       Graphs.get(spark, sfDir, symmetric = false))
     val (gSym, buildSymSec) = timed("build-symmetric")(
       Graphs.get(spark, sfDir, symmetric = true))
+    // Pre-warm the shared CC labels OUTSIDE isolated{} — the memoized
+    // cut must predate every per-query snapshot or the first consumer's
+    // teardown would free blocks later consumers still reference.
+    timed("build-cc-labels")(Graphs.ccLabels(spark, sfDir))
 
     // Headline: PageRank to 1e-6 convergence, edges/sec/iteration.
     // Reference protocol (pagerank.cpp:144-147): 1 untimed warmup +

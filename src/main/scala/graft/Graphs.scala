@@ -29,6 +29,17 @@ object Graphs {
       }
     })
 
+  private val labelCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** CC labels (id, lbl) of the symmetric graph, computed once per
+   * sfDir (CCStar, O(log V) rounds) and shared by every component-
+   * census query (q_cc_sizes / q_euler / q_bipartite / q_bridges) —
+   * the labels are a graftCut (materialized, lineage-free), so
+   * sharing costs nothing and repays one CCStar run per consumer. */
+  def ccLabels(spark: SparkSession, sfDir: String): DataFrame =
+    labelCache.getOrElseUpdate(sfDir,
+      algos.CCStar.run(get(spark, sfDir, symmetric = true)).labels)
+
   private val capCache = scala.collection.concurrent.TrieMap[String, LinkGraph]()
 
   /** Symmetric graph over hashed integer CAPACITIES

@@ -373,8 +373,7 @@ object SparkEntry {
     // size census over the star-contraction labels (same min-id
     // fixpoint as HashMin, O(log|V|) rounds — see CCStar)
     "q_cc_sizes" -> ((s, dir) =>
-      DegreeStats.sizeHistogram(
-        CCStar.run(Graphs.get(s, dir, symmetric = true)).labels)),
+      DegreeStats.sizeHistogram(Graphs.ccLabels(s, dir))),
     // Tool co-occurrence lift over conversations (association mining
     // on the transcript table; integer-exact ⌊10⁴·lift⌋ export)
     "q_tool_lift" -> ((s, dir) =>
@@ -583,24 +582,27 @@ object SparkEntry {
       Scan.run(Graphs.get(s, dir, symmetric = true)).assign),
     // Eulerian circuit/trail census per component (Hierholzer degree
     // parity over the CCStar labels — one aggregate, no iteration)
-    "q_euler" -> ((s, dir) => {
-      val g = Graphs.get(s, dir, symmetric = true)
-      DegreeStats.eulerCensus(g, CCStar.run(g).labels)
-    }),
+    "q_euler" -> ((s, dir) =>
+      DegreeStats.eulerCensus(
+        Graphs.get(s, dir, symmetric = true), Graphs.ccLabels(s, dir))),
     // bipartiteness / odd-cycle census: parity BFS from every
     // component's min-key vertex at once (DataFrame seeds — no
     // driver root list), conflict edges certify odd cycles
-    "q_bipartite" -> ((s, dir) => {
-      val g = Graphs.get(s, dir, symmetric = true)
-      OddCycle.run(g, CCStar.run(g).labels).census
-    }),
+    "q_bipartite" -> ((s, dir) =>
+      OddCycle.run(
+        Graphs.get(s, dir, symmetric = true), Graphs.ccLabels(s, dir)).census),
     // exact distributed bridge (cut-edge) finding: BFS forest +
     // pointer-doubled ancestor closure + symmetric-difference
     // coverage — bridge ⇔ tree edge covered by zero non-tree edges.
     // Engine tree uses min-ID parents, oracle min-KEY parents: the
     // matching output is itself evidence bridges are tree-independent
     "q_bridges" -> ((s, dir) =>
-      Bridges.run(Graphs.get(s, dir, symmetric = true)).bridges),
+      Bridges.run(Graphs.get(s, dir, symmetric = true),
+        Some(Graphs.ccLabels(s, dir))).bridges),
+    // bond-percolation census at p=0.7 (deterministic md5 coins):
+    // the random-failure dual of q_bridges' targeted-failure view
+    "q_percolation" -> ((s, dir) =>
+      Percolation.census(Graphs.get(s, dir, symmetric = true))),
     // PII-style pattern scrub over every turn: digit runs → '<N>'
     // (count + redacted text; the pattern is a parameter — see
     // pipeline.Redact for the email/phone production classes)
@@ -2156,6 +2158,40 @@ object SparkEntry {
       |LEFT JOIN covb ON covb.c = par.v
       |WHERE coalesce(cov.n, 0) - 2 * coalesce(covb.nb, 0) = 0""".stripMargin
 
+  /** Mirrors algos.Percolation at p=0.7: same md5 coin per undirected
+   * key pair, generic HashMin plateau-to-cap CC over survivors (sizes
+   * are label-agnostic, so HashMin vs the engine's star contraction
+   * need only agree on the partition). Cap 80 ≫ sampled diameter
+   * (plateau verified at 60 on sf0.01); singletons fall out of the
+   * all-vertices base. */
+  private val percolationSql: String = {
+    val cap = 80
+    "WITH RECURSIVE " + prefixBody + symBody +
+      s""", pe AS MATERIALIZED (
+         |  SELECT src_key AS u, dst_key AS v FROM esw
+         |  WHERE src_key < dst_key
+         |    AND 10000 * ('0x' || substr(md5(concat(src_key, '|', dst_key)), 1, 10))::BIGINT
+         |        < 7000 * (1::BIGINT << 40)
+         |), pesw AS MATERIALIZED (
+         |  SELECT u, v FROM pe UNION ALL SELECT v, u FROM pe
+         |), r(it, key, lbl) AS (
+         |  SELECT 0, key, key FROM v
+         |  UNION ALL
+         |  SELECT r.it + 1, r.key, least(r.lbl, coalesce(min(r2.lbl), r.lbl))
+         |  FROM r LEFT JOIN pesw ON pesw.u = r.key LEFT JOIN r r2 ON r2.key = pesw.v
+         |  WHERE r.it < $cap GROUP BY r.it, r.key, r.lbl
+         |), fin AS (
+         |  SELECT key, lbl FROM r WHERE it = $cap
+         |), szs AS (
+         |  SELECT lbl, count(*) AS sz FROM fin GROUP BY 1
+         |)
+         |SELECT cast(length(bin(sz)) AS bigint) AS bucket,
+         |       cast(count(*) AS bigint) AS n_components,
+         |       cast(min(sz) AS bigint) AS min_size,
+         |       cast(max(sz) AS bigint) AS max_size
+         |FROM szs GROUP BY 1""".stripMargin
+  }
+
   /** Digit-run scrub replay: RE2's `[0-9]+` ≡ Java's on this corpus
    * (plain character class — the portability contract of
    * pipeline.Redact). */
@@ -2444,6 +2480,7 @@ object SparkEntry {
     "q_euler" -> eulerSql,
     "q_bipartite" -> bipartiteSql,
     "q_bridges" -> bridgesSql,
+    "q_percolation" -> percolationSql,
     "q_redact" -> redactSql,
     "q_bc_multi" -> bcMultiSql,
     "q_bc_approx" -> bcApproxSql,

@@ -45,8 +45,10 @@ object Bridges {
 
   final case class Result(bridges: DataFrame, bfsRounds: Int, doublingRounds: Int)
 
-  /** @return bridges: (u_key, v_key) with u_key < v_key. */
-  def run(graph: LinkGraph): Result = {
+  /** @return bridges: (u_key, v_key) with u_key < v_key.
+   *  @param ccLabels optional precomputed (id, lbl) CC labels —
+   *                  defaults to a fresh CCStar run */
+  def run(graph: LinkGraph, ccLabels: Option[DataFrame] = None): Result = {
     require(graph.symmetric, "bridge finding expects the symmetrized graph")
     val np = graph.numPartitions
     val spark = graph.spark
@@ -54,7 +56,7 @@ object Bridges {
     // ---- 1. BFS forest from per-component min-key vertices --------
     // (seed choice is arbitrary for correctness; min-key keeps the
     // whole run replayable in key space)
-    val labels = CCStar.run(graph).labels
+    val labels = ccLabels.getOrElse(CCStar.run(graph).labels)
     var visited = labels.join(graph.vertices, "id")
       .groupBy(col("lbl")).agg(min_by(col("id"), col("key")).as("id"))
       .select(col("id"), col("id").as("parent"), lit(0).as("level"))

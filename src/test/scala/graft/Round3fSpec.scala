@@ -245,6 +245,39 @@ class Round3fSpec extends SparkSpec {
     }
   }
 
+  // ---------- percolation ----------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("percolation: md5-coin replay matches union-find census; p=1 equals full CC") {
+    val pairs = (0 until 20).flatMap(i =>
+      Seq((i, (i + 1) % 20), (i, (i * 7 + 3) % 20)).filter(p => p._1 != p._2))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val g = graphOf(pairs, symmetric = true)
+    def census(pE4: Long): Map[Long, (Long, Long, Long)] =
+      algos.Percolation.census(g, pE4).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // brute: replay the coins, union-find the survivors
+    def brute(pE4: Long): Map[Long, (Long, Long, Long)] = {
+      val live = pairs.filter { case (a, b) =>
+        val h = java.lang.Long.parseLong(
+          md5hex(s"${keyOf(a)}|${keyOf(b)}").take(10), 16)
+        10000L * h < pE4 * (1L << 40)
+      }
+      val parent = scala.collection.mutable.Map((0 until 20).map(v => v -> v): _*)
+      def find(v: Int): Int = if (parent(v) == v) v else { parent(v) = find(parent(v)); parent(v) }
+      live.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val szs = (0 until 20).groupBy(find).values.map(_.size.toLong)
+      szs.groupBy(s => java.lang.Long.toBinaryString(s).length.toLong)
+        .map { case (b, xs) => b -> ((xs.size.toLong, xs.min, xs.max)) }
+    }
+    assert(census(7000L) == brute(7000L))
+    assert(census(10000L) == brute(10000L)) // everything survives = true CC census
+    g.unpersist()
+  }
+
   // ---------- cross-source overlap ----------
 
   test("sourceOverlap: shared shingles and containment are exact") {
