@@ -603,6 +603,11 @@ object SparkEntry {
     // the random-failure dual of q_bridges' targeted-failure view
     "q_percolation" -> ((s, dir) =>
       Percolation.census(Graphs.get(s, dir, symmetric = true))),
+    // 2-edge-connected components: delete the bridges, CC the rest —
+    // every block survives any single link failure
+    "q_2ecc" -> ((s, dir) =>
+      Bridges.blocks(Graphs.get(s, dir, symmetric = true),
+        Some(Graphs.ccLabels(s, dir)))),
     // PII-style pattern scrub over every turn: digit runs → '<N>'
     // (count + redacted text; the pattern is a parameter — see
     // pipeline.Redact for the email/phone production classes)
@@ -2158,6 +2163,37 @@ object SparkEntry {
       |LEFT JOIN covb ON covb.c = par.v
       |WHERE coalesce(cov.n, 0) - 2 * coalesce(covb.nb, 0) = 0""".stripMargin
 
+  /** Shared CTE chain of [[bridgesSql]] up to cov/covb (everything
+   * before the final SELECT), for the 2ecc oracle to extend. */
+  private val bridgesBody: String = bridgesSql.substring(
+    0, bridgesSql.indexOf("\nSELECT least(vc2.key"))
+
+  /** Mirrors algos.Bridges.blocks: bridges out, HashMin (plateau to
+   * cap 80) over the remaining edges — on KEYS, so the fixpoint label
+   * IS the block's min member key. Singleton blocks fall out of the
+   * all-vertices base. */
+  private val twoEccSql: String = bridgesBody +
+    """, brg AS MATERIALIZED (
+      |  SELECT least(par.v, par.p) AS u, greatest(par.v, par.p) AS v2
+      |  FROM par
+      |  LEFT JOIN cov ON cov.c = par.v
+      |  LEFT JOIN covb ON covb.c = par.v
+      |  WHERE coalesce(cov.n, 0) - 2 * coalesce(covb.nb, 0) = 0
+      |), nbsw AS MATERIALIZED (
+      |  SELECT e1.src_key AS u, e1.dst_key AS v
+      |  FROM esw e1 LEFT JOIN brg
+      |    ON brg.u = least(e1.src_key, e1.dst_key)
+      |   AND brg.v2 = greatest(e1.src_key, e1.dst_key)
+      |  WHERE brg.u IS NULL
+      |), r2(it, key, lbl) AS (
+      |  SELECT 0, key, key FROM v
+      |  UNION ALL
+      |  SELECT r2.it + 1, r2.key, least(r2.lbl, coalesce(min(rr.lbl), r2.lbl))
+      |  FROM r2 LEFT JOIN nbsw ON nbsw.u = r2.key LEFT JOIN r2 rr ON rr.key = nbsw.v
+      |  WHERE r2.it < 80 GROUP BY r2.it, r2.key, r2.lbl
+      |)
+      |SELECT key, lbl AS block FROM r2 WHERE it = 80""".stripMargin
+
   /** Mirrors algos.Percolation at p=0.7: same md5 coin per undirected
    * key pair, generic HashMin plateau-to-cap CC over survivors (sizes
    * are label-agnostic, so HashMin vs the engine's star contraction
@@ -2481,6 +2517,7 @@ object SparkEntry {
     "q_bipartite" -> bipartiteSql,
     "q_bridges" -> bridgesSql,
     "q_percolation" -> percolationSql,
+    "q_2ecc" -> twoEccSql,
     "q_redact" -> redactSql,
     "q_bc_multi" -> bcMultiSql,
     "q_bc_approx" -> bcApproxSql,

@@ -159,4 +159,35 @@ object Bridges {
         greatest(col("ck"), col("pk")).as("v_key"))
     Result(bridges, level, rounds)
   }
+
+  /**
+   * 2-edge-connected components (bridge blocks): delete every bridge,
+   * take connected components of what remains — each block survives
+   * any single link failure; vertices whose every edge is a bridge
+   * form singleton blocks. THE summary a reliability planner reads
+   * off the bridge set, and one more CCStar pass on top of [[run]].
+   *
+   * @return (key, block) for every vertex — block named by its
+   *         lexicographically smallest member key.
+   */
+  def blocks(graph: LinkGraph, ccLabels: Option[DataFrame] = None): DataFrame = {
+    val np = graph.numPartitions
+    val vk = graph.vertices
+    val br = run(graph, ccLabels).bridges
+      .join(vk.select(col("id").as("bu"), col("key").as("u_key")), "u_key")
+      .join(vk.select(col("id").as("bv"), col("key").as("v_key")), "v_key")
+      .select(least(col("bu"), col("bv")).as("u"), greatest(col("bu"), col("bv")).as("v"))
+    val nonBridge = graph.edgesBySrc
+      .where(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .join(br, Seq("u", "v"), "left_anti")
+      .select(col("u").as("src"), col("v").as("dst"), lit(1.0).as("weight"))
+    val bg = LinkGraph.fromIdEdges(nonBridge, graph.numVertices, symmetric = true, np)
+    val lbl = CCStar.run(bg).labels
+    val keyed = lbl.join(vk, "id").select(col("key"), col("lbl"))
+    val named = keyed.groupBy(col("lbl")).agg(min(col("key")).as("block"))
+    val out = keyed.join(named, "lbl").select(col("key"), col("block"))
+    bg.unpersist()
+    out
+  }
 }

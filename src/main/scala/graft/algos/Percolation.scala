@@ -33,23 +33,22 @@ object Percolation {
    *          bit-length of the component size. */
   def census(graph: LinkGraph, pE4: Long = 7000): DataFrame = {
     require(graph.symmetric, "percolation census expects the symmetrized graph")
-    val spark = graph.spark
     val np = graph.numPartitions
     val vk = graph.vertices
-    val sampledKeys = graph.edgesBySrc
+    // coin in KEY space (replayable), edges kept in the ORIGINAL id
+    // space — fromIdEdges skips the vertex-dictionary rebuild, and its
+    // synthesized full id range turns coinless vertices into
+    // self-labeled singletons for free
+    val sampled = graph.edgesBySrc
       .join(vk.select(col("id").as("src"), col("key").as("uk")), "src")
       .join(vk.select(col("id").as("dst"), col("key").as("vk")), "dst")
       .where(col("uk") < col("vk")) // one coin per undirected edge
       .where(expr("10000L * cast(conv(substring(md5(concat(uk, '|', vk)), 1, 10), 16, 10) as bigint)") <
         lit(pE4 * (1L << 40)))
-      .select(col("uk").as("src_key"), col("vk").as("dst_key"),
-        lit("adj").as("kind"), lit(1.0).as("weight"))
-    val sg = LinkGraph.fromKeyEdges(sampledKeys, symmetric = true, np)
+      .select(col("src"), col("dst"), lit(1.0).as("weight"))
+    val sg = LinkGraph.fromIdEdges(sampled, graph.numVertices, symmetric = true, np)
     val labels = CCStar.run(sg).labels
-    // vertices that lost every edge are singleton components
-    val nSingle = graph.numVertices - sg.numVertices
     val szs = labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz")).select(col("sz"))
-      .unionByName(spark.range(nSingle).select(lit(1L).as("sz")))
     val out = szs
       .withColumn("bucket", length(conv(col("sz"), 10, 2)).cast("long"))
       .groupBy(col("bucket"))

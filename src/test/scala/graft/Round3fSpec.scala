@@ -230,6 +230,20 @@ class Round3fSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("2ecc blocks: cycle and triangle are blocks, bridge chain shatters to singletons") {
+    val pairs = Seq((0, 1), (1, 2), (2, 3), (3, 4), (4, 0),
+      (2, 5), (5, 6),
+      (6, 7), (7, 8), (8, 6),
+      (9, 10), (10, 11))
+    val g = graphOf(pairs, symmetric = true)
+    val got = algos.Bridges.blocks(g).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    (0 to 4).foreach(i => assert(got(keyOf(i)) == keyOf(0)))
+    (6 to 8).foreach(i => assert(got(keyOf(i)) == keyOf(6)))
+    Seq(5, 9, 10, 11).foreach(i => assert(got(keyOf(i)) == keyOf(i), s"v$i singleton"))
+    g.unpersist()
+  }
+
   test("bridges: equals the removal-count brute force on random graphs") {
     for (seed <- 1 to 3) {
       val n = 15
