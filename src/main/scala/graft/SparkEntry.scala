@@ -420,6 +420,10 @@ object SparkEntry {
     // deterministic maximal matching (md5-priority parallel greedy)
     "q_matching" -> ((s, dir) =>
       Matching.run(Graphs.get(s, dir, symmetric = true)).matching),
+    // Preis locally-heaviest matching (1/2-approx max-weight) on the
+    // hashed-capacity graph — min-priority == max weight, MSF tie-break
+    "q_matching_w" -> ((s, dir) =>
+      Matching.runWeighted(Graphs.getCapacity(s, dir)).matching),
     // one METIS-style coarsening level over that matching
     "q_coarsen" -> ((s, dir) => {
       val g = Graphs.get(s, dir, symmetric = true)
@@ -608,6 +612,10 @@ object SparkEntry {
     "q_2ecc" -> ((s, dir) =>
       Bridges.blocks(Graphs.get(s, dir, symmetric = true),
         Some(Graphs.ccLabels(s, dir)))),
+    // Gonzalez greedy k-center (k=3) in the giant component —
+    // adaptive farthest-first seeds, one BFS pass per round
+    "q_kcenter" -> ((s, dir) =>
+      KCenter.run(Graphs.get(s, dir, symmetric = true), Graphs.ccLabels(s, dir))),
     // PII-style pattern scrub over every turn: digit runs → '<N>'
     // (count + redacted text; the pattern is a parameter — see
     // pipeline.Redact for the email/phone production classes)
@@ -1626,6 +1634,45 @@ object SparkEntry {
   private val matchingSql: String = matchingCtes +
     "\nSELECT a AS u_key, b AS v_key, cast(it AS bigint) AS mround FROM r WHERE matched"
 
+  /** Preis locally-heaviest replay (mirrors Matching.runWeighted):
+   * identical round structure to [[matchingCtes]], priority
+   * (97−w)·2⁴⁰ + 40-bit md5 so min-priority ⇔ max capacity with the
+   * MSF tie-break; w rides along into the output. */
+  private val matchingWSql: String = {
+    val minsSub =
+      """(SELECT x, min(p) AS mp FROM (
+        |          SELECT a AS x, p FROM rw WHERE NOT matched
+        |          UNION ALL SELECT b, p FROM rw WHERE NOT matched) u GROUP BY x)""".stripMargin
+    "WITH RECURSIVE " + prefixBody + symBody +
+      s""", e0 AS (
+         |  SELECT a, b, w,
+         |         (97 - w) * (1::BIGINT << 40) +
+         |         ('0x' || substr(md5(concat(a, '|', b)), 1, 10))::BIGINT AS p
+         |  FROM (
+         |    SELECT src_key AS a, dst_key AS b,
+         |           1 + ('0x' || substr(md5(concat('cap|', src_key, '|', dst_key)), 1, 10))::BIGINT % 97 AS w
+         |    FROM esw WHERE src_key < dst_key) x
+         |), rw(a, b, w, p, it, matched) AS (
+         |  SELECT a, b, w, p, 0, false FROM e0
+         |  UNION ALL
+         |  SELECT e.a, e.b, e.w, e.p, e.it + 1,
+         |         (mva.mp = e.p AND mvb.mp = e.p)
+         |  FROM rw e
+         |  JOIN $minsSub mva ON mva.x = e.a
+         |  JOIN $minsSub mvb ON mvb.x = e.b
+         |  WHERE NOT e.matched AND e.it < 60
+         |    AND NOT EXISTS (
+         |      SELECT 1 FROM rw m
+         |      JOIN $minsSub ka ON ka.x = m.a AND ka.mp = m.p
+         |      JOIN $minsSub kb ON kb.x = m.b AND kb.mp = m.p
+         |      WHERE NOT m.matched AND (m.a IN (e.a, e.b) OR m.b IN (e.a, e.b))
+         |            AND NOT (m.a = e.a AND m.b = e.b)
+         |    )
+         |)
+         |SELECT a AS u_key, b AS v_key, cast(w AS bigint) AS w,
+         |       cast(it AS bigint) AS mround FROM rw WHERE matched""".stripMargin
+  }
+
   /** Coarsening replay: supervertex = matched-pair min key (or self),
    * contracted parallel edges merge counts + exact weight mass. */
   private val coarsenSql: String = matchingCtes +
@@ -2228,6 +2275,66 @@ object SparkEntry {
          |FROM szs GROUP BY 1""".stripMargin
   }
 
+  /** Mirrors algos.KCenter (k=3): giant component by (size, min key),
+   * seed = min key, then twice "farthest by current min-dist, ties by
+   * key" — three chained label-correcting BFS recursions (cap 60)
+   * replaying the exact adaptive trajectory; assignment = min
+   * (dist, center) per vertex. */
+  private val kcenterSql: String = "WITH RECURSIVE " + prefixBody + symBody + ccBody +
+    """, gl AS (
+      |  SELECT lc FROM (
+      |    SELECT lc, count(*) AS sz, min(key) AS mk FROM vc GROUP BY lc) x
+      |  ORDER BY sz DESC, mk LIMIT 1
+      |), gset AS MATERIALIZED (
+      |  SELECT key FROM vc JOIN gl USING (lc)
+      |), c1 AS MATERIALIZED (
+      |  SELECT min(key) AS ck FROM gset
+      |), b1(key, lvl) AS (
+      |  SELECT ck, 0 FROM c1
+      |  UNION ALL
+      |  SELECT esw.dst_key, min(b1.lvl) + 1 FROM b1 JOIN esw ON esw.src_key = b1.key
+      |  WHERE b1.lvl < 60 GROUP BY esw.dst_key
+      |)
+      |, d1 AS MATERIALIZED (SELECT key, min(lvl) AS d FROM b1 GROUP BY 1)
+      |, c2 AS MATERIALIZED (
+      |  SELECT g.key AS ck FROM gset g JOIN d1 ON d1.key = g.key
+      |  ORDER BY d1.d DESC, g.key LIMIT 1
+      |), b2(key, lvl) AS (
+      |  SELECT ck, 0 FROM c2
+      |  UNION ALL
+      |  SELECT esw.dst_key, min(b2.lvl) + 1 FROM b2 JOIN esw ON esw.src_key = b2.key
+      |  WHERE b2.lvl < 60 GROUP BY esw.dst_key
+      |)
+      |, d2 AS MATERIALIZED (SELECT key, min(lvl) AS d FROM b2 GROUP BY 1)
+      |, c3 AS MATERIALIZED (
+      |  SELECT g.key AS ck FROM gset g
+      |  JOIN d1 ON d1.key = g.key JOIN d2 ON d2.key = g.key
+      |  ORDER BY least(d1.d, d2.d) DESC, g.key LIMIT 1
+      |), b3(key, lvl) AS (
+      |  SELECT ck, 0 FROM c3
+      |  UNION ALL
+      |  SELECT esw.dst_key, min(b3.lvl) + 1 FROM b3 JOIN esw ON esw.src_key = b3.key
+      |  WHERE b3.lvl < 60 GROUP BY esw.dst_key
+      |)
+      |, d3 AS MATERIALIZED (SELECT key, min(lvl) AS d FROM b3 GROUP BY 1)
+      |, cand AS (
+      |  SELECT g.key, d1.d AS dist, (SELECT ck FROM c1) AS center
+      |  FROM gset g JOIN d1 ON d1.key = g.key
+      |  UNION ALL
+      |  SELECT g.key, d2.d, (SELECT ck FROM c2)
+      |  FROM gset g JOIN d2 ON d2.key = g.key
+      |  UNION ALL
+      |  SELECT g.key, d3.d, (SELECT ck FROM c3)
+      |  FROM gset g JOIN d3 ON d3.key = g.key
+      |), pick AS (
+      |  SELECT key, dist, center,
+      |         row_number() OVER (PARTITION BY key ORDER BY dist, center) AS rn
+      |  FROM cand
+      |)
+      |SELECT center, cast(count(*) AS bigint) AS n_assigned,
+      |       cast(max(dist) AS bigint) AS radius
+      |FROM pick WHERE rn = 1 GROUP BY 1""".stripMargin
+
   /** Digit-run scrub replay: RE2's `[0-9]+` ≡ Java's on this corpus
    * (plain character class — the portability contract of
    * pipeline.Redact). */
@@ -2417,6 +2524,7 @@ object SparkEntry {
     "q_coreness" -> corenessSql,
     "q_truss" -> trussSql,
     "q_matching" -> matchingSql,
+    "q_matching_w" -> matchingWSql,
     "q_coarsen" -> coarsenSql,
     "q_lp_comm" -> lpCommSql,
     "q_wl" -> wlSql,
@@ -2518,6 +2626,7 @@ object SparkEntry {
     "q_bridges" -> bridgesSql,
     "q_percolation" -> percolationSql,
     "q_2ecc" -> twoEccSql,
+    "q_kcenter" -> kcenterSql,
     "q_redact" -> redactSql,
     "q_bc_multi" -> bcMultiSql,
     "q_bc_approx" -> bcApproxSql,

@@ -33,19 +33,54 @@ object Matching {
   /** @return matching rows (u_key, v_key, mround), u_key < v_key. */
   def run(graph: LinkGraph, maxRounds: Int = 64): Result = {
     require(graph.symmetric, "matching expects the symmetrized graph")
-    val np = graph.numPartitions
-    val vk = (idCol: String, keyCol: String) =>
-      graph.vertices.select(col("id").as(idCol), col("key").as(keyCol))
-
-    var e = graph.edgesBySrc
-      .join(vk("src", "u_key"), "src")
-      .join(vk("dst", "v_key"), "dst")
-      .where(col("u_key") < col("v_key"))
+    val e = keyedEdges(graph)
       .select(col("u_key"), col("v_key"),
         conv(substring(md5(concat_ws("|", col("u_key"), col("v_key"))), 1, 15), 16, 10)
           .cast("long").as("p"))
-      .repartition(np, col("u_key"))
-      .graftCut
+    greedy(graph, e, maxRounds, Nil)
+  }
+
+  /**
+   * Preis-style locally-HEAVIEST matching — the weighted variant with
+   * the classic 1/2-approximation guarantee for MAXIMUM-weight
+   * matching: a round matches every edge that is the heaviest live
+   * edge at BOTH endpoints (priority = (97−w)·2⁴⁰ + 40-bit md5 of the
+   * key pair, so min-priority ⇔ max weight with a deterministic,
+   * engine-independent tie-break — the same total order that makes
+   * [[Msf]] unique). Runs on the hashed-capacity graph; the
+   * pseudo-random weights keep the round count O(log E) expected
+   * (adversarial monotone weights would serialize a locally-heaviest
+   * schedule — with hashed capacities no such chain survives).
+   *
+   * @return matching rows (u_key, v_key, w, mround), u_key < v_key.
+   */
+  def runWeighted(graph: LinkGraph, maxRounds: Int = 200): Result = {
+    require(graph.symmetric, "matching expects the symmetrized graph")
+    val e = keyedEdges(graph)
+      .select(col("u_key"), col("v_key"), col("weight").cast("long").as("w"),
+        ((lit(97L) - col("weight").cast("long")) * lit(1L << 40) +
+          conv(substring(md5(concat_ws("|", col("u_key"), col("v_key"))), 1, 10), 16, 10)
+            .cast("long")).as("p"))
+    greedy(graph, e, maxRounds, Seq("w"))
+  }
+
+  /** One key-oriented row per undirected edge, weight preserved. */
+  private def keyedEdges(graph: LinkGraph): DataFrame = {
+    val vk = (idCol: String, keyCol: String) =>
+      graph.vertices.select(col("id").as(idCol), col("key").as(keyCol))
+    graph.edgesBySrc
+      .join(vk("src", "u_key"), "src")
+      .join(vk("dst", "v_key"), "dst")
+      .where(col("u_key") < col("v_key"))
+  }
+
+  /** Shared parallel-greedy loop: matches every live edge that is the
+   * min-priority edge at both endpoints; `extra` columns ride along
+   * into the output. */
+  private def greedy(
+      graph: LinkGraph, e0: DataFrame, maxRounds: Int, extra: Seq[String]): Result = {
+    val np = graph.numPartitions
+    var e = e0.repartition(np, col("u_key")).graftCut
     var live = e.count()
 
     var rounds = 0
@@ -60,7 +95,8 @@ object Matching {
         .join(mins.select(col("x").as("u_key"), col("mp").as("mpu")), "u_key")
         .join(mins.select(col("x").as("v_key"), col("mp").as("mpv")), "v_key")
         .where(col("p") === col("mpu") && col("p") === col("mpv"))
-        .select(col("u_key"), col("v_key"), lit(rounds.toLong).as("mround"))
+        .select((Seq(col("u_key"), col("v_key")) ++ extra.map(col) :+
+          lit(rounds.toLong).as("mround")): _*)
         .graftCut
       val mv = matched.select(col("u_key").as("x"))
         .unionByName(matched.select(col("v_key").as("x")))
@@ -75,11 +111,12 @@ object Matching {
       live = n2
     }
     e.graftFree()
-    val out = (if (acc == null)
-      graph.spark.emptyDataFrame
+    val out = (if (acc == null) {
+      val base = graph.spark.emptyDataFrame
         .withColumn("u_key", lit("")).withColumn("v_key", lit(""))
+      extra.foldLeft(base)((d, c) => d.withColumn(c, lit(0L)))
         .withColumn("mround", lit(0L)).limit(0)
-    else acc).graftCut
+    } else acc).graftCut
     junk.foreach(_.graftFree())
     Result(out, rounds)
   }

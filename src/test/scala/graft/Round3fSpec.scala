@@ -292,6 +292,72 @@ class Round3fSpec extends SparkSpec {
     g.unpersist()
   }
 
+  // ---------- k-center ----------
+
+  test("kcenter: farthest-first on a path picks the ends then the middle") {
+    // giant = path 0..9; side chain 10-11 must be ignored
+    val pairs = (0 until 9).map(i => (i, i + 1)) ++ Seq((10, 11))
+    val g = graphOf(pairs, symmetric = true)
+    val labels = algos.CCStar.run(g).labels
+    val got = algos.KCenter.run(g, labels).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // s1 = v0 (min key), s2 = v9 (farthest), s3 = v4 (max min-dist=4,
+    // tie v4 < v5); assignment ties go to the smaller center key
+    assert(got == Map(
+      keyOf(0) -> ((3L, 2L)), // v0,v1,v2 (v2 ties 2-2 with v4 → v0)
+      keyOf(4) -> ((4L, 2L)), // v3..v6
+      keyOf(9) -> ((3L, 2L)))) // v7,v8,v9
+    g.unpersist()
+  }
+
+  // ---------- weighted matching ----------
+
+  test("runWeighted: equals the locally-heaviest replay; maximal; prefers heavy edges") {
+    // path 0-1-2-3 with weights 5, 9, 5: greedy-by-weight takes (1,2)
+    // then nothing else (0 and 3 isolated) — weight 9 beats the
+    // unweighted matching's md5 luck
+    val pairs = Seq((0, 1), (1, 2), (2, 3), (4, 5))
+    val w = Map((0, 1) -> 5.0, (1, 2) -> 9.0, (2, 3) -> 5.0, (4, 5) -> 7.0)
+    val g = graphOf(pairs, symmetric = true, weights = w)
+    val got = algos.Matching.runWeighted(g).matching.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((keyOf(1), keyOf(2), 9L), (keyOf(4), keyOf(5), 7L)))
+    g.unpersist()
+  }
+
+  test("runWeighted: replay equality on a random weighted graph") {
+    val n = 12
+    val pairs = (0 until n).flatMap(i =>
+      Seq((i, (i + 1) % n), (i, (i * 5 + 1) % n)).filter(p => p._1 != p._2))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val w = pairs.zipWithIndex.map { case (p, i) => p -> ((i * 13) % 20 + 1).toDouble }.toMap
+    val g = graphOf(pairs, symmetric = true, weights = w)
+    val got = algos.Matching.runWeighted(g).matching.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // literal locally-heaviest replay
+    def prio(p: (Int, Int)): Long = {
+      val h = java.lang.Long.parseLong(
+        md5hex(s"${keyOf(p._1)}|${keyOf(p._2)}").take(10), 16)
+      (97L - w(p).toLong) * (1L << 40) + h
+    }
+    var live = pairs
+    val res = scala.collection.mutable.Set[(String, String)]()
+    while (live.nonEmpty) {
+      val best = (live.flatMap(p => Seq(p._1 -> p, p._2 -> p)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).minBy(prio)).toMap
+      val m = live.filter(p => best(p._1) == p && best(p._2) == p)
+      res ++= m.map(p => (keyOf(p._1), keyOf(p._2)))
+      val used = m.flatMap(p => Seq(p._1, p._2)).toSet
+      live = live.filterNot(p => used(p._1) || used(p._2))
+    }
+    assert(got == res.toSet)
+    // maximality: no live edge remains with both endpoints unmatched
+    val matchedV = got.flatMap(t => Seq(t._1, t._2))
+    pairs.foreach { case (a, b) =>
+      assert(matchedV(keyOf(a)) || matchedV(keyOf(b)), s"($a,$b) unmatched-extendable") }
+    g.unpersist()
+  }
+
   // ---------- cross-source overlap ----------
 
   test("sourceOverlap: shared shingles and containment are exact") {
