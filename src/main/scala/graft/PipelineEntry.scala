@@ -145,6 +145,10 @@ object PipelineEntry {
     // cross-source shingle-overlap matrix (contamination/provenance
     // report; shingle-keyed join, fan-out bounded by #sources²)
     "q_source_overlap" -> ((s, dir) => Dedup.sourceOverlap(Dedup.docs(s, dir))),
+    // mutual-kNN graph clusters (graph-based clustering: mutuality
+    // prunes hub-attraction edges, components via HashMin)
+    "q_knn_clusters" -> ((s, dir) =>
+      Similarity.knnClusters(Similarity.embeddings(s, dir))),
     // asymmetric containment pairs over the MinHash-LSH candidates —
     // the subset-duplicate signal Jaccard misses
     "q_containment" -> ((s, dir) => Dedup.containmentPairs(Dedup.docs(s, dir))),
@@ -1266,6 +1270,46 @@ object PipelineEntry {
       |       cast((10000 * n_shared) // least(ta.n, tb.n) AS bigint) AS containment_e4
       |FROM sh JOIN tot ta ON ta.source = sa JOIN tot tb ON tb.source = sb""".stripMargin
 
+  /** Mirrors Similarity.knnClusters (k=5): uncapped quadratic top-k,
+   * mutual-pair filter, HashMin plateau-to-cap CC over the mutual
+   * edges (identity id space: label = min vec_id, exactly the
+   * engine's HashMin fixpoint). Singletons fall out of the
+   * all-vectors base. */
+  private def knnClustersSql(cap: Int = 60): String =
+    s"""WITH RECURSIVE v AS MATERIALIZED (
+       |  SELECT vec_id, cast(unnest(embedding) AS double) AS x,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), norms AS MATERIALIZED (
+       |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1
+       |), sims AS MATERIALIZED (
+       |  SELECT d.a AS vec_id, d.b AS nbr_id,
+       |         cast(round(d.d / (na.nrm * nb.nrm) * 10000) AS bigint) AS sim_e4
+       |  FROM (
+       |    SELECT a.vec_id AS a, b.vec_id AS b, sum(a.x*b.x) AS d
+       |    FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id
+       |    GROUP BY 1, 2) d
+       |  JOIN norms na ON na.vec_id = d.a
+       |  JOIN norms nb ON nb.vec_id = d.b
+       |), knn AS MATERIALIZED (
+       |  SELECT vec_id, nbr_id FROM (
+       |    SELECT vec_id, nbr_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY sim_e4 DESC, nbr_id) AS rank
+       |    FROM sims) x WHERE rank <= 5
+       |), mu AS MATERIALIZED (
+       |  SELECT k1.vec_id AS u, k1.nbr_id AS w FROM knn k1
+       |  JOIN knn k2 ON k2.vec_id = k1.nbr_id AND k2.nbr_id = k1.vec_id
+       |), r(it, id, lbl) AS (
+       |  SELECT 0, vec_id, vec_id FROM embeddings
+       |  UNION ALL
+       |  SELECT r.it + 1, r.id, least(r.lbl, coalesce(min(r2.lbl), r.lbl))
+       |  FROM r LEFT JOIN mu ON mu.u = r.id LEFT JOIN r r2 ON r2.id = mu.w
+       |  WHERE r.it < $cap GROUP BY r.it, r.id, r.lbl
+       |)
+       |SELECT id AS vec_id, cast(lbl AS bigint) AS cluster
+       |FROM r WHERE it = $cap""".stripMargin
+
   /** Mirrors Dedup.containmentPairs: the minhash band candidates'
    * exact intersections, kept when either direction's containment
    * ≥ 0.5 (integer-exact threshold), exports 10⁴·i // sz. */
@@ -1404,6 +1448,7 @@ object PipelineEntry {
     "q_lm_score" -> lmScoreSql,
     "q_dbscan" -> dbscanSql(),
     "q_source_overlap" -> sourceOverlapSql,
+    "q_knn_clusters" -> knnClustersSql(),
     "q_containment" -> containmentSql,
     "q_curate" -> curateSql)
 }

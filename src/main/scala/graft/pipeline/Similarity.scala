@@ -422,6 +422,50 @@ object Similarity {
   }
 
   /**
+   * Mutual-k-NN graph clustering — the graph-based member of the
+   * clustering family ([[dbscan]] = density, [[semDedup]]/kmeans =
+   * centroid): connect a and b iff EACH is in the other's cosine
+   * top-k (mutuality prunes the hub-attraction false edges a one-way
+   * k-NN graph suffers in high dimensions), then clusters = connected
+   * components, run through the same HashMin engine as everything
+   * else. Vectors with no mutual neighbor are singleton clusters.
+   *
+   * Exactness baseline: full quadratic top-k (every vector a query —
+   * unlike [[cosineTopK]]'s capped exactness probe); the scale path
+   * swaps in [[lshTopK]]/[[ivfTopK]] candidates. Ranking ties break
+   * (sim desc, nbr asc) as everywhere in this file.
+   *
+   * @return (vec_id, cluster) — cluster = min member vec_id.
+   */
+  def knnClusters(emb: DataFrame, k: Int = 5, numPartitions: Int = 8): DataFrame = {
+    val p = prepared(emb).persist()
+    val a = p.select(col("vec_id"), col("v"), col("norm"))
+    val b = p.select(col("vec_id").as("nbr_id"), col("v").as("w"), col("norm").as("nrm2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim_e4").desc, col("nbr_id").asc)
+    val knn = a.join(b, col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        round(dot(col("v"), col("w")) / (col("norm") * col("nrm2")) * 10000)
+          .cast("long").as("sim_e4"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("nbr_id"))
+      .persist()
+    val mutual = knn.where(col("vec_id") < col("nbr_id"))
+      .join(knn.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")),
+        Seq("vec_id", "nbr_id"), "left_semi")
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"), lit(1.0).as("weight"))
+    val nV = emb.agg(max(col("vec_id"))).first().getLong(0) + 1
+    val g = graft.LinkGraph.fromIdEdges(mutual, nV, symmetric = true, numPartitions)
+    val out = graft.algos.ConnectedComponents.run(g).labels
+      .join(emb.select(col("vec_id")), col("id") === col("vec_id"))
+      .select(col("vec_id"), col("lbl").cast("long").as("cluster"))
+    knn.unpersist(blocking = false)
+    p.unpersist(blocking = false)
+    out
+  }
+
+  /**
    * DBSCAN density clustering over the embedding column, with cosine
    * similarity as the (inverted) metric: `u ~ v` iff
    * sim_e4(u,v) ≥ `simThresholdE4`. Core points have ≥ `minPts`

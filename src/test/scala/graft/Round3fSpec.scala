@@ -376,6 +376,26 @@ class Round3fSpec extends SparkSpec {
     assert(!got.contains(("s1", "s3")) && !got.contains(("s2", "s3")))
   }
 
+  test("knnClusters: mutual top-k splits the fans, hub-attracted loners stay singletons") {
+    import spark.implicits._
+    def ray(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat, 0f)
+    }
+    val emb = (
+      (0L to 4L).map(i => (i, ray(2.0 * i))) ++ // fan A around 0°
+        (5L to 9L).map(i => (i, ray(90 + 2.0 * (i - 5)))) ++ // fan B around 90°
+        Seq((10L, Array(0f, 0f, 1f)))) // orthogonal loner
+      .map { case (id, a) => (id, a, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.pipeline.Similarity.knnClusters(emb, k = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 4L).foreach(i => assert(got(i) == 0L, s"vec $i"))
+    (5L to 9L).foreach(i => assert(got(i) == 5L, s"vec $i"))
+    // 10's top-4 exist but none reciprocates (fans' top-4 are intra-fan)
+    assert(got(10L) == 10L)
+  }
+
   test("dbscan: minPts above any degree yields all-noise") {
     import spark.implicits._
     val emb = (0L until 6L)
