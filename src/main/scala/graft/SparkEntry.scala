@@ -394,6 +394,10 @@ object SparkEntry {
     // tool-transition digraph (closed forms + two triangle joins)
     "q_triads" -> ((s, dir) =>
       TriadCensus.run(EdgeBuilder.toolTransitions(Transcripts.fromEvents(s, dir)))),
+    // Holland-Leinhardt dyad census (mutual/asym/null) of the RAW
+    // transition digraph — the reciprocity readout under q_triads
+    "q_dyads" -> ((s, dir) =>
+      TriadCensus.dyads(EdgeBuilder.toolTransitionCounts(Transcripts.fromEvents(s, dir)))),
     // per-conversation latency profile (integer µs; value-at-rank median)
     "q_latency" -> ((s, dir) =>
       pipeline.Funnel.latency(Transcripts.fromEvents(s, dir))),
@@ -1452,6 +1456,27 @@ object SparkEntry {
 
   /** Triad-census replay: same closed forms over the identical
    * dominant-direction arc set (te); hub products lift to HUGEINT. */
+  /** Mirrors TriadCensus.dyads over the raw transition counts. */
+  private val dyadsSql: String = prefix +
+    """, tseq AS (
+      |  SELECT tool, lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+      |  FROM t WHERE tool IS NOT NULL
+      |), tcnt AS MATERIALIZED (
+      |  SELECT tool AS src, nxt AS dst FROM tseq
+      |  WHERE nxt IS NOT NULL AND nxt <> tool GROUP BY 1, 2
+      |), und AS (
+      |  SELECT least(src, dst) AS u, greatest(src, dst) AS v2, count(*) AS dirs
+      |  FROM tcnt GROUP BY 1, 2
+      |), nt AS (
+      |  SELECT count(DISTINCT k) AS n FROM (
+      |    SELECT src AS k FROM tcnt UNION ALL SELECT dst FROM tcnt) x
+      |)
+      |SELECT cast(nt.n AS bigint) AS n_tools,
+      |       cast(coalesce(sum(CASE WHEN dirs = 2 THEN 1 END), 0) AS bigint) AS mutual,
+      |       cast(coalesce(sum(CASE WHEN dirs = 1 THEN 1 END), 0) AS bigint) AS asym,
+      |       cast(nt.n * (nt.n - 1) // 2 - count(*) AS bigint) AS nulls
+      |FROM und CROSS JOIN nt GROUP BY nt.n""".stripMargin
+
   private val triadsSql: String = prefix +
     """, tseq AS (
       |  SELECT tool, lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
@@ -2531,6 +2556,7 @@ object SparkEntry {
     "q_treach" -> treachSql,
     "q_funnel" -> funnelSql,
     "q_triads" -> triadsSql,
+    "q_dyads" -> dyadsSql,
     "q_segments" -> segmentsSql,
     "q_latency" -> (prefix +
       """, g AS (

@@ -52,4 +52,38 @@ object TriadCensus {
       ("021D", dOut - t), ("021U", dIn - t), ("021C", p - t - 3 * cyc),
       ("030T", t), ("030C", cyc)).toDF("triad_type", "n")
   }
+
+  /**
+   * Holland–Leinhardt DYAD census of the raw directed transition
+   * graph — the level below [[run]]'s triads: per unordered tool
+   * pair, `mutual` (both directions observed), `asym` (exactly one),
+   * `nulls` (no transition; C(n,2) − connected pairs over the n
+   * tools that transition at all). The reciprocity readout
+   * (mutual / connected) falls straight out.
+   *
+   * One grouped aggregate over the (tiny) tool×tool counts — no
+   * joins against the big tables beyond the windowed lead that
+   * builds them.
+   *
+   * @param cnt raw counts from [[graft.sources.EdgeBuilder.toolTransitionCounts]]
+   * @return one row: (n_tools, mutual, asym, nulls)
+   */
+  def dyads(cnt: DataFrame): DataFrame = {
+    val spark = cnt.sparkSession
+    val und = cnt.groupBy(
+      least(col("src_key"), col("dst_key")).as("u"),
+      greatest(col("src_key"), col("dst_key")).as("v"))
+      .agg(count(lit(1)).as("dirs")) // 1 = asym, 2 = mutual
+    val n = cnt.select(col("src_key").as("k"))
+      .unionByName(cnt.select(col("dst_key").as("k")))
+      .distinct().count()
+    und.agg(
+      sum(when(col("dirs") === 2, 1L).otherwise(0L)).as("mutual"),
+      sum(when(col("dirs") === 1, 1L).otherwise(0L)).as("asym"),
+      count(lit(1)).as("p"))
+      .select(lit(n).as("n_tools"),
+        coalesce(col("mutual"), lit(0L)).as("mutual"),
+        coalesce(col("asym"), lit(0L)).as("asym"),
+        (lit(n * (n - 1) / 2) - coalesce(col("p"), lit(0L))).as("nulls"))
+  }
 }

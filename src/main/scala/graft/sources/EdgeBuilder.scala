@@ -161,14 +161,7 @@ object EdgeBuilder {
    * self-join on that aggregate.
    */
   def toolTransitions(transcripts: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
-    val cnt = transcripts
-      .where(col("tool").isNotNull)
-      .select(col("conv_id"), col("turn_idx"), col("tool"))
-      .withColumn("nxt", lead(col("tool"), 1).over(w))
-      .where(col("nxt").isNotNull && col("nxt") =!= col("tool"))
-      .groupBy(col("tool").as("src_key"), col("nxt").as("dst_key"))
-      .agg(count(lit(1)).as("c"))
+    val cnt = toolTransitionCounts(transcripts)
     val rev = cnt.select(
       col("src_key").as("dst_key"), col("dst_key").as("src_key"),
       col("c").as("rc"))
@@ -176,6 +169,20 @@ object EdgeBuilder {
       .where(col("c") > coalesce(col("rc"), lit(0L)))
       .select(col("src_key"), col("dst_key"),
         lit("tooltrans").as("kind"), lit(1.0).as("weight"))
+  }
+
+  /** RAW directed tool-transition counts (src_key, dst_key, c) —
+   * both directions kept; [[toolTransitions]] antisymmetrizes this,
+   * the dyad census reads it as-is. */
+  def toolTransitionCounts(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    transcripts
+      .where(col("tool").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), col("tool"))
+      .withColumn("nxt", lead(col("tool"), 1).over(w))
+      .where(col("nxt").isNotNull && col("nxt") =!= col("tool"))
+      .groupBy(col("tool").as("src_key"), col("nxt").as("dst_key"))
+      .agg(count(lit(1)).as("c"))
   }
 
   /** Successor relation of the conversation chains — ListRank input:

@@ -259,6 +259,21 @@ class Round3fSpec extends SparkSpec {
     }
   }
 
+  // ---------- dyad census ----------
+
+  test("dyads: mutual pair, asym pair, self-transitions excluded, nulls complete") {
+    import spark.implicits._
+    val t = Seq(
+      ("c1", 0, "A"), ("c1", 1, "B"), ("c1", 2, "A"), // A<->B mutual
+      ("c2", 0, "C"), ("c2", 1, "D"), // C->D asym
+      ("c3", 0, "E"), ("c3", 1, "E")) // self-transition: excluded
+      .toDF("conv_id", "turn_idx", "tool")
+    val got = algos.TriadCensus.dyads(
+      sources.EdgeBuilder.toolTransitionCounts(t)).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      ((4L, 1L, 1L, 4L))) // n=4, mutual=1, asym=1, nulls=C(4,2)-2
+  }
+
   // ---------- percolation ----------
 
   private def md5hex(s: String): String =
