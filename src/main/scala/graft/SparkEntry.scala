@@ -398,6 +398,10 @@ object SparkEntry {
     // transition digraph — the reciprocity readout under q_triads
     "q_dyads" -> ((s, dir) =>
       TriadCensus.dyads(EdgeBuilder.toolTransitionCounts(Transcripts.fromEvents(s, dir)))),
+    // greedy maximal coverage (12 picks): which conversations cover
+    // the most not-yet-covered tools — the coreset-selection greedy
+    "q_cover" -> ((s, dir) =>
+      pipeline.Cover.greedyCover(Transcripts.fromEvents(s, dir))),
     // per-conversation latency profile (integer µs; value-at-rank median)
     "q_latency" -> ((s, dir) =>
       pipeline.Funnel.latency(Transcripts.fromEvents(s, dir))),
@@ -1456,6 +1460,34 @@ object SparkEntry {
 
   /** Triad-census replay: same closed forms over the identical
    * dominant-direction arc set (te); hub products lift to HUGEINT. */
+  /** Mirrors pipeline.Cover.greedyCover (k=12): the adaptive greedy
+   * trajectory as 12 mechanically chained CTE steps — step i picks
+   * argmax (new-coverage, conv_id) against u(i-1), u(i) strips the
+   * pick's tools. Early completion leaves later steps empty (LIMIT 1
+   * of an empty aggregate), matching the engine's early stop. */
+  private val coverSql: String = {
+    val k = 12
+    val steps = (1 to k).map { i =>
+      val prevU = s"u${i - 1}"
+      s""", p$i AS MATERIALIZED (
+         |  SELECT conv_id, count(*) AS n FROM ct JOIN $prevU USING (tool)
+         |  GROUP BY 1 ORDER BY n DESC, conv_id LIMIT 1
+         |), u$i AS MATERIALIZED (
+         |  SELECT tool FROM $prevU
+         |  WHERE tool NOT IN (SELECT ct.tool FROM ct JOIN p$i USING (conv_id))
+         |)""".stripMargin
+    }.mkString
+    val sel = (1 to k).map(i =>
+      s"SELECT cast($i AS bigint) AS pick, conv_id, cast(n AS bigint) AS n_new FROM p$i")
+      .mkString("\nUNION ALL\n")
+    prefix +
+      """, ct AS MATERIALIZED (
+        |  SELECT DISTINCT conv_id, tool FROM t WHERE tool IS NOT NULL
+        |), u0 AS MATERIALIZED (
+        |  SELECT DISTINCT tool FROM ct
+        |)""".stripMargin + steps + "\n" + sel
+  }
+
   /** Mirrors TriadCensus.dyads over the raw transition counts. */
   private val dyadsSql: String = prefix +
     """, tseq AS (
@@ -2557,6 +2589,7 @@ object SparkEntry {
     "q_funnel" -> funnelSql,
     "q_triads" -> triadsSql,
     "q_dyads" -> dyadsSql,
+    "q_cover" -> coverSql,
     "q_segments" -> segmentsSql,
     "q_latency" -> (prefix +
       """, g AS (

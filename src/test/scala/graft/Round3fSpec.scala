@@ -274,6 +274,24 @@ class Round3fSpec extends SparkSpec {
       ((4L, 1L, 1L, 4L))) // n=4, mutual=1, asym=1, nulls=C(4,2)-2
   }
 
+  // ---------- greedy coverage ----------
+
+  test("greedyCover: picks by marginal coverage with conv_id ties; stops when covered") {
+    import spark.implicits._
+    val t = Seq(
+      ("c1", 0, "A"), ("c1", 1, "B"), ("c1", 2, "C"), // 3 tools
+      ("c2", 0, "C"), ("c2", 1, "D"), // 2 tools, 1 new after c1
+      ("c3", 0, "D"), ("c3", 1, "E"), ("c3", 2, "F"), // 3 tools
+      ("c4", 0, "A")) // subset of c1
+      .toDF("conv_id", "turn_idx", "tool")
+    val got = pipeline.Cover.greedyCover(t, k = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    // round 1: c1 and c3 both cover 3 → tie to c1; round 2: c3 covers
+    // D,E,F (3 new); round 3: only D? no — all covered after c3 ∪ c1
+    // except D? c1={A,B,C}, c3={D,E,F} → covered=6 of {A..F} → done
+    assert(got == List((1L, "c1", 3L), (2L, "c3", 3L)))
+  }
+
   // ---------- percolation ----------
 
   private def md5hex(s: String): String =
