@@ -402,6 +402,10 @@ object SparkEntry {
     // the most not-yet-covered tools — the coreset-selection greedy
     "q_cover" -> ((s, dir) =>
       pipeline.Cover.greedyCover(Transcripts.fromEvents(s, dir))),
+    // Gini concentration of tool usage (integer rank form) — the
+    // skew-planning readout: near-1 = hub mitigation mandatory
+    "q_gini" -> ((s, dir) =>
+      pipeline.Cooccur.toolGini(Transcripts.fromEvents(s, dir))),
     // per-conversation latency profile (integer µs; value-at-rank median)
     "q_latency" -> ((s, dir) =>
       pipeline.Funnel.latency(Transcripts.fromEvents(s, dir))),
@@ -1487,6 +1491,20 @@ object SparkEntry {
         |  SELECT DISTINCT tool FROM ct
         |)""".stripMargin + steps + "\n" + sel
   }
+
+  /** Mirrors Cooccur.toolGini: ascending (count, tool) ranks, exact
+   * integer rank-form Gini. */
+  private val giniSql: String = prefix +
+    """, cnt AS (
+      |  SELECT tool, count(*) AS c FROM t WHERE tool IS NOT NULL GROUP BY 1
+      |), rk AS (
+      |  SELECT c, row_number() OVER (ORDER BY c ASC, tool ASC) AS i FROM cnt
+      |)
+      |SELECT cast(count(*) AS bigint) AS n_tools,
+      |       cast(sum(c) AS bigint) AS total_uses,
+      |       cast((1000000 * (2 * sum(i * c) - (count(*) + 1) * sum(c)))
+      |            // (count(*) * sum(c)) AS bigint) AS gini_e6
+      |FROM rk""".stripMargin
 
   /** Mirrors TriadCensus.dyads over the raw transition counts. */
   private val dyadsSql: String = prefix +
@@ -2590,6 +2608,7 @@ object SparkEntry {
     "q_triads" -> triadsSql,
     "q_dyads" -> dyadsSql,
     "q_cover" -> coverSql,
+    "q_gini" -> giniSql,
     "q_segments" -> segmentsSql,
     "q_latency" -> (prefix +
       """, g AS (

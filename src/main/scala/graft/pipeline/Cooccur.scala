@@ -161,4 +161,32 @@ object Cooccur {
     ct.unpersist(blocking = false)
     out
   }
+
+  /**
+   * Gini concentration of tool usage — the inequality readout behind
+   * "is the tool surface dominated by a head?" (skew planning input:
+   * a Gini near 1 says hub mitigation is mandatory, near 0 says hash
+   * partitioning is already fair). Integer-exact via the rank form
+   * on ascending counts x₁ ≤ … ≤ x_n (ties broken by tool name):
+   * G·n·Σx = 2·Σ i·xᵢ − (n+1)·Σx, exported as
+   * gini_e6 = ⌊10⁶·(2Σi·xᵢ − (n+1)Σx) / (n·Σx)⌋ — no floats, no
+   * sort of the raw usage table (only the tiny per-tool aggregate is
+   * ranked).
+   *
+   * @return one row: (n_tools, total_uses, gini_e6)
+   */
+  def toolGini(transcripts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").asc, col("tool").asc)
+    val ranked = transcripts.where(col("tool").isNotNull)
+      .groupBy(col("tool")).agg(count(lit(1)).as("cnt"))
+      .withColumn("i", row_number().over(w).cast("long"))
+    ranked.agg(
+      count(lit(1)).as("n_tools"),
+      sum(col("cnt")).as("total_uses"),
+      sum(col("i") * col("cnt")).as("iwx"))
+      .select(col("n_tools"), col("total_uses"),
+        expr("(1000000L * (2 * iwx - (n_tools + 1) * total_uses))" +
+          " div (n_tools * total_uses)").as("gini_e6"))
+  }
 }

@@ -274,6 +274,22 @@ class Round3fSpec extends SparkSpec {
       ((4L, 1L, 1L, 4L))) // n=4, mutual=1, asym=1, nulls=C(4,2)-2
   }
 
+  // ---------- Gini concentration ----------
+
+  test("toolGini: rank-form integer Gini on a hand-computed distribution") {
+    import spark.implicits._
+    // usage counts A:1 B:1 C:2 D:4 → sorted asc, Σx=8, Σi·x=25,
+    // G = (2·25 − 5·8)/(4·8) = 0.3125
+    val rows = Seq("A" -> 1, "B" -> 1, "C" -> 2, "D" -> 4)
+      .flatMap { case (t, n) => (0 until n).map(i => (s"c$t$i", 0, t)) }
+    val t = rows.toDF("conv_id", "turn_idx", "tool")
+    val got = pipeline.Cooccur.toolGini(t).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((4L, 8L, 312500L)))
+    // uniform usage → Gini 0... minus the discrete floor
+    val u = Seq(("c1", 0, "X"), ("c2", 0, "Y"), ("c3", 0, "Z")).toDF("conv_id", "turn_idx", "tool")
+    assert(pipeline.Cooccur.toolGini(u).collect().head.getLong(2) == 0L)
+  }
+
   // ---------- greedy coverage ----------
 
   test("greedyCover: picks by marginal coverage with conv_id ties; stops when covered") {
