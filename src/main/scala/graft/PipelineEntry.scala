@@ -19,6 +19,10 @@ object PipelineEntry {
     "q_stream_dedup" -> ((s, dir) =>
       streaming.DocStream.dedup(Dedup.docs(s, dir)).toDF()
         .select(col("doc_id"), col("text_md5"))),
+    // segment-level dedup rewrite: first corpus-wide occurrence of
+    // each 8-token segment survives; documents reassemble from the
+    // survivors (the CCNet line-dedup shape)
+    "q_segdedup" -> ((s, dir) => Dedup.segmentDedup(Dedup.docs(s, dir))),
     "q_minhash" -> ((s, dir) => Dedup.minhashPairs(Dedup.docs(s, dir))),
     // Levenshtein ≤ 20 on the LSH candidates (thresholded DP verify)
     "q_editdist" -> ((s, dir) => Dedup.editDistancePairs(Dedup.docs(s, dir))),
@@ -32,6 +36,12 @@ object PipelineEntry {
     // plain brute-force Jaccard, so a green row proves completeness
     "q_allpairs" -> ((s, dir) => Dedup.allPairsJoin(Dedup.docs(s, dir), tE4 = 5000)),
     "q_ann_cosine" -> ((s, dir) => Similarity.cosineTopK(Similarity.embeddings(s, dir))),
+    // contrastive hard negatives: nearest neighbors with a DIFFERENT
+    // label (the confusable pairs an embedding trainer mines)
+    "q_hardneg" -> ((s, dir) => Similarity.hardNegatives(Similarity.embeddings(s, dir))),
+    // per-label centroid outliers: the mislabel/noise screen
+    // (integer-exact quantized distance, floor per dimension)
+    "q_outlier_emb" -> ((s, dir) => Similarity.centroidOutliers(Similarity.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(Similarity.embeddings(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(Similarity.embeddings(s, dir))),
     // OR-amplified LSH: 2 independent 6-plane tables (recall per pair
@@ -222,6 +232,30 @@ object PipelineEntry {
     docPrefix + minhashBody(mat = false) +
       "\nSELECT doc_a, doc_b, jaccard_e4 FROM mhp"
 
+  /** Mirrors Dedup.segmentDedup (segLen = 8): grouped segment build,
+   * first-occurrence election over md5(seg), ordered reassembly. */
+  private val segDedupSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents
+      |), segs AS (
+      |  SELECT doc_id, (pos - 1) // 8 AS seg_idx,
+      |         string_agg(tok, ' ' ORDER BY pos) AS seg
+      |  FROM tok GROUP BY 1, 2
+      |), elected AS (
+      |  SELECT doc_id, seg_idx, seg,
+      |         row_number() OVER (PARTITION BY md5(seg)
+      |                            ORDER BY doc_id, seg_idx) = 1 AS kept
+      |  FROM segs
+      |)
+      |SELECT doc_id,
+      |       cast(count(*) AS bigint) AS n_segs,
+      |       cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS bigint) AS kept_segs,
+      |       md5(coalesce(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_idx), ''))
+      |         AS new_md5
+      |FROM elected GROUP BY 1""".stripMargin
+
   /** Mirrors Multimodal.wavTable + decodeWav: the oracle builds the
    * same canonical WAV hex image (header fields little-endian) and
    * parses it back with the identical slices — DuckDB works in hex
@@ -407,6 +441,59 @@ object PipelineEntry {
       |FROM inter i
       |JOIN szs sa ON sa.doc_id = i.doc_a
       |JOIN szs sb ON sb.doc_id = i.doc_b""".stripMargin
+
+  /** Mirrors Similarity.centroidOutliers: quantized component sums
+   * per label, e = |n·xq − S| // n per dimension, d2 = Σe², top-5
+   * per label by (d2 desc, vec_id). */
+  private val outlierEmbSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, cast(label AS bigint) AS lab,
+      |         generate_subscripts(embedding, 1) AS i,
+      |         cast(round(cast(unnest(embedding) AS double) * 1000000) AS bigint) AS xq
+      |  FROM embeddings
+      |), cent AS (
+      |  SELECT lab, i, sum(xq) AS s, count(*) AS n FROM q GROUP BY 1, 2
+      |), e AS (
+      |  SELECT q.lab, q.vec_id, abs(c.n * q.xq - c.s) // c.n AS e
+      |  FROM q JOIN cent c ON c.lab = q.lab AND c.i = q.i
+      |), d AS (
+      |  SELECT lab, vec_id, sum(e * e) AS d2 FROM e GROUP BY 1, 2
+      |)
+      |SELECT lab, vec_id, cast(d2 AS bigint) AS d2, cast(rank AS bigint) AS rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY lab ORDER BY d2 DESC, vec_id) AS rank
+      |  FROM d) r
+      |WHERE rank <= 5""".stripMargin
+
+  /** Mirrors Similarity.hardNegatives: brute cosine restricted to
+   * label-mismatched pairs, top-3 per query by (sim_e4 desc, neg_id). */
+  private val hardNegSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, cast(unnest(embedding) AS double) AS x,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), norms AS (
+      |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1
+      |), labs AS (
+      |  SELECT vec_id, label FROM embeddings
+      |), dots AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS neg_id, sum(a.x*b.x) AS d
+      |  FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id
+      |  WHERE a.vec_id < 500
+      |  GROUP BY 1, 2
+      |), sims AS (
+      |  SELECT d.vec_id, d.neg_id,
+      |         cast(round(d.d / (na.nrm * nb.nrm) * 10000) AS bigint) AS sim_e4
+      |  FROM dots d
+      |  JOIN norms na ON na.vec_id = d.vec_id
+      |  JOIN norms nb ON nb.vec_id = d.neg_id
+      |  JOIN labs la ON la.vec_id = d.vec_id
+      |  JOIN labs lb ON lb.vec_id = d.neg_id
+      |  WHERE la.label <> lb.label
+      |)
+      |SELECT vec_id, neg_id, sim_e4, cast(rank AS bigint) AS rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_e4 DESC, neg_id) AS rank
+      |  FROM sims) r
+      |WHERE rank <= 3""".stripMargin
 
   private val annCosineSql: String =
     """WITH v AS (
@@ -1350,6 +1437,7 @@ object PipelineEntry {
       """SELECT min(doc_id) AS doc_id, md5(text) AS text_md5
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "q_minhash" -> minhashSql,
+    "q_segdedup" -> segDedupSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_split" -> splitSql,
     "q_decontam" -> decontamSql,
@@ -1359,6 +1447,8 @@ object PipelineEntry {
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_allpairs" -> allPairsSql,
     "q_ann_cosine" -> annCosineSql,
+    "q_hardneg" -> hardNegSql,
+    "q_outlier_emb" -> outlierEmbSql,
     "q_langid" -> langidSql,
     "q_quality" -> qualitySql,
     "q_tokens" -> tokensSql,

@@ -361,6 +361,11 @@ object SparkEntry {
     // bucketing, no float log)
     "q_deg_hist" -> ((s, dir) =>
       DegreeStats.histogram(Graphs.get(s, dir, symmetric = true))),
+    // Rich-club coefficient: hub-club density per degree threshold
+    // (one edge pass grouped by min endpoint degree; thresholds join
+    // the tiny aggregate — cost independent of |ks|)
+    "q_richclub" -> ((s, dir) =>
+      DegreeStats.richClub(Graphs.get(s, dir, symmetric = true))),
     // Link prediction: resource-allocation neighborhood overlap of
     // non-adjacent pairs (wedge-center degree cap, integer-exact RA)
     "q_linkpred" -> ((s, dir) =>
@@ -2498,6 +2503,26 @@ object SparkEntry {
     "q_walks" -> walksSql,
     "q_walks_w" -> walksWSql,
     "q_deg_hist" -> degHistSql,
+    "q_richclub" -> ("WITH " + prefixBody + symBody +
+      """
+        |, od AS (SELECT src_key, count(*) AS d FROM esw GROUP BY 1)
+        |, em AS (
+        |  SELECT least(a.d, b.d) AS mm, count(*) AS cnt
+        |  FROM esw e JOIN od a ON a.src_key = e.src_key
+        |             JOIN od b ON b.src_key = e.dst_key
+        |  GROUP BY 1
+        |), ks AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k)
+        |SELECT cast(k AS bigint) AS k,
+        |       cast(n_k AS bigint) AS n_k,
+        |       cast(e_dir // 2 AS bigint) AS e_k,
+        |       cast(CASE WHEN n_k >= 2 THEN (10000 * e_dir) // (n_k * (n_k - 1))
+        |                 ELSE 0 END AS bigint) AS phi_e4
+        |FROM (
+        |  SELECT k,
+        |         (SELECT coalesce(sum(vn), 0) FROM
+        |            (SELECT d, count(*) AS vn FROM od GROUP BY 1) dc WHERE dc.d > ks.k) AS n_k,
+        |         (SELECT coalesce(sum(cnt), 0) FROM em WHERE em.mm > ks.k) AS e_dir
+        |  FROM ks) x""".stripMargin),
     "q_assort" -> ("WITH " + prefixBody + symBody +
       """
         |, od AS (SELECT src_key, count(*) AS d FROM esw GROUP BY 1)

@@ -80,6 +80,46 @@ object DegreeStats {
         sum(col("du") * col("du")).as("sx2"))
   }
 
+  /**
+   * Rich-club coefficient φ(k) — "do the hubs form a club?": among
+   * the N_k vertices of degree > k, φ(k) = 2·E_k / (N_k·(N_k−1))
+   * where E_k counts undirected edges with BOTH endpoints above the
+   * threshold. The transcript graph's readout: tool hubs are densely
+   * inter-reachable while conversation chains are not.
+   *
+   * Scale shape: ONE pass over the edge set (degree join, then
+   * grouped by min(du,dv) — ≤ max-degree rows survive) and one over
+   * the degree table; the per-threshold expansion joins the fixed
+   * `ks` list against those tiny aggregates, so cost is independent
+   * of how many thresholds are requested. Integer-exact export:
+   * φ_e4 = ⌊10⁴·E_dir / (N_k·(N_k−1))⌋ (E_dir = directed edge rows,
+   * = 2·E_k on the symmetric graph); 0 when N_k < 2.
+   *
+   * @return (k, n_k, e_k, phi_e4), one row per threshold
+   */
+  def richClub(graph: LinkGraph, ks: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L, 32L)): DataFrame = {
+    require(graph.symmetric, "rich-club is defined on the undirected graph")
+    val spark = graph.vertices.sparkSession
+    import spark.implicits._
+    val deg = graph.degrees.select(col("id"), col("out_degree").as("d"))
+    val edgeMin = graph.edgesBySrc
+      .join(deg.withColumnRenamed("id", "src").withColumnRenamed("d", "du"), "src")
+      .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("d", "dv"), "dst")
+      .select(least(col("du"), col("dv")).as("mm"))
+      .groupBy(col("mm")).agg(count(lit(1)).as("cnt"))
+    val degCounts = deg.groupBy(col("d")).agg(count(lit(1)).as("vn"))
+    val ksDf = ks.toDF("k")
+    val eK = ksDf.join(edgeMin, col("mm") > col("k"), "left")
+      .groupBy(col("k")).agg(coalesce(sum(col("cnt")), lit(0L)).as("e_dir"))
+    val nK = ksDf.join(degCounts, col("d") > col("k"), "left")
+      .groupBy(col("k")).agg(coalesce(sum(col("vn")), lit(0L)).as("n_k"))
+    nK.join(eK, "k").select(
+      col("k"), col("n_k"),
+      expr("e_dir div 2").as("e_k"),
+      expr("CASE WHEN n_k >= 2 THEN (10000 * e_dir) div (n_k * (n_k - 1)) ELSE 0 END")
+        .as("phi_e4"))
+  }
+
   /** Component-size histogram over CC labels (id, lbl) — same exact
    * power-of-two bucketing; the giant-component census that drives
    * partitioner and sampler decisions on web graphs. ≤ 64 output rows

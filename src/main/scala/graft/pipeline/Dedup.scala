@@ -466,6 +466,45 @@ object Dedup {
    *
    * @return (source_a, source_b, n_shared, n_a, n_b, containment_e4)
    */
+  /**
+   * Segment-level dedup REWRITE (the CCNet/Gopher line-dedup shape,
+   * over fixed `segLen`-token segments since transcripts carry no
+   * newlines): a segment survives only at its FIRST corpus-wide
+   * occurrence — keeper = minimal (doc_id, seg_idx) over the
+   * segment's md5, deterministic — and the survivors reassemble in
+   * order into the rewritten document. Unlike [[dupSpans]] (which
+   * only censuses duplicated spans) this op rewrites the corpus, the
+   * actual curation step.
+   *
+   * Scale shape: segmentation is array-native per row (zero shuffle);
+   * first-occurrence election is ONE window over the segment hash
+   * (hash-partitioned, no global sort); reassembly is ONE groupBy
+   * doc_id whose state is bounded by the document's own segments.
+   *
+   * @return (doc_id, n_segs, kept_segs, new_md5) — new_md5 hashes the
+   *         space-joined surviving segments ('' when none survive)
+   */
+  def segmentDedup(docs: DataFrame, segLen: Int = 8): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(toks)-1) div $segLen)," +
+          s" i -> array_join(slice(toks, i*$segLen+1, $segLen), ' '))"))
+        .as(Seq("seg_idx", "seg")))
+    val w = Window.partitionBy(md5(col("seg")))
+    val elected = segs
+      .withColumn("first", min(struct(col("doc_id"), col("seg_idx"))).over(w))
+      .withColumn("kept", col("first") === struct(col("doc_id"), col("seg_idx")))
+    elected.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_segs"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("kept_segs"),
+      md5(array_join(
+        transform(
+          array_sort(collect_list(when(col("kept"), struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")),
+        " ")).as("new_md5"))
+  }
+
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
     val sg = shingles(docs, n)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")

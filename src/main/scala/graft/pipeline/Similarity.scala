@@ -70,6 +70,77 @@ object Similarity {
     out
   }
 
+  /**
+   * Per-label embedding OUTLIERS by distance to the label centroid —
+   * the mislabel/noise screen a curation pipeline runs before
+   * training on labeled embeddings.
+   *
+   * Integer-exact across engines: components quantize to
+   * xq = round(x·10⁶) (the LSH projection's proven trick — long sums
+   * are order-independent, float sums are not); the per-dimension
+   * deviation is e = ⌊|n·xq − S| / n⌋ with S the label's component
+   * sum (abs keeps both engines' integer division identical), and the
+   * score is d2 = Σ e² — the squared centroid distance in 10⁻⁶ units,
+   * floor per dimension. e ≤ ~10⁷ ⇒ d2 ≤ dims·10¹⁴, safely long.
+   *
+   * Scale shape: one 64-rows-per-label centroid aggregate (broadcast
+   * back), one partial-agg sum per vector, one per-label top-k
+   * window over ≤ |V| rows — no quadratic stage anywhere.
+   *
+   * @return (lab, vec_id, d2, rank) for the topK outliers per label
+   */
+  def centroidOutliers(emb: DataFrame, topK: Int = 5): DataFrame = {
+    val q = emb.select(
+      col("vec_id"), col("label").cast("long").as("lab"),
+      posexplode(expr(
+        "transform(embedding, x -> cast(round(cast(x AS double) * 1000000) AS long))"))
+        .as(Seq("i", "xq")))
+    val cent = q.groupBy(col("lab"), col("i"))
+      .agg(sum(col("xq")).as("s"), count(lit(1)).as("n"))
+    val d2 = q.join(broadcast(cent), Seq("lab", "i"))
+      .select(col("lab"), col("vec_id"),
+        expr("abs(n * xq - s) div n").as("e"))
+      .groupBy(col("lab"), col("vec_id"))
+      .agg(sum(col("e") * col("e")).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lab")).orderBy(col("d2").desc, col("vec_id").asc)
+    d2.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("lab"), col("vec_id"), col("d2"), col("rank"))
+  }
+
+  /** Contrastive hard-negative mining: for each query vector, the
+   * top-`k` most-similar vectors carrying a DIFFERENT label — the
+   * pairs a contrastive/embedding trainer wants as negatives
+   * precisely because the current representation confuses them.
+   *
+   * Exactness baseline like [[cosineTopK]] (query side capped, all
+   * vectors stay candidates, deterministic (sim_e4 desc, neg_id)
+   * ranking); at corpus scale the same label-mismatch gate composes
+   * with [[lshTopK]]'s bucketed candidates instead of the full cross
+   * product — the gate is one codegen'd predicate either way.
+   *
+   * @return (vec_id, neg_id, sim_e4, rank) for rank ≤ k
+   */
+  def hardNegatives(emb: DataFrame, k: Int = 3, maxQueries: Long = 500): DataFrame = {
+    val pl = prepared(emb)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .persist()
+    val a = pl.where(col("vec_id") < maxQueries)
+    val b = pl.select(col("vec_id").as("neg_id"), col("v").as("w"),
+      col("norm").as("nrm2"), col("label").as("lab2"))
+    val sims = a.join(b, col("vec_id") =!= col("neg_id") && col("label") =!= col("lab2"))
+      .select(
+        col("vec_id"), col("neg_id"),
+        round(dot(col("v"), col("w")) / (col("norm") * col("nrm2")) * 10000)
+          .cast("long").as("sim_e4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim_e4").desc, col("neg_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("neg_id"), col("sim_e4"), col("rank"))
+  }
+
   /** LSH-bucketed cosine top-k: the 100 TB-scale variant. Buckets via
    * `planes` random ±1 hyperplanes, brute-force kernel within buckets.
    *

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.algos.DegreeStats
+
+/** Round-3g operators: rich-club coefficient, hard-negative mining,
+ * segment-level dedup rewrite, BPE merge training. */
+class Round3gSpec extends SparkSpec {
+
+  // ---------- rich-club coefficient ----------
+
+  test("richClub: K4 hub club with pendants matches the hand count") {
+    // K4 on 1..4; pendants 5,6,7 on vertex 1 → deg(1)=6, deg(2..4)=3,
+    // deg(5..7)=1. Club at k∈{1,2}: the K4 (φ = 1); at k=4: only v1.
+    val pairs = Seq(
+      (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (1, 5), (1, 6), (1, 7))
+    val g = graphOf(pairs, symmetric = true)
+    val got = DegreeStats.richClub(g, ks = Seq(1L, 2L, 4L)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((4L, 6L, 10000L)))
+    assert(got(2L) == ((4L, 6L, 10000L)))
+    assert(got(4L) == ((1L, 0L, 0L)))
+  }
+
+  // ---------- contrastive hard negatives ----------
+
+  test("hardNegatives: nearest DIFFERENT-label neighbor, same-label excluded") {
+    import spark.implicits._
+    // v0,v1 share label 0 and are nearly parallel; v2 (label 1) is the
+    // closest cross-label vector to v0; v3 (label 1) is orthogonal.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.8f, 0.6f), 1),
+      (3L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = pipeline.Similarity.hardNegatives(emb, k = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(0L)._1 == 2L) // not v1 despite cos(v0,v1) ≈ 0.994
+    assert(got(0L)._2 == 8000L) // cos = 0.8/(1·1) exactly
+    assert(got(3L)._1 == 1L) // nearest label-0 vector to v3
+  }
+
+  // ---------- per-label centroid outliers ----------
+
+  test("centroidOutliers: matches the plain integer replay; farthest ranks first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f), 0),
+      (1L, Array(2.0f, 0.0f), 0),
+      (2L, Array(0.0f, 2.0f), 0),
+      (3L, Array(1.0f, 1.0f), 1),
+      (4L, Array(1.0f, 1.2f), 1))
+    // plain replay of the documented contract
+    def replay(lab: Int): Seq[(Long, Long)] = {
+      val g = vecs.filter(_._3 == lab)
+      val n = g.size.toLong
+      val qs = g.map { case (id, v, _) => id -> v.map(x => math.round(x.toDouble * 1e6)) }
+      val s = qs.map(_._2).transpose.map(_.sum)
+      qs.map { case (id, xq) =>
+        id -> xq.zip(s).map { case (x, si) => val e = math.abs(n * x - si) / n; e * e }.sum
+      }.sortBy { case (id, d2) => (-d2, id) }
+    }
+    val got = pipeline.Similarity.centroidOutliers(vecs.toDF("vec_id", "embedding", "label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = (0 to 1).flatMap(l =>
+      replay(l).zipWithIndex.map { case ((id, d2), i) => (l.toLong, id, d2, i + 1L) })
+    assert(got.sortBy(t => (t._1, t._4)).toSeq == want.sortBy(t => (t._1, t._4)))
+    // label 0's centroid sits nearer (1,1)-ish vectors than the corners
+    assert(got.filter(_._1 == 0L).minBy(_._4)._3 > 0L)
+  }
+
+  // ---------- segment-level dedup rewrite ----------
+
+  test("segmentDedup: first occurrence survives, rewrite reassembles in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), // both segments first → fully kept
+      (2L, "a b x y"), // "a b" duplicates doc 1's first segment
+      (3L, "c d"), // duplicates doc 1's second segment → empty rewrite
+      (4L, "p q r") // trailing short segment kept whole
+    ).toDF("doc_id", "text")
+    val got = pipeline.Dedup.segmentDedup(docs, segLen = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((2L, 2L, h("a b c d"))))
+    assert(got(2L) == ((2L, 1L, h("x y"))))
+    assert(got(3L) == ((1L, 0L, h(""))))
+    assert(got(4L) == ((2L, 2L, h("p q r"))))
+  }
+
+  test("richClub: thresholds above the max degree give the empty club") {
+    val g = graphOf(Seq((1, 2), (2, 3)), symmetric = true)
+    val got = DegreeStats.richClub(g, ks = Seq(8L)).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(1) == 0L && got.head.getLong(3) == 0L)
+  }
+}
