@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Cooccur, Curate, Decontam, Dedup, Mix, Multimodal, Quantiles, Similarity, Sketch, TextStats, Vocab}
+import graft.pipeline.{Bpe, Cooccur, Curate, Decontam, Dedup, Mix, Multimodal, Quantiles, Similarity, Sketch, TextStats, Vocab}
 
 /** Driver-contract entries for the training-data pipeline operators
  * (dedup / similarity / text analysis / multimodal) over the
@@ -19,6 +19,10 @@ object PipelineEntry {
     "q_stream_dedup" -> ((s, dir) =>
       streaming.DocStream.dedup(Dedup.docs(s, dir)).toDF()
         .select(col("doc_id"), col("text_md5"))),
+    // BPE tokenizer merge training: 6 rounds of top-pair adoption
+    // over the distinct-word frequency table (the oracle replays the
+    // full adaptive trajectory with chained CTE rounds)
+    "q_bpe" -> ((s, dir) => Bpe.train(Dedup.docs(s, dir), rounds = 6)),
     // segment-level dedup rewrite: first corpus-wide occurrence of
     // each 8-token segment survives; documents reassemble from the
     // survivors (the CCNet line-dedup shape)
@@ -231,6 +235,61 @@ object PipelineEntry {
   private val minhashSql: String =
     docPrefix + minhashBody(mat = false) +
       "\nSELECT doc_a, doc_b, jaccard_e4 FROM mhp"
+
+  /** Mirrors Bpe.train(rounds = 6): replays the full adaptive merge
+   * trajectory. Round r picks m{r} = argmax pair by (count desc, a,
+   * b) over adjacent symbols of w{r}, then rewrites to w{r+1} by
+   * greedy left-to-right application — consecutive eligible positions
+   * (only runs, sym_a = sym_b) merge at odd row_numbers (even chain
+   * offsets), the next position is consumed, and positions renumber. */
+  private val bpeSql: String = {
+    def step(r: Int): String =
+      s""", p$r AS MATERIALIZED (
+         |  SELECT a.sym AS pa, b.sym AS pb, sum(a.freq) AS cnt
+         |  FROM w$r a JOIN w$r b ON b.wid = a.wid AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2
+         |), m$r AS MATERIALIZED (
+         |  SELECT pa, pb, cnt FROM p$r ORDER BY cnt DESC, pa, pb LIMIT 1
+         |), x$r AS MATERIALIZED (
+         |  SELECT w.wid, w.freq, w.pos, w.sym, m.pa, m.pb,
+         |         (w.sym = m.pa AND
+         |          lead(w.sym) OVER (PARTITION BY w.wid ORDER BY w.pos) = m.pb) AS elig
+         |  FROM w$r w CROSS JOIN m$r m
+         |), st$r AS MATERIALIZED (
+         |  SELECT wid, pos FROM (
+         |    SELECT wid, pos, row_number() OVER (PARTITION BY wid, grp ORDER BY pos) AS rn
+         |    FROM (
+         |      SELECT wid, pos, pos - row_number() OVER (PARTITION BY wid ORDER BY pos) AS grp
+         |      FROM x$r WHERE elig) g) t
+         |  WHERE rn % 2 = 1
+         |), w${r + 1} AS MATERIALIZED (
+         |  SELECT wid, freq, row_number() OVER (PARTITION BY wid ORDER BY pos) AS pos, sym
+         |  FROM (
+         |    SELECT w.wid, w.freq, w.pos,
+         |           CASE WHEN s.pos IS NOT NULL THEN w.pa || w.pb ELSE w.sym END AS sym
+         |    FROM x$r w
+         |    LEFT JOIN st$r s ON s.wid = w.wid AND s.pos = w.pos
+         |    LEFT JOIN st$r c ON c.wid = w.wid AND c.pos = w.pos - 1
+         |    WHERE c.pos IS NULL) z
+         |)""".stripMargin
+    val rounds = 6
+    val union = (1 to rounds).map(r =>
+      s"""SELECT cast($r AS bigint) AS "round", pa AS sym_a, pb AS sym_b,
+         |       cast(cnt AS bigint) AS pair_count FROM m$r""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    """WITH wd AS MATERIALIZED (
+      |  SELECT w, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |  WHERE length(w) > 0 GROUP BY 1
+      |), pos_idx AS MATERIALIZED (
+      |  SELECT unnest(range(1, 1 + (SELECT coalesce(max(length(w)), 0) FROM wd))) AS pos
+      |), w1 AS MATERIALIZED (
+      |  SELECT dense_rank() OVER (ORDER BY d.w) AS wid, d.freq, p.pos,
+      |         substring(d.w, cast(p.pos AS int), 1) AS sym
+      |  FROM wd d JOIN pos_idx p ON p.pos <= length(d.w)
+      |)""".stripMargin +
+      (1 to rounds).map(step).mkString + "\n" + union
+  }
 
   /** Mirrors Dedup.segmentDedup (segLen = 8): grouped segment build,
    * first-occurrence election over md5(seg), ordered reassembly. */
@@ -1438,6 +1497,7 @@ object PipelineEntry {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "q_minhash" -> minhashSql,
     "q_segdedup" -> segDedupSql,
+    "q_bpe" -> bpeSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_split" -> splitSql,
     "q_decontam" -> decontamSql,

@@ -44,6 +44,35 @@ class Round3gSpec extends SparkSpec {
     assert(got(3L)._1 == 1L) // nearest label-0 vector to v3
   }
 
+  // ---------- BPE merge training ----------
+
+  test("bpe: hand-traced merge trajectory, runs merge greedily, early stop") {
+    import spark.implicits._
+    // corpus: "aaab" ×2, "ab" ×1
+    // r1 pairs: (a,a)=4 [two per aaab], (a,b)=3 → adopt (a,a,4);
+    //   greedy on the aaa run merges offset 0 only: aaab → [aa,a,b]
+    // r2 pairs: (aa,a)=2, (a,b)=3 → adopt (a,b,3) → [aa,ab] / [ab]
+    // r3 pairs: (aa,ab)=2 → adopt → [aaab] / [ab]
+    // r4: no adjacent pairs anywhere → stop (3 rows despite rounds=6)
+    val docs = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    val got = pipeline.Bpe.train(docs, rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", 4L),
+      (2L, "a", "b", 3L),
+      (3L, "aa", "ab", 2L)))
+  }
+
+  test("bpe: tie on count breaks by (sym_a, sym_b)") {
+    import spark.implicits._
+    // "xy" and "yz" both appear twice; (x,y) < (y,z) lexicographically
+    val docs = Seq((1L, "xy xy yz yz")).toDF("doc_id", "text")
+    val got = pipeline.Bpe.train(docs, rounds = 1).collect()
+    assert(got.length == 1)
+    assert((got(0).getString(1), got(0).getString(2), got(0).getLong(3)) == (("x", "y", 2L)))
+  }
+
   // ---------- per-label centroid outliers ----------
 
   test("centroidOutliers: matches the plain integer replay; farthest ranks first") {
