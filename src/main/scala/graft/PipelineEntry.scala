@@ -23,6 +23,9 @@ object PipelineEntry {
     // over the distinct-word frequency table (the oracle replays the
     // full adaptive trajectory with chained CTE rounds)
     "q_bpe" -> ((s, dir) => Bpe.train(Dedup.docs(s, dir), rounds = 6)),
+    // corpus token census under the learned BPE vocabulary (encode
+    // readout: which subwords exist and their true corpus counts)
+    "q_bpe_census" -> ((s, dir) => Bpe.tokenCensus(Dedup.docs(s, dir), rounds = 6)),
     // segment-level dedup rewrite: first corpus-wide occurrence of
     // each 8-token segment survives; documents reassemble from the
     // survivors (the CCNet line-dedup shape)
@@ -243,7 +246,22 @@ object PipelineEntry {
    * (only runs, sym_a = sym_b) merge at odd row_numbers (even chain
    * offsets), the next position is consumed, and positions renumber. */
   private val bpeSql: String = {
-    def step(r: Int): String =
+    val step = bpeStep _
+    val rounds = 6
+    val union = (1 to rounds).map(r =>
+      s"""SELECT cast($r AS bigint) AS "round", pa AS sym_a, pb AS sym_b,
+         |       cast(cnt AS bigint) AS pair_count FROM m$r""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    bpeCtes(step, rounds) + "\n" + union
+  }
+
+  /** Mirrors Bpe.tokenCensus(rounds = 6): the same CTE trajectory,
+   * censusing the final symbol table instead of the merges. */
+  private val bpeCensusSql: String =
+    bpeCtes(bpeStep _, 6) +
+      "\nSELECT sym, cast(sum(freq) AS bigint) AS n_occurrences FROM w7 GROUP BY 1"
+
+  private def bpeStep(r: Int): String =
       s""", p$r AS MATERIALIZED (
          |  SELECT a.sym AS pa, b.sym AS pb, sum(a.freq) AS cnt
          |  FROM w$r a JOIN w$r b ON b.wid = a.wid AND b.pos = a.pos + 1
@@ -254,7 +272,7 @@ object PipelineEntry {
          |  SELECT w.wid, w.freq, w.pos, w.sym, m.pa, m.pb,
          |         (w.sym = m.pa AND
          |          lead(w.sym) OVER (PARTITION BY w.wid ORDER BY w.pos) = m.pb) AS elig
-         |  FROM w$r w CROSS JOIN m$r m
+         |  FROM w$r w LEFT JOIN m$r m ON true
          |), st$r AS MATERIALIZED (
          |  SELECT wid, pos FROM (
          |    SELECT wid, pos, row_number() OVER (PARTITION BY wid, grp ORDER BY pos) AS rn
@@ -272,11 +290,8 @@ object PipelineEntry {
          |    LEFT JOIN st$r c ON c.wid = w.wid AND c.pos = w.pos - 1
          |    WHERE c.pos IS NULL) z
          |)""".stripMargin
-    val rounds = 6
-    val union = (1 to rounds).map(r =>
-      s"""SELECT cast($r AS bigint) AS "round", pa AS sym_a, pb AS sym_b,
-         |       cast(cnt AS bigint) AS pair_count FROM m$r""".stripMargin)
-      .mkString("\nUNION ALL\n")
+
+  private def bpeCtes(step: Int => String, rounds: Int): String =
     """WITH wd AS MATERIALIZED (
       |  SELECT w, count(*) AS freq FROM (
       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
@@ -288,8 +303,7 @@ object PipelineEntry {
       |         substring(d.w, cast(p.pos AS int), 1) AS sym
       |  FROM wd d JOIN pos_idx p ON p.pos <= length(d.w)
       |)""".stripMargin +
-      (1 to rounds).map(step).mkString + "\n" + union
-  }
+      (1 to rounds).map(step).mkString
 
   /** Mirrors Dedup.segmentDedup (segLen = 8): grouped segment build,
    * first-occurrence election over md5(seg), ordered reassembly. */
@@ -1498,6 +1512,7 @@ object PipelineEntry {
     "q_minhash" -> minhashSql,
     "q_segdedup" -> segDedupSql,
     "q_bpe" -> bpeSql,
+    "q_bpe_census" -> bpeCensusSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_split" -> splitSql,
     "q_decontam" -> decontamSql,

@@ -414,6 +414,11 @@ object SparkEntry {
     // per-conversation latency profile (integer µs; value-at-rank median)
     "q_latency" -> ((s, dir) =>
       pipeline.Funnel.latency(Transcripts.fromEvents(s, dir))),
+    // agent stuck-loop census: maximal same-tool runs ≥ 3 across a
+    // conversation's tool-bearing turns (gaps-and-islands, per-conv
+    // windows only)
+    "q_toolloops" -> ((s, dir) =>
+      pipeline.Funnel.toolLoops(Transcripts.fromEvents(s, dir))),
     // streaming decayed trending scores, batch mode (dyadic-exact
     // decay makes the stateful operator oracle-checkable)
     "q_trending" -> ((s, dir) => {
@@ -498,6 +503,21 @@ object SparkEntry {
       val lab = Scc.run(g).sccs.join(g.vertices, "id").select(col("key"), col("scc"))
       val reps = lab.groupBy(col("scc")).agg(min(col("key")).as("scc_key"))
       lab.join(reps, "scc").select(col("key"), col("scc_key"))
+    }),
+    // condensation DAG of the SCCs: cross-component edge census over
+    // the same dominant-direction tool digraph (the component-level
+    // workflow structure; provably acyclic)
+    "q_scc_dag" -> ((s, dir) => {
+      val tt = EdgeBuilder.toolTransitions(Transcripts.fromEvents(s, dir))
+      val g = LinkGraph.fromKeyEdges(tt, symmetric = false, Graphs.shufflePartitions(s))
+      val lab = Scc.run(g).sccs.join(g.vertices, "id")
+      val reps = lab.groupBy(col("scc")).agg(min(col("key")).as("scc_key"))
+      val lk = lab.join(reps, "scc").select(col("id"), col("scc_key"))
+      g.edgesBySrc
+        .join(lk.withColumnRenamed("id", "src").withColumnRenamed("scc_key", "comp_a"), "src")
+        .join(lk.withColumnRenamed("id", "dst").withColumnRenamed("scc_key", "comp_b"), "dst")
+        .where(col("comp_a") =!= col("comp_b"))
+        .groupBy(col("comp_a"), col("comp_b")).agg(count(lit(1)).as("n_edges"))
     }),
     // Katz centrality, truncated at 5 walk lengths, α = 1/8 — exported
     // as the exact scaled integer 8⁵·katz (walk counts are integers,
@@ -1901,6 +1921,24 @@ object SparkEntry {
       |FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
       |GROUP BY a.s""".stripMargin
 
+  /** Condensation edge census: same reach fixpoint, then distinct
+   * dominant-direction edges grouped by (component, component). */
+  private val sccDagSql: String = sccSql.replace(
+    """SELECT a.s AS key, min(a.d) AS scc_key
+      |FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+      |GROUP BY a.s""".stripMargin,
+    """, scc AS (
+      |  SELECT a.s AS key, min(a.d) AS scc_key
+      |  FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+      |  GROUP BY a.s
+      |)
+      |SELECT sa.scc_key AS comp_a, sb.scc_key AS comp_b,
+      |       cast(count(*) AS bigint) AS n_edges
+      |FROM te e JOIN scc sa ON sa.key = e.src
+      |          JOIN scc sb ON sb.key = e.dst
+      |WHERE sa.scc_key <> sb.scc_key
+      |GROUP BY 1, 2""".stripMargin)
+
   /** Katz replay: 5 unrolled walk-count rounds (integer sums over
    * in-edges), assembled with the dyadic 8^(5-k) weights. */
   private val katzSql: String = {
@@ -2635,6 +2673,17 @@ object SparkEntry {
     "q_cover" -> coverSql,
     "q_gini" -> giniSql,
     "q_segments" -> segmentsSql,
+    "q_toolloops" -> (prefix +
+      """, tt AS (SELECT conv_id, turn_idx, tool FROM t WHERE tool IS NOT NULL)
+        |, g AS (
+        |  SELECT conv_id, turn_idx, tool,
+        |         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+        |       - row_number() OVER (PARTITION BY conv_id, tool ORDER BY turn_idx) AS grp
+        |  FROM tt
+        |)
+        |SELECT conv_id, tool, cast(count(*) AS bigint) AS run_len,
+        |       cast(min(turn_idx) AS bigint) AS start_turn
+        |FROM g GROUP BY conv_id, tool, grp HAVING count(*) >= 3""".stripMargin),
     "q_latency" -> (prefix +
       """, g AS (
         |  SELECT conv_id, turn_idx, epoch_us(ts) AS tus,
@@ -2696,6 +2745,7 @@ object SparkEntry {
     "q_critpath" -> critpathSql,
     "q_critpath_fast" -> critpathSql,
     "q_scc" -> sccSql,
+    "q_scc_dag" -> sccDagSql,
     "q_katz" -> katzSql,
     "q_listrank" -> listrankSql,
     "q_modularity" -> modularitySql,

@@ -35,6 +35,29 @@ object Bpe {
   /** @return (round, sym_a, sym_b, pair_count) — the learned merge
    *          table, one row per round (stops early if no pair left) */
   def train(docs: DataFrame, rounds: Int = 6): DataFrame = {
+    val (merges, words) = trainState(docs, rounds)
+    words.unpersist()
+    merges
+  }
+
+  /**
+   * Token census of the corpus ENCODED under the learned vocabulary —
+   * the readout a tokenizer-training pipeline ships: which subword
+   * symbols exist after `rounds` merges and how often each occurs
+   * (occurrences weighted by word frequency, i.e. true corpus counts).
+   *
+   * @return (sym, n_occurrences)
+   */
+  def tokenCensus(docs: DataFrame, rounds: Int = 6): DataFrame = {
+    val (_, words) = trainState(docs, rounds)
+    val out = words
+      .select(col("freq"), explode(col("syms")).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("freq")).as("n_occurrences"))
+    words.unpersist()
+    out
+  }
+
+  private def trainState(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     var words = docs
@@ -75,8 +98,8 @@ object Bpe {
         r += 1
       }
     }
-    words.unpersist()
-    merges.toSeq.toDF("round", "sym_a", "sym_b", "pair_count")
+    val mergesDf = merges.toSeq.toDF("round", "sym_a", "sym_b", "pair_count")
       .repartition(1)
+    (mergesDf, words)
   }
 }

@@ -57,6 +57,35 @@ object Funnel {
         coalesce(col("median_gap_us"), lit(-1L)).as("median_gap_us"))
   }
 
+  /**
+   * Agent STUCK-LOOP detection: maximal runs of the SAME tool across
+   * a conversation's consecutive tool-bearing turns (interleaved
+   * non-tool turns don't break a run — the agent kept re-invoking the
+   * tool). Runs of length ≥ `minRun` are the retry-loop signature a
+   * transcript-quality pipeline flags before training on agent data.
+   *
+   * Gaps-and-islands over the per-conversation tool subsequence:
+   * grp = rank-within-conv − rank-within-(conv, tool) is constant
+   * exactly on a maximal equal-tool run. Windows are per-conversation
+   * — parallel across the corpus, no global sort.
+   *
+   * @return (conv_id, tool, run_len, start_turn) for runs ≥ minRun
+   */
+  def toolLoops(transcripts: DataFrame, minRun: Int = 3): DataFrame = {
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id"), col("tool")).orderBy(col("turn_idx"))
+    transcripts.where(col("tool").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), col("tool"))
+      .withColumn("grp", row_number().over(w1) - row_number().over(w2))
+      .groupBy(col("conv_id"), col("tool"), col("grp"))
+      .agg(count(lit(1)).as("run_len"),
+        min(col("turn_idx")).cast("long").as("start_turn"))
+      .where(col("run_len") >= minRun)
+      .select(col("conv_id"), col("tool"), col("run_len"), col("start_turn"))
+  }
+
   /** @return (conv_id, depth, done_us): steps completed in order
    * (0-3) and the completion time of the deepest step (-1 if none). */
   def toolFunnel(transcripts: DataFrame): DataFrame = {

@@ -73,6 +73,31 @@ class Round3gSpec extends SparkSpec {
     assert((got(0).getString(1), got(0).getString(2), got(0).getLong(3)) == (("x", "y", 2L)))
   }
 
+  test("bpe tokenCensus: counts the corpus under the final vocabulary") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    // rounds=2 state (see trajectory above): aaab → [aa, ab] ×2, ab → [ab]
+    val got = pipeline.Bpe.tokenCensus(docs, rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("aa" -> 2L, "ab" -> 3L))
+  }
+
+  // ---------- agent stuck-loop detection ----------
+
+  test("toolLoops: maximal same-tool runs, interleaved non-tool turns ignored") {
+    import spark.implicits._
+    val rows = Seq(
+      // c1: t_a ×3 with a toolless turn inside the run, then t_b ×2
+      ("c1", 0, Some("t_a")), ("c1", 1, Some("t_a")), ("c1", 2, None),
+      ("c1", 3, Some("t_a")), ("c1", 4, Some("t_b")), ("c1", 5, Some("t_b")),
+      // c2: alternating — no run reaches 2
+      ("c2", 0, Some("t_a")), ("c2", 1, Some("t_b")), ("c2", 2, Some("t_a")))
+    val t = rows.toDF("conv_id", "turn_idx", "tool")
+    val got = pipeline.Funnel.toolLoops(t, minRun = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == Set(("c1", "t_a", 3L, 0L), ("c1", "t_b", 2L, 4L)))
+  }
+
   // ---------- per-label centroid outliers ----------
 
   test("centroidOutliers: matches the plain integer replay; farthest ranks first") {
