@@ -348,6 +348,16 @@ object SparkEntry {
         .join(g.vertices, "id")
         .select(col("root_key"), col("step").cast("long").as("step"), col("key"))
     }),
+    // Skip-gram (center, context) training pairs from the q_walks
+    // sequences, window 2 — the DeepWalk data-generation step
+    "q_sgpairs" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      val wk = RandomWalk.run(g, rootIds(g, 4), steps = 8).walks
+        .join(g.vertices.select(col("id").as("root"), col("key").as("root_key")), "root")
+        .join(g.vertices, "id")
+        .select(col("root_key"), col("step").cast("long").as("step"), col("key"))
+      RandomWalk.skipGramPairs(wk, window = 2)
+    }),
     // Weight-proportional walks (node2vec-style bias): the hash picks
     // a slot on the cumulative integer-weight line — exact + replayable
     "q_walks_w" -> ((s, dir) => {
@@ -414,6 +424,10 @@ object SparkEntry {
     // per-conversation latency profile (integer µs; value-at-rank median)
     "q_latency" -> ((s, dir) =>
       pipeline.Funnel.latency(Transcripts.fromEvents(s, dir))),
+    // corpus freshness: per-day n-gram novelty curve (new-gram mass
+    // per UTC day — integer day arithmetic, no timezone)
+    "q_novelty" -> ((s, dir) =>
+      pipeline.TextStats.noveltyByDay(Transcripts.fromEvents(s, dir))),
     // agent stuck-loop census: maximal same-tool runs ≥ 3 across a
     // conversation's tool-bearing turns (gaps-and-islands, per-conv
     // windows only)
@@ -1071,17 +1085,31 @@ object SparkEntry {
          |    FROM w${t - 1} w JOIN esw e ON e.src_key = w.key) x
          |  WHERE rn = 1
          |)""".stripMargin
-    val union = (0 to 8).map(t =>
-      s"SELECT root AS root_key, cast($t AS bigint) AS step, key FROM w$t")
-      .mkString("\nUNION ALL\n")
     prefix + symBody +
       """, rt4 AS MATERIALIZED (
         |  SELECT src_key AS rkey FROM esw GROUP BY src_key ORDER BY count(*) DESC, src_key LIMIT 4
         |), w0 AS (
         |  SELECT rkey AS root, rkey AS key FROM rt4
         |)""".stripMargin +
-      (1 to 8).map(step).mkString + "\n" + union
+      (1 to 8).map(step).mkString + "\n" + walksUnion
   }
+
+  private lazy val walksUnion: String = (0 to 8).map(t =>
+    s"SELECT root AS root_key, cast($t AS bigint) AS step, key FROM w$t")
+    .mkString("\nUNION ALL\n")
+
+  /** Skip-gram (center, context) pair census over the q_walks walk
+   * sequences, window 2 — the DeepWalk/node2vec TRAINING-DATA
+   * generation step downstream of the walk sampler. */
+  private val sgpairsSql: String =
+    walksSql.stripSuffix(walksUnion) +
+      ", wk AS (\n" + walksUnion + "\n)" +
+      """
+        |SELECT a.key AS center, b.key AS context, cast(count(*) AS bigint) AS n
+        |FROM wk a JOIN wk b
+        |  ON b.root_key = a.root_key AND b.step <> a.step
+        | AND abs(b.step - a.step) <= 2
+        |GROUP BY 1, 2""".stripMargin
 
   /** Weight-proportional walk replay: at step t, walker at `key`
    * draws h = 60-bit md5(key|t) and takes the neighbor whose slot on
@@ -2540,6 +2568,7 @@ object SparkEntry {
     "q_closeness_all" -> closenessAllSql,
     "q_walks" -> walksSql,
     "q_walks_w" -> walksWSql,
+    "q_sgpairs" -> sgpairsSql,
     "q_deg_hist" -> degHistSql,
     "q_richclub" -> ("WITH " + prefixBody + symBody +
       """
@@ -2673,6 +2702,26 @@ object SparkEntry {
     "q_cover" -> coverSql,
     "q_gini" -> giniSql,
     "q_segments" -> segmentsSql,
+    "q_novelty" -> (prefix +
+      """, tok AS (
+        |  SELECT conv_id, turn_idx, epoch_us(ts) // 86400000000 AS day,
+        |         unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM t
+        |), gr AS (
+        |  SELECT day,
+        |         concat(tok, ' ', lead(tok) OVER win) AS gram,
+        |         lead(tok) OVER win AS nxt
+        |  FROM tok WINDOW win AS (PARTITION BY conv_id, turn_idx ORDER BY pos)
+        |), bgd AS (
+        |  SELECT gram, day, count(*) AS c FROM gr WHERE nxt IS NOT NULL GROUP BY 1, 2
+        |), fst AS (
+        |  SELECT gram, min(day) AS fday FROM bgd GROUP BY 1
+        |)
+        |SELECT b.day AS day, cast(sum(c) AS bigint) AS n_occ,
+        |       cast(sum(CASE WHEN b.day = f.fday THEN c ELSE 0 END) AS bigint) AS new_occ,
+        |       cast(sum(CASE WHEN b.day = f.fday THEN 1 ELSE 0 END) AS bigint) AS new_grams
+        |FROM bgd b JOIN fst f ON f.gram = b.gram GROUP BY 1""".stripMargin),
     "q_toolloops" -> (prefix +
       """, tt AS (SELECT conv_id, turn_idx, tool FROM t WHERE tool IS NOT NULL)
         |, g AS (

@@ -48,6 +48,29 @@ object RandomWalk {
    *  @return walks: (root, step, id) — step 0 is the root itself;
    *          a walk stops early only if the current vertex has no
    *          out-neighbor (impossible on the symmetric graph). */
+  /**
+   * Skip-gram (center, context) TRAINING-PAIR census over keyed walk
+   * sequences — the data-generation step a DeepWalk/node2vec trainer
+   * runs downstream of the walk sampler: every ordered pair of
+   * positions within `window` steps of each other on the same walk
+   * yields one (center, context) observation.
+   *
+   * Scale shape: a self-join keyed on the walk id with a ±window
+   * band on the step — fan-out ≤ 2·window per position, LINEAR in
+   * total walk length, never walk×walk; then one hash-grouped count.
+   *
+   * @param walks (root_key, step, key) — e.g. the q_walks export
+   * @return (center, context, n)
+   */
+  def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    val a = walks.select(col("root_key").as("r"), col("step").as("sa"), col("key").as("center"))
+    val b = walks.select(col("root_key").as("rb"), col("step").as("sb"), col("key").as("context"))
+    a.join(b, col("rb") === col("r") && col("sb") =!= col("sa") &&
+        abs(col("sb") - col("sa")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def run(
       graph: LinkGraph,
       roots: Seq[Long],

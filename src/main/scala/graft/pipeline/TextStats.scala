@@ -35,6 +35,37 @@ object TextStats {
   /** Language-ID: argmax of stopword hits per profile; deterministic
    * tie-break by fixed language order (en > de > fr > es), 'und'
    * (undetermined) when no profile matches at all. */
+  /**
+   * Corpus FRESHNESS / novelty curve: per UTC day, how much of the
+   * day's n-gram mass is NEW (its n-gram first appeared that day) —
+   * the telemetry a continuously-ingesting training pipeline watches
+   * to decide whether more crawl is still adding information.
+   *
+   * Day = ⌊epoch_µs / 86 400·10⁶⌋ (integer, timezone-free, identical
+   * in both engines). Grams are word `n`-grams WITHIN a turn's text.
+   * Scale shape: one (gram, day) hash aggregate, one gram-level min,
+   * one join back — all linear, no windows over the corpus.
+   *
+   * @param transcripts (conv_id, turn_idx, role, text, tool, ts)
+   * @return (day, n_occ, new_occ, new_grams) per day
+   */
+  def noveltyByDay(transcripts: DataFrame, n: Int = 2): DataFrame = {
+    val grams = transcripts.select(
+      expr("unix_micros(cast(ts AS timestamp)) div 86400000000").as("day"),
+      split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("day"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))"))
+        .as("gram"))
+    val byGramDay = grams.groupBy(col("gram"), col("day")).agg(count(lit(1)).as("c"))
+    val first = byGramDay.groupBy(col("gram")).agg(min(col("day")).as("fday"))
+    byGramDay.join(first, "gram")
+      .groupBy(col("day")).agg(
+        sum(col("c")).as("n_occ"),
+        sum(when(col("day") === col("fday"), col("c")).otherwise(0L)).as("new_occ"),
+        sum(when(col("day") === col("fday"), 1L).otherwise(0L)).as("new_grams"))
+  }
+
   def langId(docs: DataFrame): DataFrame = {
     val langs = Seq("en", "de", "fr", "es")
     val scored = langs.foldLeft(docs.select(col("doc_id"), col("text"))) { (df, l) =>

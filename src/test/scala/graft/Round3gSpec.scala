@@ -82,6 +82,39 @@ class Round3gSpec extends SparkSpec {
     assert(got == Map("aa" -> 2L, "ab" -> 3L))
   }
 
+  // ---------- skip-gram pair generation ----------
+
+  test("skipGramPairs: window band over one walk, both directions") {
+    import spark.implicits._
+    // walk A-B-C-A: window 1 → adjacent ordered pairs only
+    val wk = Seq(("r", 0L, "A"), ("r", 1L, "B"), ("r", 2L, "C"), ("r", 3L, "A"))
+      .toDF("root_key", "step", "key")
+    val got = graft.algos.RandomWalk.skipGramPairs(wk, window = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("A", "B") -> 1L, ("B", "A") -> 1L,
+      ("B", "C") -> 1L, ("C", "B") -> 1L,
+      ("C", "A") -> 1L, ("A", "C") -> 1L))
+  }
+
+  // ---------- per-day n-gram novelty ----------
+
+  test("noveltyByDay: day-1 grams all new; repeats stop counting as new") {
+    import spark.implicits._
+    val us = 86400000000L
+    val rows = Seq(
+      // day 0: "a b c" → grams "a b", "b c" (both new)
+      ("c1", 0, "user", "a b c", None: Option[String], new java.sql.Timestamp(0L)),
+      // day 1: "a b d" → "a b" old, "b d" new
+      ("c1", 1, "user", "a b d", None: Option[String], new java.sql.Timestamp(us / 1000L)),
+      // day 1: single token → no grams
+      ("c1", 2, "user", "x", None: Option[String], new java.sql.Timestamp(us / 1000L)))
+    val t = rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = pipeline.TextStats.noveltyByDay(t)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(0L -> ((2L, 2L, 2L)), 1L -> ((2L, 1L, 1L))))
+  }
+
   // ---------- agent stuck-loop detection ----------
 
   test("toolLoops: maximal same-tool runs, interleaved non-tool turns ignored") {
