@@ -42,6 +42,9 @@ object PipelineEntry {
     // prefix-filter AllPairs join is LOSSLESS for J ≥ t: the oracle is
     // plain brute-force Jaccard, so a green row proves completeness
     "q_allpairs" -> ((s, dir) => Dedup.allPairsJoin(Dedup.docs(s, dir), tE4 = 5000)),
+    // LSH recall self-evaluation: band candidates scored against the
+    // lossless AllPairs ground truth (the dedup-parameter dial)
+    "q_lsh_recall" -> ((s, dir) => Dedup.lshRecall(Dedup.docs(s, dir))),
     "q_ann_cosine" -> ((s, dir) => Similarity.cosineTopK(Similarity.embeddings(s, dir))),
     // contrastive hard negatives: nearest neighbors with a DIFFERENT
     // label (the confusable pairs an embedding trainer mines)
@@ -467,6 +470,26 @@ object PipelineEntry {
 
   // Brute-force Jaccard ≥ 0.5 over ALL pairs — deliberately ignorant
   // of the engine's prefix filter; equality proves the filter lossless.
+  /** Mirrors Dedup.lshRecall: band candidates (minhashBody's `cand`)
+   * scored against brute-force true pairs at J ≥ 0.5. */
+  private val lshRecallSql: String = docPrefix + minhashBody(mat = false) +
+    """, szs2 AS (
+      |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+      |), inter2 AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), tp AS (
+      |  SELECT i.doc_a, i.doc_b
+      |  FROM inter2 i
+      |  JOIN szs2 sa ON sa.doc_id = i.doc_a
+      |  JOIN szs2 sb ON sb.doc_id = i.doc_b
+      |  WHERE i.i * 15000 >= 5000 * (sa.sz + sb.sz)
+      |)
+      |SELECT cast((SELECT count(*) FROM tp) AS bigint) AS n_true,
+      |       cast((SELECT count(*) FROM cand) AS bigint) AS n_candidates,
+      |       cast((SELECT count(*) FROM tp JOIN cand USING (doc_a, doc_b)) AS bigint) AS n_hits""".stripMargin
+
   private val allPairsSql: String = docPrefix +
     """, szs AS (
       |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
@@ -1521,6 +1544,7 @@ object PipelineEntry {
     "q_pack" -> packSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_allpairs" -> allPairsSql,
+    "q_lsh_recall" -> lshRecallSql,
     "q_ann_cosine" -> annCosineSql,
     "q_hardneg" -> hardNegSql,
     "q_outlier_emb" -> outlierEmbSql,

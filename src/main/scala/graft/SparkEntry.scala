@@ -83,6 +83,22 @@ object SparkEntry {
           col("asof.q_turn_idx").as("user_turn_idx"),
           col("asof.text").as("user_text"))
     }),
+    // SFT training-pair extraction: every assistant turn paired with
+    // the latest strictly-earlier user turn of its conversation (the
+    // prompt). Rides the merge as-of join — one hash shuffle, no
+    // nested loop; the oracle replays it with an independent
+    // join-and-argmax plan
+    "q_sft_pairs" -> ((s, dir) => {
+      val t = Transcripts.fromEvents(s, dir)
+      val probes = t.where(col("role") === "assistant")
+        .select(col("conv_id"), col("turn_idx"), col("text").as("response"))
+      val quotes = t.where(col("role") === "user")
+        .select(col("conv_id"), col("turn_idx"), col("text"))
+      operators.Temporal.asOfJoin(probes, quotes, "conv_id", "turn_idx", Seq("text"))
+        .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+          col("asof.q_turn_idx").cast("long").as("prompt_turn_idx"),
+          col("asof.text").as("prompt"), col("response"))
+    }),
     // bucketed range join: tool invocations (any conversation) counted
     // into the 10-minute incident window after every error turn — a
     // genuinely keyless interval join, blocked into 5-minute time
@@ -2619,6 +2635,22 @@ object SparkEntry {
         |WHERE e.text LIKE 'error%' AND p.tool IS NOT NULL""".stripMargin),
     // as-of join: latest strictly-earlier user turn per tool turn,
     // then join back for its text ((conv, turn) rows are unique)
+    "q_sft_pairs" -> (prefix +
+      """, ast AS (
+        |  SELECT conv_id, turn_idx, text AS response FROM t WHERE role = 'assistant'
+        |), usr AS (
+        |  SELECT conv_id, turn_idx AS u_idx, text FROM t WHERE role = 'user'
+        |), pick AS (
+        |  SELECT a.conv_id, a.turn_idx, max(u.u_idx) AS p_idx
+        |  FROM ast a JOIN usr u ON u.conv_id = a.conv_id AND u.u_idx < a.turn_idx
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.conv_id, cast(p.turn_idx AS bigint) AS turn_idx,
+        |       cast(p.p_idx AS bigint) AS prompt_turn_idx,
+        |       u.text AS prompt, a.response
+        |FROM pick p
+        |JOIN usr u ON u.conv_id = p.conv_id AND u.u_idx = p.p_idx
+        |JOIN ast a ON a.conv_id = p.conv_id AND a.turn_idx = p.turn_idx""".stripMargin),
     "q_asof" -> (prefix +
       """
         |SELECT x.conv_id, x.turn_idx, x.user_turn_idx, q.text AS user_text

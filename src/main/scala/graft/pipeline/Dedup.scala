@@ -467,6 +467,27 @@ object Dedup {
    * @return (source_a, source_b, n_shared, n_a, n_b, containment_e4)
    */
   /**
+   * LSH candidate-recall SELF-EVALUATION: measures the MinHash band
+   * candidates against the LOSSLESS ground truth ([[allPairsJoin]],
+   * exact for J ≥ t) — the recall/cost dial a dedup pipeline owner
+   * reads before trusting LSH parameters at corpus scale. One row:
+   * how many true near-dup pairs exist, how many candidate pairs the
+   * bands generated, and how many true pairs the bands caught.
+   *
+   * @return (n_true, n_candidates, n_hits)
+   */
+  def lshRecall(docs: DataFrame, tE4: Long = 5000, numHashes: Int = 12,
+      bands: Int = 4): DataFrame = {
+    val sh = shingles(docs).persist()
+    val cand = bandCandidates(sh, numHashes, bands).persist()
+    val truth = allPairsJoin(docs, tE4).select(col("doc_a"), col("doc_b")).persist()
+    val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hits")))
+  }
+
+  /**
    * Segment-level dedup REWRITE (the CCNet/Gopher line-dedup shape,
    * over fixed `segLen`-token segments since transcripts carry no
    * newlines): a segment survives only at its FIRST corpus-wide

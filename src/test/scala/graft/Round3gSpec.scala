@@ -97,6 +97,43 @@ class Round3gSpec extends SparkSpec {
       ("C", "A") -> 1L, ("A", "C") -> 1L))
   }
 
+  // ---------- LSH recall self-evaluation ----------
+
+  test("lshRecall: identical docs are always caught; counts are consistent") {
+    import spark.implicits._
+    val base = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, base), (2L, base), // identical → true pair, shares every band
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val r = pipeline.Dedup.lshRecall(docs).collect()(0)
+    val (nTrue, nCand, nHits) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTrue == 1L && nHits == 1L)
+    assert(nHits <= nCand)
+  }
+
+  // ---------- SFT pair extraction (as-of join semantics) ----------
+
+  test("sft extraction: latest earlier user turn becomes the prompt") {
+    import spark.implicits._
+    val t = Seq(
+      ("c1", 0, "assistant", "orphan"), // no earlier user → dropped
+      ("c1", 1, "user", "q1"),
+      ("c1", 2, "tool", "noise"),
+      ("c1", 3, "assistant", "a1"),
+      ("c1", 4, "user", "q2"),
+      ("c1", 5, "assistant", "a2"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val probes = t.where(col("role") === "assistant")
+      .select(col("conv_id"), col("turn_idx"), col("text").as("response"))
+    val quotes = t.where(col("role") === "user")
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+    val got = operators.Temporal.asOfJoin(probes, quotes, "conv_id", "turn_idx", Seq("text"))
+      .select(col("turn_idx"), col("asof.text").as("prompt"), col("response"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((3, "q1", "a1"), (5, "q2", "a2")))
+  }
+
   // ---------- per-day n-gram novelty ----------
 
   test("noveltyByDay: day-1 grams all new; repeats stop counting as new") {
