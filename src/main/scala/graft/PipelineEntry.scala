@@ -26,6 +26,9 @@ object PipelineEntry {
     // corpus token census under the learned BPE vocabulary (encode
     // readout: which subwords exist and their true corpus counts)
     "q_bpe_census" -> ((s, dir) => Bpe.tokenCensus(Dedup.docs(s, dir), rounds = 6)),
+    // per-document BPE token counts (the packing/budgeting input;
+    // encode via the distinct-word length map, never re-tokenizing)
+    "q_bpe_doclen" -> ((s, dir) => Bpe.docTokenCounts(Dedup.docs(s, dir), rounds = 6)),
     // segment-level dedup rewrite: first corpus-wide occurrence of
     // each 8-token segment survives; documents reassemble from the
     // survivors (the CCNet line-dedup shape)
@@ -64,6 +67,9 @@ object PipelineEntry {
     // sf0.01); production dedup would use ~0.9 on real embeddings
     "q_embed_dedup" -> ((s, dir) =>
       Similarity.cosineDupPairs(Similarity.embeddings(s, dir), simThresholdE4 = 3000)),
+    // language-ID with confidence margin (best − runner-up hits; the
+    // gate before trusting the label)
+    "q_langid_margin" -> ((s, dir) => TextStats.langIdMargin(Dedup.docs(s, dir))),
     "q_langid" -> ((s, dir) =>
       TextStats.langId(Dedup.docs(s, dir))
         .select(col("doc_id"), col("pred_lang"), col("stop_hits").cast("long").as("stop_hits"))),
@@ -307,6 +313,20 @@ object PipelineEntry {
       |  FROM wd d JOIN pos_idx p ON p.pos <= length(d.w)
       |)""".stripMargin +
       (1 to rounds).map(step).mkString
+
+  /** Mirrors Bpe.docTokenCounts(rounds = 6): final word lengths from
+   * the same CTE trajectory, joined back to each document's words. */
+  private val bpeDocLenSql: String =
+    bpeCtes(bpeStep _, 6) +
+      """
+        |, wd2 AS (SELECT w, dense_rank() OVER (ORDER BY w) AS wid FROM wd)
+        |, wlen AS (SELECT wid, count(*) AS len FROM w7 GROUP BY 1)
+        |, dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |SELECT d.doc_id, cast(count(*) AS bigint) AS n_words,
+        |       cast(sum(l.len) AS bigint) AS n_tokens_bpe
+        |FROM dw d JOIN wd2 ON wd2.w = d.w JOIN wlen l ON l.wid = wd2.wid
+        |WHERE length(d.w) > 0
+        |GROUP BY 1""".stripMargin
 
   /** Mirrors Dedup.segmentDedup (segLen = 8): grouped segment build,
    * first-occurrence election over md5(seg), ordered reassembly. */
@@ -646,6 +666,14 @@ object PipelineEntry {
 
   private val langidSql: String =
     langCtes + "\nSELECT doc_id, pred_lang, stop_hits FROM lang"
+
+  /** Mirrors TextStats.langIdMargin: margin = best − runner-up. */
+  private val langidMarginSql: String = langCtes +
+    """
+      |SELECT l.doc_id, l.pred_lang, l.stop_hits,
+      |       cast(g.best - (list_sort([g.s_en, g.s_de, g.s_fr, g.s_es], 'DESC'))[2]
+      |            AS bigint) AS margin
+      |FROM lang l JOIN g ON g.doc_id = l.doc_id""".stripMargin
 
   /** Mirrors TextStats.langRollup: ROLLUP over (source, pred_lang). */
   private val rollupSql: String = langCtes +
@@ -1536,6 +1564,7 @@ object PipelineEntry {
     "q_segdedup" -> segDedupSql,
     "q_bpe" -> bpeSql,
     "q_bpe_census" -> bpeCensusSql,
+    "q_bpe_doclen" -> bpeDocLenSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_split" -> splitSql,
     "q_decontam" -> decontamSql,
@@ -1549,6 +1578,7 @@ object PipelineEntry {
     "q_hardneg" -> hardNegSql,
     "q_outlier_emb" -> outlierEmbSql,
     "q_langid" -> langidSql,
+    "q_langid_margin" -> langidMarginSql,
     "q_quality" -> qualitySql,
     "q_tokens" -> tokensSql,
     "q_fingerprint" -> fingerprintSql,

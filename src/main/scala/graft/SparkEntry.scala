@@ -400,6 +400,13 @@ object SparkEntry {
     // triangles-per-edge via the degree-oriented wedge join, no cap)
     "q_edge_jaccard" -> ((s, dir) =>
       LinkPredict.edgeJaccard(Graphs.get(s, dir, symmetric = true))),
+    // backbone sparsifier at k = 1 (the "best-friend" graph): keep an
+    // edge iff it is SOME endpoint's single most-embedded edge —
+    // retained size ≤ |V| under any degree skew (k = 3 keeps every
+    // edge on this mostly-chain topology, so the driver query runs
+    // the setting that demonstrably trims)
+    "q_backbone" -> ((s, dir) =>
+      LinkPredict.backbone(Graphs.get(s, dir, symmetric = true), k = 1)),
     // Component-size census (giant-component check) over the CC labels
     // size census over the star-contraction labels (same min-id
     // fixpoint as HashMin, O(log|V|) rounds — see CCStar)
@@ -1199,7 +1206,7 @@ object SparkEntry {
   /** Per-edge neighborhood Jaccard replay — common = neighbor-set
    * intersection per key-oriented edge, union = du+dv−2−common,
    * jaccard_e6 = 10⁶·common // union; mirrors LinkPredict.edgeJaccard. */
-  private val edgeJaccardSql: String = prefix + symBody +
+  private val edgeJaccardBody: String =
     """, eo AS (
       |  SELECT src_key AS u, dst_key AS v FROM esw WHERE src_key < dst_key
       |), dg AS (
@@ -1210,17 +1217,37 @@ object SparkEntry {
       |  JOIN esw a ON a.src_key = eo.u
       |  JOIN esw b ON b.src_key = eo.v AND b.dst_key = a.dst_key
       |  GROUP BY 1, 2
+      |), ejf AS (
+      |  SELECT eo.u AS u_key, eo.v AS v_key,
+      |         cast(coalesce(tc.c, 0) AS bigint) AS common_nbrs,
+      |         cast(du.d + dv.d - 2 - coalesce(tc.c, 0) AS bigint) AS union_nbrs,
+      |         cast(CASE WHEN du.d + dv.d - 2 - coalesce(tc.c, 0) > 0
+      |              THEN 1000000 * coalesce(tc.c, 0) // (du.d + dv.d - 2 - coalesce(tc.c, 0))
+      |              ELSE 0 END AS bigint) AS jaccard_e6
+      |  FROM eo
+      |  LEFT JOIN tc ON tc.u = eo.u AND tc.v = eo.v
+      |  JOIN dg du ON du.k = eo.u
+      |  JOIN dg dv ON dv.k = eo.v
+      |)""".stripMargin
+
+  private val edgeJaccardSql: String = prefix + symBody + edgeJaccardBody +
+    "\nSELECT u_key, v_key, common_nbrs, union_nbrs, jaccard_e6 FROM ejf"
+
+  /** Backbone sparsifier replay: an edge survives iff it is in either
+   * endpoint's top-3 by (jaccard_e6 desc, neighbor key). */
+  private val backboneSql: String = prefix + symBody + edgeJaccardBody +
+    """, dirn AS (
+      |  SELECT u_key AS a, v_key AS b, jaccard_e6 FROM ejf
+      |  UNION ALL
+      |  SELECT v_key, u_key, jaccard_e6 FROM ejf
+      |), kept AS (
+      |  SELECT DISTINCT least(a, b) AS u_key, greatest(a, b) AS v_key FROM (
+      |    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY jaccard_e6 DESC, b) AS rn
+      |    FROM dirn) x
+      |  WHERE rn <= 1
       |)
-      |SELECT eo.u AS u_key, eo.v AS v_key,
-      |       cast(coalesce(tc.c, 0) AS bigint) AS common_nbrs,
-      |       cast(du.d + dv.d - 2 - coalesce(tc.c, 0) AS bigint) AS union_nbrs,
-      |       cast(CASE WHEN du.d + dv.d - 2 - coalesce(tc.c, 0) > 0
-      |            THEN 1000000 * coalesce(tc.c, 0) // (du.d + dv.d - 2 - coalesce(tc.c, 0))
-      |            ELSE 0 END AS bigint) AS jaccard_e6
-      |FROM eo
-      |LEFT JOIN tc ON tc.u = eo.u AND tc.v = eo.v
-      |JOIN dg du ON du.k = eo.u
-      |JOIN dg dv ON dv.k = eo.v""".stripMargin
+      |SELECT e.u_key, e.v_key, e.jaccard_e6
+      |FROM ejf e JOIN kept k ON k.u_key = e.u_key AND k.v_key = e.v_key""".stripMargin
 
   /** Tool co-occurrence lift over conversations — mirrors
    * pipeline.Cooccur.toolLift (integer floor division, hugeint-lifted
@@ -2617,6 +2644,7 @@ object SparkEntry {
         |           JOIN od b ON b.src_key = e.dst_key""".stripMargin),
     "q_linkpred" -> linkpredSql,
     "q_edge_jaccard" -> edgeJaccardSql,
+    "q_backbone" -> backboneSql,
     "q_cc_sizes" -> ccSizesSql,
     "q_tool_lift" -> toolLiftSql,
     "q_itemsets" -> itemsetsSql,

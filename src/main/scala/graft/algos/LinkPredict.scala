@@ -1,6 +1,7 @@
 package graft.algos
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.LinkGraph
@@ -84,6 +85,35 @@ object LinkPredict {
    *
    * @return (u_key, v_key, common_nbrs, union_nbrs, jaccard_e6),
    *         one row per undirected edge, key-oriented u < v. */
+  /**
+   * Local-similarity BACKBONE sparsification (the Satuluri-style
+   * pre-filter run before expensive algorithms at web scale): keep an
+   * edge iff it ranks in EITHER endpoint's top-`k` by neighborhood
+   * Jaccard — hubs keep only their most-embedded edges, so the
+   * retained graph size is ≤ k·|V| no matter how skewed the degrees.
+   *
+   * Deterministic: rank by (jaccard_e6 desc, neighbor key asc).
+   * Scale shape: rides [[edgeJaccard]] (Σd_min wedge join), then one
+   * per-vertex window over each vertex's own edges.
+   *
+   * @return (u_key, v_key, jaccard_e6) — the kept edges, key-oriented
+   */
+  def backbone(graph: LinkGraph, k: Int = 3): DataFrame = {
+    val ej = edgeJaccard(graph).persist()
+    val dir = ej.select(col("u_key").as("a"), col("v_key").as("b"), col("jaccard_e6"))
+      .unionByName(
+        ej.select(col("v_key").as("a"), col("u_key").as("b"), col("jaccard_e6")))
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("jaccard_e6").desc, col("b").asc)
+    val kept = dir.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(least(col("a"), col("b")).as("u_key"),
+        greatest(col("a"), col("b")).as("v_key"))
+      .distinct()
+    kept.join(ej, Seq("u_key", "v_key"))
+      .select(col("u_key"), col("v_key"), col("jaccard_e6"))
+  }
+
   def edgeJaccard(graph: LinkGraph): DataFrame = {
     require(graph.symmetric, "edge Jaccard expects the symmetrized graph")
     val o = TriangleCount.orient(graph)

@@ -41,6 +41,29 @@ object Bpe {
   }
 
   /**
+   * Per-document token counts under the learned vocabulary — the
+   * ENCODE step's sizing readout (context-window packing and token
+   * budgeting run on these numbers). The corpus never re-tokenizes:
+   * merges act only within words, so a document's BPE length is the
+   * sum of its words' final symbol counts — one join against the
+   * (distinct-word → length) map.
+   *
+   * @return (doc_id, n_words, n_tokens_bpe)
+   */
+  def docTokenCounts(docs: DataFrame, rounds: Int = 6): DataFrame = {
+    val (_, words) = trainState(docs, rounds)
+    val wordLen = words.select(col("w"), size(col("syms")).cast("long").as("len"))
+    val out = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .join(wordLen, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("len")).as("n_tokens_bpe"))
+    words.unpersist()
+    out
+  }
+
+  /**
    * Token census of the corpus ENCODED under the learned vocabulary —
    * the readout a tokenizer-training pipeline ships: which subword
    * symbols exist after `rounds` merges and how often each occurs
@@ -64,7 +87,7 @@ object Bpe {
       .select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
+      .select(col("w"), col("freq"),
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
       .persist()
     words.count()
@@ -86,7 +109,7 @@ object Bpe {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r.toLong, a, b, cnt))
         val (la, lb, lab) = (sqlLit(a), sqlLit(b), sqlLit(a + b))
-        val next = words.select(col("freq"), expr(
+        val next = words.select(col("w"), col("freq"), expr(
           s"aggregate(syms, cast(array() AS array<string>), (acc, x) -> " +
             s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = $la AND x = $lb " +
             s"THEN concat(slice(acc, 1, size(acc) - 1), array($lab)) " +

@@ -32,9 +32,6 @@ object TextStats {
   private def stopCount(lang: String): Column =
     size(filter(tokensCol, t => t.isin(stopwords(lang): _*)))
 
-  /** Language-ID: argmax of stopword hits per profile; deterministic
-   * tie-break by fixed language order (en > de > fr > es), 'und'
-   * (undetermined) when no profile matches at all. */
   /**
    * Corpus FRESHNESS / novelty curve: per UTC day, how much of the
    * day's n-gram mass is NEW (its n-gram first appeared that day) —
@@ -66,6 +63,36 @@ object TextStats {
         sum(when(col("day") === col("fday"), 1L).otherwise(0L)).as("new_grams"))
   }
 
+  /**
+   * Language-ID with a CONFIDENCE MARGIN — the gate a curation
+   * pipeline applies before trusting the label: margin = best-profile
+   * hits − runner-up hits (0 on ties ⇒ the tie-broken label is
+   * low-confidence by construction). Same scoring as [[langId]];
+   * pure column expressions, zero extra shuffle.
+   *
+   * @return (doc_id, pred_lang, stop_hits, margin)
+   */
+  def langIdMargin(docs: DataFrame): DataFrame = {
+    val langs = Seq("en", "de", "fr", "es")
+    val scored = langs.foldLeft(docs.select(col("doc_id"), col("text"))) { (df, l) =>
+      df.withColumn(s"s_$l", stopCount(l))
+    }
+    val best = langs.foldLeft(lit(0): Column)((acc, l) => greatest(acc, col(s"s_$l")))
+    val pred = langs.foldRight(lit("und"): Column) { (l, rest) =>
+      when(col(s"s_$l") === col("best") && col("best") > 0, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("best", best)
+      .withColumn("second",
+        element_at(sort_array(array(langs.map(l => col(s"s_$l")): _*), asc = false), 2))
+      .withColumn("pred_lang", pred)
+      .select(col("doc_id"), col("pred_lang"),
+        col("best").cast("long").as("stop_hits"),
+        (col("best") - col("second")).cast("long").as("margin"))
+  }
+
+  /** Language-ID: argmax of stopword hits per profile; deterministic
+   * tie-break by fixed language order (en > de > fr > es), 'und'
+   * (undetermined) when no profile matches at all. */
   def langId(docs: DataFrame): DataFrame = {
     val langs = Seq("en", "de", "fr", "es")
     val scored = langs.foldLeft(docs.select(col("doc_id"), col("text"))) { (df, l) =>

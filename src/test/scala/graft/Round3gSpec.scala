@@ -73,6 +73,15 @@ class Round3gSpec extends SparkSpec {
     assert((got(0).getString(1), got(0).getString(2), got(0).getLong(3)) == (("x", "y", 2L)))
   }
 
+  test("bpe docTokenCounts: document length under the learned vocabulary") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    // rounds=2: aaab → [aa, ab] (2 tokens), ab → [ab] (1 token)
+    val got = pipeline.Bpe.docTokenCounts(docs, rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((2L, 4L)), 2L -> ((1L, 1L))))
+  }
+
   test("bpe tokenCensus: counts the corpus under the final vocabulary") {
     import spark.implicits._
     val docs = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
@@ -95,6 +104,40 @@ class Round3gSpec extends SparkSpec {
       ("A", "B") -> 1L, ("B", "A") -> 1L,
       ("B", "C") -> 1L, ("C", "B") -> 1L,
       ("C", "A") -> 1L, ("A", "C") -> 1L))
+  }
+
+  // ---------- language-ID confidence margin ----------
+
+  test("langIdMargin: margin separates confident calls from tie-breaks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the that el"), // en 2, es 1 → margin 1
+      (2L, "the el"), // en 1 = es 1 → tie-broken 'en', margin 0
+      (3L, "zzz zzz") // no profile hits → 'und', margin 0
+    ).toDF("doc_id", "text")
+    val got = pipeline.TextStats.langIdMargin(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == (("en", 2L, 1L)))
+    assert(got(2L) == (("en", 1L, 0L)))
+    assert(got(3L) == (("und", 0L, 0L)))
+  }
+
+  // ---------- Jaccard backbone sparsifier ----------
+
+  test("backbone: k=1 keeps each vertex's best edge; pendant edge survives via its leaf") {
+    // K4 on 1..4 plus pendant 5 on vertex 1. Jaccard: edges inside
+    // the K4 not touching v1 score 1.0 (union = common = 2); edges to
+    // v1 score 2/3 (the pendant pads v1's neighborhood); (1,5) = 0.
+    // Top-1 per vertex: v1→(1,2) [its best at 2/3, smallest key],
+    // v2→(2,3), v3→(2,3), v4→(2,4), v5→(1,5) (only edge, J = 0).
+    val pairs = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5))
+    val g = graphOf(pairs, symmetric = true)
+    val got = graft.algos.LinkPredict.backbone(g, k = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      (keyOf(1), keyOf(2)), (keyOf(2), keyOf(3)),
+      (keyOf(2), keyOf(4)), (keyOf(1), keyOf(5))))
   }
 
   // ---------- LSH recall self-evaluation ----------
