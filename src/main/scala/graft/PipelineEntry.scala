@@ -55,6 +55,9 @@ object PipelineEntry {
     // per-label centroid outliers: the mislabel/noise screen
     // (integer-exact quantized distance, floor per dimension)
     "q_outlier_emb" -> ((s, dir) => Similarity.centroidOutliers(Similarity.embeddings(s, dir))),
+    // kNN label-agreement census: label-quality screen over the
+    // exact cosine top-5 neighborhoods
+    "q_label_agree" -> ((s, dir) => Similarity.labelAgreement(Similarity.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(Similarity.embeddings(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(Similarity.embeddings(s, dir))),
     // OR-amplified LSH: 2 independent 6-plane tables (recall per pair
@@ -137,6 +140,11 @@ object PipelineEntry {
     // leakage-safe split: the hash is over the CLUSTER id, so near-dup
     // paraphrases can never straddle train/heldout
     "q_split" -> ((s, dir) => Dedup.leakageSafeSplit(Dedup.docs(s, dir))),
+    // per-source duplication rollup over the near-dup clusters — the
+    // "which crawl is 40% duplicate" dashboard census
+    "q_dup_rate" -> ((s, dir) => Dedup.dupRateBySource(Dedup.docs(s, dir))),
+    // integer Flesch-style readability bands (regexp run counts only)
+    "q_readability" -> ((s, dir) => TextStats.readability(Dedup.docs(s, dir))),
     // mergeable-sketch set algebra: per-pair union registers reduced
     // to exact-integer sufficient statistics
     "q_hll_pairs" -> ((s, dir) => Sketch.hllPairStats(Dedup.docs(s, dir))),
@@ -436,6 +444,37 @@ object PipelineEntry {
       |       cast(CASE WHEN d = cluster_id THEN 1 ELSE 0 END AS bigint) AS is_keeper
       |FROM lab""".stripMargin
 
+  /** Mirrors Dedup.dupRateBySource: the per-source rollup of the
+   * same cluster closure (keeper = global min doc_id of the cluster,
+   * so cross-source duplicates count against the non-keeper source). */
+  private val dupRateSql: String = dedupClustersCtes +
+    """
+      |SELECT d.source,
+      |       cast(count(*) AS bigint) AS n_docs,
+      |       cast(sum(CASE WHEN lab.d = lab.cluster_id THEN 1 ELSE 0 END) AS bigint) AS n_keepers,
+      |       cast(count(DISTINCT lab.cluster_id) AS bigint) AS n_clusters,
+      |       cast((count(*) - sum(CASE WHEN lab.d = lab.cluster_id THEN 1 ELSE 0 END)) * 10000
+      |            // count(*) AS bigint) AS dup_rate_e4
+      |FROM lab JOIN documents d ON d.doc_id = lab.d
+      |GROUP BY 1""".stripMargin
+
+  /** Mirrors TextStats.readability (regexp run counts are RE2/Java
+   * agnostic for these plain character classes). */
+  private val readabilitySql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |         greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS words,
+      |         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+      |         greatest(len(regexp_extract_all(lower(text), '[aeiou]+')), 1) AS syllables
+      |  FROM documents
+      |)
+      |SELECT doc_id, cast(words AS bigint) AS words,
+      |       cast(sentences AS bigint) AS sentences,
+      |       cast(syllables AS bigint) AS syllables,
+      |       cast(206835 - (1015 * words) // sentences
+      |            - (84600 * syllables) // words AS bigint) AS flesch_e3
+      |FROM c""".stripMargin
+
   /** Mirrors Dedup.leakageSafeSplit (10% heldout by cluster hash). */
   private val splitSql: String = dedupClustersCtes +
     s"""
@@ -610,6 +649,41 @@ object PipelineEntry {
       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_e4 DESC, neg_id) AS rank
       |  FROM sims) r
       |WHERE rank <= 3""".stripMargin
+
+  /** Mirrors Similarity.labelAgreement: same brute top-5 ranking,
+   * label joins, per-label census. */
+  private val labelAgreeSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, cast(unnest(embedding) AS double) AS x,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), norms AS (
+      |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1
+      |), dots AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, sum(a.x*b.x) AS d
+      |  FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id
+      |  WHERE a.vec_id < 500
+      |  GROUP BY 1, 2
+      |), sims AS (
+      |  SELECT d.vec_id, d.nbr_id,
+      |         cast(round(d.d / (na.nrm * nb.nrm) * 10000) AS bigint) AS sim_e4
+      |  FROM dots d
+      |  JOIN norms na ON na.vec_id = d.vec_id
+      |  JOIN norms nb ON nb.vec_id = d.nbr_id
+      |), topk AS (
+      |  SELECT vec_id, nbr_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_e4 DESC, nbr_id) AS rank
+      |    FROM sims) r
+      |  WHERE rank <= 5
+      |), labs AS (
+      |  SELECT vec_id, cast(label AS bigint) AS lab FROM embeddings
+      |)
+      |SELECT la.lab, cast(count(DISTINCT t.vec_id) AS bigint) AS n_queries,
+      |       cast(sum(CASE WHEN la.lab = lb.lab THEN 1 ELSE 0 END) AS bigint) AS agree
+      |FROM topk t
+      |JOIN labs la ON la.vec_id = t.vec_id
+      |JOIN labs lb ON lb.vec_id = t.nbr_id
+      |GROUP BY 1""".stripMargin
 
   private val annCosineSql: String =
     """WITH v AS (
@@ -1567,6 +1641,8 @@ object PipelineEntry {
     "q_bpe_doclen" -> bpeDocLenSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_split" -> splitSql,
+    "q_dup_rate" -> dupRateSql,
+    "q_readability" -> readabilitySql,
     "q_decontam" -> decontamSql,
     "q_sample" -> sampleSql,
     "q_mix_temp" -> mixTempSql,
@@ -1577,6 +1653,7 @@ object PipelineEntry {
     "q_ann_cosine" -> annCosineSql,
     "q_hardneg" -> hardNegSql,
     "q_outlier_emb" -> outlierEmbSql,
+    "q_label_agree" -> labelAgreeSql,
     "q_langid" -> langidSql,
     "q_langid_margin" -> langidMarginSql,
     "q_quality" -> qualitySql,

@@ -99,6 +99,14 @@ object SparkEntry {
           col("asof.q_turn_idx").cast("long").as("prompt_turn_idx"),
           col("asof.text").as("prompt"), col("response"))
     }),
+    // SFT echo screen: distinct-token overlap of each extracted
+    // response with its as-of prompt — flags quote-looping pairs
+    "q_echo" -> ((s, dir) =>
+      pipeline.Extract.sftEcho(Transcripts.fromEvents(s, dir))),
+    // role-transition Markov census: the dialogue-structure
+    // fingerprint (per-edge count + e4 share of the source role)
+    "q_role_trans" -> ((s, dir) =>
+      pipeline.Funnel.roleTransitions(Transcripts.fromEvents(s, dir))),
     // bucketed range join: tool invocations (any conversation) counted
     // into the 10-minute incident window after every error turn — a
     // genuinely keyless interval join, blocked into 5-minute time
@@ -447,6 +455,10 @@ object SparkEntry {
     // per-conversation latency profile (integer µs; value-at-rank median)
     "q_latency" -> ((s, dir) =>
       pipeline.Funnel.latency(Transcripts.fromEvents(s, dir))),
+    // graph evolution telemetry: per-week turn volume + first-seen
+    // edge/vertex counts (growth + densification curve)
+    "q_graph_growth" -> ((s, dir) =>
+      EdgeBuilder.growthCensus(Transcripts.fromEvents(s, dir))),
     // corpus freshness: per-day n-gram novelty curve (new-gram mass
     // per UTC day — integer day arithmetic, no timezone)
     "q_novelty" -> ((s, dir) =>
@@ -2679,6 +2691,58 @@ object SparkEntry {
         |FROM pick p
         |JOIN usr u ON u.conv_id = p.conv_id AND u.u_idx = p.p_idx
         |JOIN ast a ON a.conv_id = p.conv_id AND a.turn_idx = p.turn_idx""".stripMargin),
+    "q_echo" -> (prefix +
+      """, ast AS (
+        |  SELECT conv_id, turn_idx, text AS response FROM t WHERE role = 'assistant'
+        |), usr AS (
+        |  SELECT conv_id, turn_idx AS u_idx, text FROM t WHERE role = 'user'
+        |), pick AS (
+        |  SELECT a.conv_id, a.turn_idx, a.response, max(u.u_idx) AS p_idx
+        |  FROM ast a JOIN usr u ON u.conv_id = a.conv_id AND u.u_idx < a.turn_idx
+        |  GROUP BY 1, 2, 3
+        |), pairs AS (
+        |  SELECT p.conv_id, p.turn_idx, u.text AS prompt, p.response
+        |  FROM pick p JOIN usr u ON u.conv_id = p.conv_id AND u.u_idx = p.p_idx
+        |), rt AS (
+        |  SELECT DISTINCT conv_id, turn_idx, tok FROM (
+        |    SELECT conv_id, turn_idx,
+        |           unnest(string_split(lower(response), ' ')) AS tok FROM pairs) x
+        |  WHERE tok <> ''
+        |), pt AS (
+        |  SELECT DISTINCT conv_id, turn_idx, tok FROM (
+        |    SELECT conv_id, turn_idx,
+        |           unnest(string_split(lower(prompt), ' ')) AS tok FROM pairs) x
+        |  WHERE tok <> ''
+        |), nr AS (
+        |  SELECT conv_id, turn_idx, count(*) AS n FROM rt GROUP BY 1, 2
+        |), ne AS (
+        |  SELECT r.conv_id, r.turn_idx, count(*) AS n
+        |  FROM rt r JOIN pt p ON p.conv_id = r.conv_id
+        |   AND p.turn_idx = r.turn_idx AND p.tok = r.tok
+        |  GROUP BY 1, 2
+        |)
+        |SELECT pr.conv_id, cast(pr.turn_idx AS bigint) AS turn_idx,
+        |       cast(coalesce(nr.n, 0) AS bigint) AS n_resp_toks,
+        |       cast(coalesce(ne.n, 0) AS bigint) AS n_echo,
+        |       cast(CASE WHEN coalesce(nr.n, 0) = 0 THEN 0
+        |                 ELSE coalesce(ne.n, 0) * 10000 // nr.n END AS bigint) AS echo_e4
+        |FROM pairs pr
+        |LEFT JOIN nr ON nr.conv_id = pr.conv_id AND nr.turn_idx = pr.turn_idx
+        |LEFT JOIN ne ON ne.conv_id = pr.conv_id AND ne.turn_idx = pr.turn_idx""".stripMargin),
+    "q_role_trans" -> (prefix +
+      """, rp AS (
+        |  SELECT role AS role_a,
+        |         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS role_b
+        |  FROM t
+        |), cnt AS (
+        |  SELECT role_a, role_b, count(*) AS n FROM rp
+        |  WHERE role_b IS NOT NULL GROUP BY 1, 2
+        |), marg AS (
+        |  SELECT role_a, sum(n) AS n_out FROM cnt GROUP BY 1
+        |)
+        |SELECT c.role_a, c.role_b, cast(c.n AS bigint) AS n,
+        |       cast(c.n * 10000 // m.n_out AS bigint) AS share_e4
+        |FROM cnt c JOIN marg m ON m.role_a = c.role_a""".stripMargin),
     "q_asof" -> (prefix +
       """
         |SELECT x.conv_id, x.turn_idx, x.user_turn_idx, q.text AS user_text
@@ -2762,6 +2826,48 @@ object SparkEntry {
     "q_cover" -> coverSql,
     "q_gini" -> giniSql,
     "q_segments" -> segmentsSql,
+    "q_graph_growth" -> (prefix +
+      """, kt AS (
+        |  SELECT conv_id, turn_idx,
+        |         concat(conv_id, '#', cast(turn_idx AS varchar)) AS vkey,
+        |         tool, epoch_us(ts) AS tus
+        |  FROM t
+        |), adjt AS (
+        |  SELECT * FROM (
+        |    SELECT vkey AS src_key,
+        |           lead(vkey) OVER win AS dst_key,
+        |           lead(tus) OVER win AS tt
+        |    FROM kt WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx)) x
+        |  WHERE dst_key IS NOT NULL
+        |), toolt AS (
+        |  SELECT vkey AS src_key, concat('T#', tool) AS dst_key, tus AS tt
+        |  FROM kt WHERE tool IS NOT NULL
+        |), dirt AS (
+        |  SELECT src_key, dst_key, tt
+        |  FROM (SELECT * FROM adjt UNION ALL SELECT * FROM toolt) u
+        |  WHERE src_key <> dst_key
+        |), symt AS (
+        |  SELECT src_key, dst_key, min(tt) AS tt FROM (
+        |    SELECT src_key, dst_key, tt FROM dirt
+        |    UNION ALL
+        |    SELECT dst_key, src_key, tt FROM dirt) u
+        |  GROUP BY 1, 2
+        |), wt AS (
+        |  SELECT epoch_us(ts) // 604800000000 AS week, count(*) AS n_turns FROM t GROUP BY 1
+        |), we AS (
+        |  SELECT tt // 604800000000 AS week, count(*) AS new_edges
+        |  FROM symt WHERE src_key < dst_key GROUP BY 1
+        |), wv AS (
+        |  SELECT ft // 604800000000 AS week, count(*) AS new_vertices FROM (
+        |    SELECT src_key, min(tt) AS ft FROM symt GROUP BY 1) v GROUP BY 1
+        |)
+        |SELECT cast(wt.week AS bigint) AS week,
+        |       cast(wt.n_turns AS bigint) AS n_turns,
+        |       cast(coalesce(we.new_edges, 0) AS bigint) AS new_edges,
+        |       cast(coalesce(wv.new_vertices, 0) AS bigint) AS new_vertices
+        |FROM wt
+        |LEFT JOIN we ON we.week = wt.week
+        |LEFT JOIN wv ON wv.week = wt.week""".stripMargin),
     "q_novelty" -> (prefix +
       """, tok AS (
         |  SELECT conv_id, turn_idx, epoch_us(ts) // 86400000000 AS day,

@@ -276,6 +276,36 @@ object Dedup {
   }
 
   /**
+   * Per-SOURCE duplication rollup over the near-dup clusters — the
+   * corpus-health dashboard number ("source X is 40% near-duplicate")
+   * that decides which crawls get re-ingested and which get capped.
+   * A document counts as a duplicate when it is not its cluster's
+   * keeper (global min doc_id), so the rate measures what GLOBAL
+   * dedup removes from each source, cross-source duplicates included.
+   *
+   * Scale shape: rides [[clusters]] (LSH-banded, never all-pairs) +
+   * one broadcast-sized per-source aggregate.
+   *
+   * @return (source, n_docs, n_keepers, n_clusters, dup_rate_e4)
+   *         with dup_rate_e4 = ⌊10⁴·(n_docs − n_keepers)/n_docs⌋
+   */
+  def dupRateBySource(
+      docs: DataFrame,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      shingleN: Int = 3): DataFrame =
+    clusters(docs, numHashes, bands, threshold, shingleN)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("is_keeper")).as("n_keepers"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .withColumn("dup_rate_e4",
+        expr("(n_docs - n_keepers) * 10000L div n_docs"))
+
+  /**
    * Blocked exact-substring dedup stats (the scalable approximation
    * of suffix-array substring dedup, Lee et al. 2022): each document
    * splits into NON-overlapping `span`-token blocks; a block occurring

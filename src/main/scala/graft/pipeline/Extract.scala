@@ -38,4 +38,52 @@ object Extract {
         sum(col("kv")).as("k_sum"),
         min(col("kv")).as("k_min"),
         max(col("kv")).as("k_max"))
+
+  /**
+   * SFT ECHO rate — the "response parrots the prompt" screen run on
+   * extracted instruction pairs before they enter a fine-tuning mix:
+   * for every assistant turn (paired with its latest strictly-earlier
+   * user turn, same as-of semantics as `q_sft_pairs`), the share of
+   * the response's DISTINCT lowercase tokens that also occur in the
+   * prompt. echo_e4 = ⌊10⁴·|resp ∩ prompt| / |resp|⌋ — high values
+   * flag extraction bugs (quote loops) and low-information pairs.
+   *
+   * Scale shape: merge as-of join (one hash shuffle) + token explode
+   * + two hash aggregates + an equi-join on (conv, turn, tok) —
+   * linear in token volume, no windows over the corpus, no UDFs.
+   *
+   * @param transcripts (conv_id, turn_idx, role, text, tool, ts)
+   * @return (conv_id, turn_idx, n_resp_toks, n_echo, echo_e4) — one
+   *         row per assistant turn with an earlier user turn;
+   *         empty-token responses report echo_e4 = 0
+   */
+  def sftEcho(transcripts: DataFrame): DataFrame = {
+    val probes = transcripts.where(col("role") === "assistant")
+      .select(col("conv_id"), col("turn_idx"), col("text").as("response"))
+    val quotes = transcripts.where(col("role") === "user")
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+    val pairs = graft.operators.Temporal
+      .asOfJoin(probes, quotes, "conv_id", "turn_idx", Seq("text"))
+      .select(col("conv_id"), col("turn_idx"),
+        col("asof.text").as("prompt"), col("response"))
+    def toks(src: String) = pairs
+      .select(col("conv_id"), col("turn_idx"),
+        explode(split(lower(col(src)), " ")).as("tok"))
+      .where(col("tok") =!= "").distinct()
+    val nResp = toks("response").groupBy(col("conv_id"), col("turn_idx"))
+      .agg(count(lit(1)).as("n_resp_toks"))
+    val nEcho = toks("response")
+      .join(toks("prompt"), Seq("conv_id", "turn_idx", "tok"))
+      .groupBy(col("conv_id"), col("turn_idx"))
+      .agg(count(lit(1)).as("n_echo"))
+    pairs.select(col("conv_id"), col("turn_idx"))
+      .join(nResp, Seq("conv_id", "turn_idx"), "left")
+      .join(nEcho, Seq("conv_id", "turn_idx"), "left")
+      .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+        coalesce(col("n_resp_toks"), lit(0L)).as("n_resp_toks"),
+        coalesce(col("n_echo"), lit(0L)).as("n_echo"))
+      .withColumn("echo_e4",
+        when(col("n_resp_toks") === 0L, 0L)
+          .otherwise(expr("n_echo * 10000L div n_resp_toks")))
+  }
 }

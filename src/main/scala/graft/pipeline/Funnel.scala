@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -119,5 +120,34 @@ object Funnel {
     // tl stays persisted until the caller's action (three step legs
     // re-read it); Bench's isolated{} / session teardown reclaims it
     out
+  }
+
+  /**
+   * Role-transition Markov census: for every consecutive turn pair
+   * within a conversation, count (role_a → role_b) and export each
+   * row's share of role_a's outgoing transitions as an e4 integer —
+   * the dialogue-structure fingerprint (user→assistant dominance,
+   * tool-loop mass) a transcript corpus is profiled by before
+   * extraction rules are written against it.
+   *
+   * Scale shape: one window per conversation (the same
+   * partition-by-conv_id sort every adjacency derivation here rides),
+   * a tiny |roles|² hash aggregate, and a broadcast marginal join.
+   *
+   * @param transcripts (conv_id, turn_idx, role, text, tool, ts)
+   * @return (role_a, role_b, n, share_e4) with Σ share over role_a
+   *         ≤ 10⁴ (floor rounding)
+   */
+  def roleTransitions(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val pairs = transcripts
+      .select(col("conv_id"), col("turn_idx"), col("role").as("role_a"),
+        lead(col("role"), 1).over(w).as("role_b"))
+      .where(col("role_b").isNotNull)
+      .groupBy(col("role_a"), col("role_b")).agg(count(lit(1)).as("n"))
+    val marg = pairs.groupBy(col("role_a")).agg(sum(col("n")).as("n_out"))
+    pairs.join(broadcast(marg), "role_a")
+      .select(col("role_a"), col("role_b"), col("n"),
+        expr("n * 10000L div n_out").as("share_e4"))
   }
 }

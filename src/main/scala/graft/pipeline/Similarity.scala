@@ -71,6 +71,29 @@ object Similarity {
   }
 
   /**
+   * kNN LABEL-AGREEMENT census — the label-quality screen: for each
+   * query vector, how many of its top-k cosine neighbors share its
+   * label, aggregated per label. Low agreement flags label noise or
+   * an embedding space that does not separate the classes; run it
+   * before training a classifier on the labels.
+   *
+   * Rides [[cosineTopK]]'s exact ranking (same determinism contract);
+   * at corpus scale the same census runs over [[lshTopK]] candidates.
+   *
+   * @return (lab, n_queries, agree) — agree = Σ same-label neighbors
+   *         over the label's queries (max k·n_queries)
+   */
+  def labelAgreement(emb: DataFrame, k: Int = 5, maxQueries: Long = 500): DataFrame = {
+    val lab = emb.select(col("vec_id"), col("label").cast("long").as("lab"))
+    cosineTopK(emb, k, maxQueries)
+      .join(lab, "vec_id")
+      .join(lab.select(col("vec_id").as("nbr_id"), col("lab").as("nlab")), "nbr_id")
+      .groupBy(col("lab"))
+      .agg(countDistinct(col("vec_id")).as("n_queries"),
+        sum(when(col("lab") === col("nlab"), 1L).otherwise(0L)).as("agree"))
+  }
+
+  /**
    * Per-label embedding OUTLIERS by distance to the label centroid —
    * the mislabel/noise screen a curation pipeline runs before
    * training on labeled embeddings.

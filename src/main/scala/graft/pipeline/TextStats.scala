@@ -359,4 +359,32 @@ object TextStats {
         expr("sel div 1048576").as("h"))
       .distinct()
   }
+
+  /**
+   * Integer Flesch-style READABILITY score per document — the
+   * classic quality-mix dial (pretraining mixes are routinely
+   * stratified by readability band). Counting heuristics kept
+   * engine-portable and deterministic: words = `[a-z0-9]+` runs of
+   * the lowercased text, sentences = `[.!?]+` runs, syllables =
+   * vowel-group (`[aeiou]+`) runs — the standard no-dictionary
+   * approximation. Score in e3 fixed point with floor division:
+   * flesch_e3 = 206835 − ⌊1015·W/S⌋ − ⌊84600·Y/W⌋, with W, S, Y
+   * floored at 1 so degenerate texts score rather than crash.
+   *
+   * Scale shape: stateless per-row regexp projection (codegen'd,
+   * pushdown-friendly) — no shuffle at all.
+   *
+   * @return (doc_id, words, sentences, syllables, flesch_e3)
+   */
+  def readability(docs: DataFrame): DataFrame = {
+    def runs(c: Column, pat: String): Column =
+      greatest(regexp_count(c, lit(pat)), lit(1)).cast("long")
+    docs.select(col("doc_id"),
+      runs(lower(col("text")), "[a-z0-9]+").as("words"),
+      runs(col("text"), "[.!?]+").as("sentences"),
+      runs(lower(col("text")), "[aeiou]+").as("syllables"))
+      .withColumn("flesch_e3",
+        lit(206835L) - expr("(1015L * words) div sentences")
+          - expr("(84600L * syllables) div words"))
+  }
 }

@@ -148,6 +148,38 @@ object EdgeBuilder {
   }
 
   /**
+   * Graph EVOLUTION telemetry: per UTC week, turn volume plus the
+   * counts of edges and vertices seen for the FIRST time — the
+   * growth curve a continuously-ingested link graph is sized and
+   * re-partitioned by (is the id space still growing? is densification
+   * slowing?). Week = ⌊epoch_µs / 604 800·10⁶⌋, integer and
+   * timezone-free like the novelty curve.
+   *
+   * Scale shape: rides [[keyEdgesTemporal]] (whose min-t grouping IS
+   * the first-seen time), then two hash censuses and one tiny
+   * per-week join — no windows over the corpus.
+   *
+   * @return (week, n_turns, new_edges, new_vertices)
+   */
+  def growthCensus(transcripts: DataFrame): DataFrame = {
+    val wk = 604800000000L
+    val te = keyEdgesTemporal(transcripts)
+    val turns = transcripts
+      .select(expr(s"unix_micros(cast(ts AS timestamp)) div ${wk}L").as("week"))
+      .groupBy(col("week")).agg(count(lit(1)).as("n_turns"))
+    val newEdges = te.where(col("src_key") < col("dst_key"))
+      .select(expr(s"t div ${wk}L").as("week"))
+      .groupBy(col("week")).agg(count(lit(1)).as("new_edges"))
+    val newVerts = te.groupBy(col("src_key")).agg(min(col("t")).as("ft"))
+      .select(expr(s"ft div ${wk}L").as("week"))
+      .groupBy(col("week")).agg(count(lit(1)).as("new_vertices"))
+    turns.join(newEdges, Seq("week"), "left").join(newVerts, Seq("week"), "left")
+      .select(col("week"), col("n_turns"),
+        coalesce(col("new_edges"), lit(0L)).as("new_edges"),
+        coalesce(col("new_vertices"), lit(0L)).as("new_vertices"))
+  }
+
+  /**
    * Dominant-direction tool-transition graph: vertex = tool, edge
    * A→B iff consecutive tool calls A-then-B (within a conversation)
    * are STRICTLY more frequent than B-then-A. Unlike the turn graph

@@ -106,6 +106,122 @@ class Round3gSpec extends SparkSpec {
       ("C", "A") -> 1L, ("A", "C") -> 1L))
   }
 
+  // ---------- graph growth telemetry ----------
+
+  test("growthCensus: first-seen edge/vertex counts land in the right week") {
+    import spark.implicits._
+    val wkMs = 7L * 86400L * 1000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val rows = Seq(
+      // c1: two turns in week 0, one in week 1
+      ("c1", 0, "user", "a", None: Option[String], ts(0L)),
+      ("c1", 1, "user", "b", None: Option[String], ts(1000L)),
+      ("c1", 2, "user", "c", None: Option[String], ts(wkMs + 10000L)),
+      // c2: single turn in week 1 with a tool edge
+      ("c2", 0, "tool", "d", Some("x"), ts(wkMs + 20000L)))
+    val t = rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = graft.sources.EdgeBuilder.growthCensus(t)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // week 0: 2 turns, edge (c1#0,c1#1), vertices c1#0 + c1#1
+    // week 1: 2 turns, edges (c1#1,c1#2) + (c2#0,T#x), vertices c1#2 + c2#0 + T#x
+    assert(got == Map(0L -> ((2L, 1L, 2L)), 1L -> ((2L, 2L, 3L))))
+  }
+
+  // ---------- kNN label agreement ----------
+
+  test("labelAgreement: mislabeled duplicate drags its label's agreement down") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(1.0f, 0.0f), 1) // mislabeled copy of v0/v1
+    ).toDF("vec_id", "embedding", "label")
+    val got = pipeline.Similarity.labelAgreement(emb, k = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // v0→v1 agree, v1→v0 agree; v2→v3, v3→v2 agree; v4→v0 (tie-break
+    // to the smallest id) disagrees with its own label
+    assert(got == Map(0L -> ((2L, 2L)), 1L -> ((3L, 2L))))
+  }
+
+  // ---------- SFT echo rate ----------
+
+  test("sftEcho: distinct-token overlap with the as-of prompt, empty response scores 0") {
+    import spark.implicits._
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val t = Seq(
+      ("c1", 0, "user", "hello world", None: Option[String], ts(0L)),
+      ("c1", 1, "assistant", "hello there world again", None: Option[String], ts(1L)),
+      ("c1", 2, "user", "next question", None: Option[String], ts(2L)),
+      ("c1", 3, "assistant", "", None: Option[String], ts(3L)),
+      // assistant with NO earlier user turn → excluded entirely
+      ("c2", 0, "assistant", "orphan", None: Option[String], ts(4L)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = pipeline.Extract.sftEcho(t).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // turn 1: resp {hello,there,world,again}=4, echo {hello,world}=2 → 5000
+    // turn 3: empty response → 0 tokens, echo_e4 = 0 (no crash)
+    assert(got == Map(("c1", 1L) -> ((4L, 2L, 5000L)), ("c1", 3L) -> ((0L, 0L, 0L))))
+  }
+
+  // ---------- role-transition census ----------
+
+  test("roleTransitions: per-edge counts and e4 share of the source role") {
+    import spark.implicits._
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val t = Seq(
+      ("c1", 0, "user", "a", None: Option[String], ts(0L)),
+      ("c1", 1, "assistant", "b", None: Option[String], ts(1L)),
+      ("c1", 2, "user", "c", None: Option[String], ts(2L)),
+      ("c1", 3, "tool", "d", Some("x"), ts(3L)),
+      ("c2", 0, "user", "e", None: Option[String], ts(4L)),
+      ("c2", 1, "assistant", "f", None: Option[String], ts(5L)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = pipeline.Funnel.roleTransitions(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("user", "assistant") -> ((2L, 6666L)),
+      ("user", "tool") -> ((1L, 3333L)),
+      ("assistant", "user") -> ((1L, 10000L))))
+  }
+
+  // ---------- per-source duplication rollup ----------
+
+  test("dupRateBySource: global keeper counts against the duplicate's source") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "crawlA", "the quick brown fox jumps over the lazy dog"),
+      (1L, "crawlA", "the quick brown fox jumps over the lazy dog"),
+      (2L, "crawlB", "completely unrelated text with no shared shingles at all"))
+      .toDF("doc_id", "source", "text")
+    val got = pipeline.Dedup.dupRateBySource(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "crawlA" -> ((2L, 1L, 1L, 5000L)),
+      "crawlB" -> ((1L, 1L, 1L, 0L))))
+  }
+
+  // ---------- integer readability ----------
+
+  test("readability: run counts and floor-div Flesch match the hand computation") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "s", "the cat sat. it ran!"),
+      (1L, "s", "")).toDF("doc_id", "source", "text")
+    val got = pipeline.TextStats.readability(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 0: W=5, S=2, Y=5 → 206835 − ⌊5075/2⌋ − ⌊423000/5⌋ = 119698
+    // doc 1: all counts floored to 1 → 206835 − 1015 − 84600 = 121220
+    assert(got == Map(
+      0L -> ((5L, 2L, 5L, 119698L)),
+      1L -> ((1L, 1L, 1L, 121220L))))
+  }
+
   // ---------- language-ID confidence margin ----------
 
   test("langIdMargin: margin separates confident calls from tie-breaks") {
