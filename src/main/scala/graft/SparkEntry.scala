@@ -455,6 +455,18 @@ object SparkEntry {
     // per-conversation latency profile (integer µs; value-at-rank median)
     "q_latency" -> ((s, dir) =>
       pipeline.Funnel.latency(Transcripts.fromEvents(s, dir))),
+    // per-tool response-latency profile (gap to the next turn after
+    // each tool call; integer µs, value-at-rank median per tool)
+    "q_tool_latency" -> ((s, dir) =>
+      pipeline.Funnel.toolLatency(Transcripts.fromEvents(s, dir))),
+    // conversation-length census in power-of-two buckets (bit-length
+    // bucketing — the packing/sessionization sizing readout)
+    "q_conv_hist" -> ((s, dir) =>
+      pipeline.Funnel.convHistogram(Transcripts.fromEvents(s, dir))),
+    // Heaps'-law vocabulary growth: per-day token volume, first-seen
+    // word types, and running totals (integer UTC days)
+    "q_heaps" -> ((s, dir) =>
+      pipeline.TextStats.heapsCurve(Transcripts.fromEvents(s, dir))),
     // graph evolution telemetry: per-week turn volume + first-seen
     // edge/vertex counts (growth + densification curve)
     "q_graph_growth" -> ((s, dir) =>
@@ -2922,6 +2934,58 @@ object SparkEntry {
         |       cast(max_gap_us AS bigint) AS max_gap_us,
         |       cast(coalesce(md.median_gap_us, -1) AS bigint) AS median_gap_us
         |FROM st LEFT JOIN md ON md.conv_id = st.conv_id""".stripMargin),
+    "q_tool_latency" -> (prefix +
+      """, g AS (
+        |  SELECT conv_id, turn_idx, tool,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) - epoch_us(ts) AS gap
+        |  FROM t
+        |), tg AS (
+        |  SELECT tool, conv_id, turn_idx, gap FROM g
+        |  WHERE tool IS NOT NULL AND gap IS NOT NULL
+        |), st AS (
+        |  SELECT tool, count(*) AS n_calls, min(gap) AS min_gap_us,
+        |         max(gap) AS max_gap_us
+        |  FROM tg GROUP BY 1
+        |), rk AS (
+        |  SELECT tool, gap,
+        |         row_number() OVER (PARTITION BY tool ORDER BY gap, conv_id, turn_idx) AS rn,
+        |         count(*) OVER (PARTITION BY tool) AS m
+        |  FROM tg
+        |)
+        |SELECT s.tool, cast(s.n_calls AS bigint) AS n_calls,
+        |       cast(s.min_gap_us AS bigint) AS min_gap_us,
+        |       cast(s.max_gap_us AS bigint) AS max_gap_us,
+        |       cast(r.gap AS bigint) AS median_gap_us
+        |FROM st s JOIN rk r ON r.tool = s.tool AND r.rn = (r.m + 1) // 2""".stripMargin),
+    "q_conv_hist" -> (prefix +
+      """, cl AS (
+        |  SELECT conv_id, count(*) AS n FROM t GROUP BY 1
+        |)
+        |SELECT cast(length(bin(n)) AS bigint) AS bucket,
+        |       cast(count(*) AS bigint) AS n_convs,
+        |       cast(min(n) AS bigint) AS min_turns,
+        |       cast(max(n) AS bigint) AS max_turns
+        |FROM cl GROUP BY 1""".stripMargin),
+    "q_heaps" -> (prefix +
+      """, tok AS (
+        |  SELECT day, w FROM (
+        |    SELECT epoch_us(ts) // 86400000000 AS day,
+        |           unnest(string_split(lower(text), ' ')) AS w
+        |    FROM t) x
+        |  WHERE w <> ''
+        |), pd AS (
+        |  SELECT day, count(*) AS n_tokens FROM tok GROUP BY 1
+        |), fs AS (
+        |  SELECT min(day) AS day FROM tok GROUP BY w
+        |), nt AS (
+        |  SELECT day, count(*) AS new_types FROM fs GROUP BY 1
+        |)
+        |SELECT cast(p.day AS bigint) AS day,
+        |       cast(p.n_tokens AS bigint) AS n_tokens,
+        |       cast(coalesce(n.new_types, 0) AS bigint) AS new_types,
+        |       cast(sum(p.n_tokens) OVER (ORDER BY p.day) AS bigint) AS cum_tokens,
+        |       cast(sum(coalesce(n.new_types, 0)) OVER (ORDER BY p.day) AS bigint) AS cum_types
+        |FROM pd p LEFT JOIN nt n ON n.day = p.day""".stripMargin),
     "q_densest" -> densestSql,
     "q_trending" -> (prefix +
       """, mx AS (SELECT max(epoch_us(ts)) AS m FROM t)

@@ -87,6 +87,61 @@ object Funnel {
       .select(col("conv_id"), col("tool"), col("run_len"), col("start_turn"))
   }
 
+  /**
+   * Per-TOOL response-latency profile: for every tool-bearing turn
+   * that has a successor in its conversation, the gap to that next
+   * turn — the tool's observed round-trip. Aggregated per tool as
+   * integer epoch-microsecond stats; median is the value at rank
+   * ⌈m/2⌉ (lower median), tie-order independent, no float percentile.
+   *
+   * Scale shape: one per-conversation window (lead), then per-tool
+   * grouped aggregates/windows — parallel across the tool vocabulary,
+   * no global sort. A single mega-tool would serialize its own rank
+   * window; the tool vocabulary is the natural parallelism unit here
+   * (same contract as the per-source quantiles).
+   *
+   * @return (tool, n_calls, min_gap_us, max_gap_us, median_gap_us)
+   */
+  def toolLatency(transcripts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val gaps = transcripts
+      .select(col("conv_id"), col("turn_idx"), col("tool"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .withColumn("gap", lead(col("tus"), 1).over(w) - col("tus"))
+      .where(col("tool").isNotNull && col("gap").isNotNull)
+    val stats = gaps.groupBy(col("tool")).agg(
+      count(lit(1)).as("n_calls"),
+      min(col("gap")).as("min_gap_us"),
+      max(col("gap")).as("max_gap_us"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tool")).orderBy(col("gap"), col("conv_id"), col("turn_idx"))
+    val med = gaps
+      .withColumn("rn", row_number().over(wg))
+      .withColumn("m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("tool"))))
+      .where(col("rn") === expr("(m + 1) div 2"))
+      .select(col("tool"), col("gap").as("median_gap_us"))
+    stats.join(med, Seq("tool"))
+  }
+
+  /**
+   * Conversation-length census in power-of-two buckets: bucket b
+   * covers n_turns ∈ [2^(b-1), 2^b) — bit-length bucketing, no float
+   * log (same idiom as the degree histogram). The shape-of-the-corpus
+   * readout a packing/sessionization planner sizes state by. One
+   * grouped count per conversation, then a ~60-row aggregate.
+   *
+   * @return (bucket, n_convs, min_turns, max_turns)
+   */
+  def convHistogram(transcripts: DataFrame): DataFrame =
+    transcripts.groupBy(col("conv_id")).agg(count(lit(1)).as("n"))
+      .withColumn("bucket", length(conv(col("n"), 10, 2)).cast("long"))
+      .groupBy(col("bucket")).agg(
+        count(lit(1)).as("n_convs"),
+        min(col("n")).as("min_turns"),
+        max(col("n")).as("max_turns"))
+
   /** @return (conv_id, depth, done_us): steps completed in order
    * (0-3) and the completion time of the deepest step (-1 if none). */
   def toolFunnel(transcripts: DataFrame): DataFrame = {

@@ -64,6 +64,38 @@ object TextStats {
   }
 
   /**
+   * Heaps'-law vocabulary-growth curve: per UTC day, the corpus'
+   * token volume and the count of NEVER-before-seen word types, with
+   * running totals — the V(N) ≈ K·N^β curve a tokenizer/corpus
+   * planner reads maturity from (unigram-TYPE sibling of
+   * [[noveltyByDay]], which tracks n-gram occurrence mass).
+   *
+   * Integer UTC-day arithmetic, exact counts. Scale shape: one
+   * (token, day) explode feeding two grouped aggregates (per-day
+   * volume; min-day per type — both partially aggregated before the
+   * shuffle); the cumulative window then runs over ONE ROW PER DAY,
+   * trivially small at any corpus size.
+   *
+   * @return (day, n_tokens, new_types, cum_tokens, cum_types)
+   */
+  def heapsCurve(transcripts: DataFrame): DataFrame = {
+    val tok = transcripts.select(
+      expr("unix_micros(cast(ts AS timestamp)) div 86400000000").as("day"),
+      explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+    val perDay = tok.groupBy(col("day")).agg(count(lit(1)).as("n_tokens"))
+    val firstSeen = tok.groupBy(col("w")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_types"))
+    val wd = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay.join(firstSeen, Seq("day"), "left")
+      .select(col("day"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wd))
+      .withColumn("cum_types", sum(col("new_types")).over(wd))
+  }
+
+  /**
    * Language-ID with a CONFIDENCE MARGIN — the gate a curation
    * pipeline applies before trusting the label: margin = best-profile
    * hits − runner-up hits (0 on ties ⇒ the tie-broken label is
