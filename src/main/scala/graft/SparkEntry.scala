@@ -467,6 +467,18 @@ object SparkEntry {
     // word types, and running totals (integer UTC days)
     "q_heaps" -> ((s, dir) =>
       pipeline.TextStats.heapsCurve(Transcripts.fromEvents(s, dir))),
+    // chat-format lint: per-conv structural flags (opens-with-user,
+    // has-assistant, role fragmentation) an SFT pipeline gates on
+    "q_chatlint" -> ((s, dir) =>
+      pipeline.Funnel.chatLint(Transcripts.fromEvents(s, dir))),
+    // context-budget truncation census: leading turns that fit a
+    // 256-token window + head-truncation token loss per conversation
+    "q_ctx_budget" -> ((s, dir) =>
+      pipeline.Funnel.ctxBudget(Transcripts.fromEvents(s, dir))),
+    // boilerplate-turn detection: texts recurring across ≥2 distinct
+    // conversations (greeting/template mass), top-100 deterministic
+    "q_boilerplate" -> ((s, dir) =>
+      pipeline.TextStats.boilerplate(Transcripts.fromEvents(s, dir))),
     // graph evolution telemetry: per-week turn volume + first-seen
     // edge/vertex counts (growth + densification curve)
     "q_graph_growth" -> ((s, dir) =>
@@ -2986,6 +2998,49 @@ object SparkEntry {
         |       cast(sum(p.n_tokens) OVER (ORDER BY p.day) AS bigint) AS cum_tokens,
         |       cast(sum(coalesce(n.new_types, 0)) OVER (ORDER BY p.day) AS bigint) AS cum_types
         |FROM pd p LEFT JOIN nt n ON n.day = p.day""".stripMargin),
+    "q_chatlint" -> (prefix +
+      """, rr AS (
+        |  SELECT conv_id, turn_idx, role, tool,
+        |         CASE WHEN lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+        |                   IS DISTINCT FROM role THEN 1 ELSE 0 END AS brk
+        |  FROM t
+        |), agg AS (
+        |  SELECT conv_id,
+        |         arg_min(role, turn_idx) AS first_role,
+        |         arg_max(role, turn_idx) AS last_role,
+        |         max(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS has_assistant,
+        |         max(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS has_tool,
+        |         sum(brk) AS n_role_runs
+        |  FROM rr GROUP BY 1
+        |)
+        |SELECT conv_id, first_role, last_role,
+        |       cast(has_assistant AS bigint) AS has_assistant,
+        |       cast(has_tool AS bigint) AS has_tool,
+        |       cast(n_role_runs AS bigint) AS n_role_runs,
+        |       cast(CASE WHEN first_role = 'user' AND has_assistant = 1
+        |                 THEN 1 ELSE 0 END AS bigint) AS lint_ok
+        |FROM agg""".stripMargin),
+    "q_ctx_budget" -> (prefix +
+      """, nt AS (
+        |  SELECT conv_id, turn_idx, len(string_split(text, ' ')) AS nt,
+        |         sum(len(string_split(text, ' ')))
+        |           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS cum
+        |  FROM t
+        |)
+        |SELECT conv_id, cast(count(*) AS bigint) AS n_turns,
+        |       cast(sum(nt) AS bigint) AS total_tokens,
+        |       cast(sum(CASE WHEN cum <= 256 THEN 1 ELSE 0 END) AS bigint) AS fit_turns,
+        |       cast(sum(CASE WHEN cum > 256 THEN nt ELSE 0 END) AS bigint) AS lost_tokens
+        |FROM nt GROUP BY 1""".stripMargin),
+    "q_boilerplate" -> (prefix +
+      """
+        |SELECT md5(text) AS text_md5,
+        |       cast(count(DISTINCT conv_id) AS bigint) AS n_convs,
+        |       cast(count(*) AS bigint) AS n_occ
+        |FROM t GROUP BY 1
+        |HAVING count(DISTINCT conv_id) >= 2
+        |ORDER BY n_convs DESC, n_occ DESC, text_md5 ASC
+        |LIMIT 100""".stripMargin),
     "q_densest" -> densestSql,
     "q_trending" -> (prefix +
       """, mx AS (SELECT max(epoch_us(ts)) AS m FROM t)

@@ -142,6 +142,72 @@ object Funnel {
         min(col("n")).as("min_turns"),
         max(col("n")).as("max_turns"))
 
+  /**
+   * Chat-format LINT: per-conversation structural flags an SFT
+   * pipeline gates on before templating — who opens and closes the
+   * dialogue, whether an assistant turn exists at all, whether tools
+   * are used, and how fragmented the role sequence is (number of
+   * maximal same-role runs). `lint_ok` = opens with a user turn AND
+   * contains an assistant turn — the minimal trainable-conversation
+   * contract.
+   *
+   * Integer flags (0/1) for exact oracle compare. Scale shape: one
+   * per-conversation window (lag) + one grouped aggregate — parallel
+   * across conversations, no global sort.
+   *
+   * @return (conv_id, first_role, last_role, has_assistant, has_tool,
+   *         n_role_runs, lint_ok)
+   */
+  def chatLint(transcripts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    transcripts
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"))
+      .withColumn("brk",
+        when(lag(col("role"), 1).over(w).isNull ||
+          lag(col("role"), 1).over(w) =!= col("role"), 1L).otherwise(0L))
+      .groupBy(col("conv_id"))
+      .agg(
+        min_by(col("role"), col("turn_idx")).as("first_role"),
+        max_by(col("role"), col("turn_idx")).as("last_role"),
+        max(when(col("role") === "assistant", 1L).otherwise(0L)).as("has_assistant"),
+        max(when(col("tool").isNotNull, 1L).otherwise(0L)).as("has_tool"),
+        sum(col("brk")).as("n_role_runs"))
+      .withColumn("lint_ok",
+        when(col("first_role") === "user" && col("has_assistant") === 1L, 1L)
+          .otherwise(0L))
+  }
+
+  /**
+   * Context-budget truncation census: per conversation, how many
+   * leading turns fit inside a `budget`-token context window and how
+   * many tokens a head-truncating packer would drop. Token = number
+   * of whitespace-split pieces (the ws_tokens contract). The planning
+   * readout for SFT sequence budgeting — run before [[Mix.pack]]-
+   * style packing to size the window.
+   *
+   * Scale shape: one per-conversation running-sum window + one
+   * grouped aggregate; integers throughout.
+   *
+   * @return (conv_id, n_turns, total_tokens, fit_turns, lost_tokens)
+   */
+  def ctxBudget(transcripts: DataFrame, budget: Long = 256L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    transcripts
+      .select(col("conv_id"), col("turn_idx"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .withColumn("cum", sum(col("nt")).over(w))
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(col("nt")).as("total_tokens"),
+        sum(when(col("cum") <= budget, 1L).otherwise(0L)).as("fit_turns"),
+        sum(when(col("cum") > budget, col("nt")).otherwise(0L)).as("lost_tokens"))
+  }
+
   /** @return (conv_id, depth, done_us): steps completed in order
    * (0-3) and the completion time of the deepest step (-1 if none). */
   def toolFunnel(transcripts: DataFrame): DataFrame = {

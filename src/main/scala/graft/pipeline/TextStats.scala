@@ -96,6 +96,31 @@ object TextStats {
   }
 
   /**
+   * Boilerplate-turn detection: turn texts that recur across ≥
+   * `minConvs` DISTINCT conversations — the greeting/disclaimer/
+   * template mass a transcript-curation pipeline strips before
+   * training (cross-conversation sibling of the exact-dedup keeper).
+   * Exported as md5 keys (texts may be arbitrarily long), top-`k` by
+   * (n_convs, n_occ, text_md5) for a deterministic result set.
+   *
+   * Scale shape: one grouped aggregate keyed by the text hash
+   * (partial agg before the shuffle), then TakeOrdered top-k — no
+   * global sort, no text column crossing the shuffle.
+   *
+   * @return (text_md5, n_convs, n_occ)
+   */
+  def boilerplate(transcripts: DataFrame, minConvs: Int = 2,
+      k: Int = 100): DataFrame =
+    transcripts
+      .select(md5(col("text")).as("text_md5"), col("conv_id"))
+      .groupBy(col("text_md5"))
+      .agg(count_distinct(col("conv_id")).as("n_convs"),
+        count(lit(1)).as("n_occ"))
+      .where(col("n_convs") >= minConvs)
+      .orderBy(desc("n_convs"), desc("n_occ"), asc("text_md5"))
+      .limit(k)
+
+  /**
    * Language-ID with a CONFIDENCE MARGIN — the gate a curation
    * pipeline applies before trusting the label: margin = best-profile
    * hits − runner-up hits (0 on ties ⇒ the tie-broken label is

@@ -46,6 +46,64 @@ class Round3hSpec extends SparkSpec {
       3L -> ((1L, 5L, 5L))))  // c1 (5)
   }
 
+  // ---------- chat lint ----------
+
+  test("chatLint: flags, role runs, and the trainable-conversation gate") {
+    import spark.implicits._
+    val tr = Seq(
+      // c1: user,user,assistant,tool → 3 runs, ok
+      ("c1", 0, "user", None: Option[String]),
+      ("c1", 1, "user", None),
+      ("c1", 2, "assistant", None),
+      ("c1", 3, "tool", Some("T")),
+      // c2: assistant first → not ok
+      ("c2", 0, "assistant", None),
+      ("c2", 1, "user", None),
+      // c3: user only, no assistant → not ok
+      ("c3", 0, "user", None))
+      .toDF("conv_id", "turn_idx", "role", "tool")
+    val got = pipeline.Funnel.chatLint(tr).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got("c1") == (("user", "tool", 1L, 1L, 3L, 1L)))
+    assert(got("c2") == (("assistant", "user", 1L, 0L, 2L, 0L)))
+    assert(got("c3") == (("user", "user", 0L, 0L, 1L, 0L)))
+  }
+
+  // ---------- context budget ----------
+
+  test("ctxBudget: prefix fit and head-truncation loss") {
+    import spark.implicits._
+    val tr = Seq(
+      // c1: 3+4+2 tokens, budget 6 → turns 1 fits (3), turn 2 cum 7 > 6
+      ("c1", 0, "a b c"), ("c1", 1, "d e f g"), ("c1", 2, "h i"),
+      // c2: 2 tokens → everything fits
+      ("c2", 0, "x y"))
+      .toDF("conv_id", "turn_idx", "text")
+    val got = pipeline.Funnel.ctxBudget(tr, budget = 6L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got("c1") == ((3L, 9L, 1L, 6L)))
+    assert(got("c2") == ((1L, 2L, 1L, 0L)))
+  }
+
+  // ---------- boilerplate ----------
+
+  test("boilerplate: cross-conversation recurring texts only, ordered") {
+    import spark.implicits._
+    val tr = Seq(
+      ("c1", 0, "hello"), ("c2", 0, "hello"), ("c3", 0, "hello"),
+      ("c1", 1, "bye"), ("c2", 1, "bye"),
+      ("c1", 2, "unique"), ("c1", 3, "solo"), ("c1", 4, "solo"))
+      .toDF("conv_id", "turn_idx", "text")
+    val got = pipeline.TextStats.boilerplate(tr, minConvs = 2, k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // "solo" repeats but only inside c1 → excluded; hello(3) before bye(2)
+    assert(got.toSeq == Seq((3L, 3L), (2L, 2L)))
+  }
+
   // ---------- Heaps curve ----------
 
   test("heapsCurve: per-day volume, first-seen types, running totals") {
