@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bpe, Cooccur, Curate, Decontam, Dedup, Mix, Multimodal, Quantiles, Similarity, Sketch, TextStats, Vocab}
+import graft.pipeline.{Bpe, Cooccur, Curate, Decontam, Dedup, Mix, Multimodal, Profile, Quantiles, Similarity, Sketch, TextStats, Vocab}
 
 /** Driver-contract entries for the training-data pipeline operators
  * (dedup / similarity / text analysis / multimodal) over the
@@ -145,6 +145,12 @@ object PipelineEntry {
     "q_dup_rate" -> ((s, dir) => Dedup.dupRateBySource(Dedup.docs(s, dir))),
     // integer Flesch-style readability bands (regexp run counts only)
     "q_readability" -> ((s, dir) => TextStats.readability(Dedup.docs(s, dir))),
+    // deequ-style per-column profile of the documents drop (exact
+    // null/distinct counts — the ingestion health check)
+    "q_profile" -> ((s, dir) =>
+      Profile.columnProfile(s.read.parquet(s"$dir/documents.parquet"))),
+    // encoding-quality screen: non-printable + U+FFFD counts per doc
+    "q_mojibake" -> ((s, dir) => Profile.mojibake(Dedup.docs(s, dir))),
     // mergeable-sketch set algebra: per-pair union registers reduced
     // to exact-integer sufficient statistics
     "q_hll_pairs" -> ((s, dir) => Sketch.hllPairStats(Dedup.docs(s, dir))),
@@ -460,6 +466,30 @@ object PipelineEntry {
 
   /** Mirrors TextStats.readability (regexp run counts are RE2/Java
    * agnostic for these plain character classes). */
+  /** Per-column profile replay: one UNION ALL branch per column of
+   * the documents drop (must stay in sync with its parquet schema). */
+  private val profileSql: String =
+    Seq("doc_id", "lang", "n_chars", "source", "text").map { c =>
+      s"""SELECT '$c' AS col_name, cast(count(*) AS bigint) AS n_rows,
+         |       cast(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_nulls,
+         |       cast(count(DISTINCT $c) AS bigint) AS n_distinct
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  private val mojibakeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |         length(text) - length(regexp_replace(text, '[^ -~\t\n\r]', '', 'g')) AS n_nonprint,
+      |         length(text) - length(replace(text, chr(65533), '')) AS n_repl
+      |  FROM documents
+      |)
+      |SELECT doc_id, cast(n_chars AS bigint) AS n_chars,
+      |       cast(n_nonprint AS bigint) AS n_nonprint,
+      |       cast(n_repl AS bigint) AS n_repl,
+      |       cast(CASE WHEN n_chars = 0 THEN 0
+      |                 ELSE (n_nonprint * 10000) // n_chars END AS bigint) AS nonprint_e4
+      |FROM m""".stripMargin
+
   private val readabilitySql: String =
     """WITH c AS (
       |  SELECT doc_id,
@@ -1643,6 +1673,8 @@ object PipelineEntry {
     "q_split" -> splitSql,
     "q_dup_rate" -> dupRateSql,
     "q_readability" -> readabilitySql,
+    "q_profile" -> profileSql,
+    "q_mojibake" -> mojibakeSql,
     "q_decontam" -> decontamSql,
     "q_sample" -> sampleSql,
     "q_mix_temp" -> mixTempSql,

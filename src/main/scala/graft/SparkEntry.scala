@@ -600,6 +600,13 @@ object SparkEntry {
       Katz.run(g, iterations = 5).katz.join(g.vertices, "id")
         .select(col("key"), col("katz_x"))
     }),
+    // eigenvector centrality: integer power iteration, 6 rounds with
+    // L∞ floor renormalization — bit-replayable in any engine
+    "q_eigen" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      EigenCentrality.run(g, iterations = 6).eigen.join(g.vertices, "id")
+        .select(col("key"), col("eigen_x"))
+    }),
     // Wyllie list ranking over the conversation chains: distance to
     // the conversation's last turn in O(log L) pointer-doubling rounds
     // (vs O(L) frontier supersteps — the chain-scale primitive)
@@ -2066,6 +2073,28 @@ object SparkEntry {
         |     JOIN p4 USING (key) JOIN p5 USING (key)""".stripMargin
   }
 
+  /** Eigenvector-centrality replay: 6 integer power-iteration rounds
+   * over the symmetric edge set, each round a gather-sum + a scalar
+   * max + floor renormalization — the same exact-integer dynamic the
+   * engine runs. */
+  private val eigenSql: String = {
+    val round = (k: Int) =>
+      s""", r$k AS (
+         |  SELECT v.key, coalesce(s.s, 0) AS s
+         |  FROM v LEFT JOIN (
+         |    SELECT esw.dst_key AS key, sum(x.x) AS s
+         |    FROM esw JOIN x${k - 1} x ON x.key = esw.src_key GROUP BY 1
+         |  ) s USING (key)
+         |), x$k AS (
+         |  SELECT key, cast((s * 1000000) // (SELECT max(s) FROM r$k) AS bigint) AS x
+         |  FROM r$k
+         |)""".stripMargin
+    prefix + symBody +
+      ", x0 AS (SELECT key, cast(1000000 AS bigint) AS x FROM v)" +
+      (1 to 6).map(round).mkString +
+      "\nSELECT key, x AS eigen_x FROM x6"
+  }
+
   /** List-rank replay: the chain is the conversation itself, so the
    * distance to the last turn is max(turn_idx) − turn_idx — an
    * independent closed form, not a re-implementation of the pointer
@@ -3081,6 +3110,7 @@ object SparkEntry {
     "q_scc" -> sccSql,
     "q_scc_dag" -> sccDagSql,
     "q_katz" -> katzSql,
+    "q_eigen" -> eigenSql,
     "q_listrank" -> listrankSql,
     "q_modularity" -> modularitySql,
     "q_ecc" -> eccSql,

@@ -104,6 +104,89 @@ class Round3hSpec extends SparkSpec {
     assert(got.toSeq == Seq((3L, 3L), (2L, 2L)))
   }
 
+  // ---------- eigenvector centrality ----------
+
+  /** Naive replay of the exact integer power-iteration dynamic. */
+  private def eigenNaive(n: Int, pairs: Seq[(Int, Int)], rounds: Int,
+      scale: Long = 1000000L): Map[Int, Long] = {
+    val nbrs = (pairs ++ pairs.map(_.swap)).distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var x = (0 until n).map(_ => scale).toArray
+    for (_ <- 1 to rounds) {
+      val raw = (0 until n).map(v =>
+        nbrs.getOrElse(v, Seq.empty).map(u => x(u)).sum).toArray
+      val m = raw.max
+      x = raw.map(s => if (m == 0L) 0L else s * scale / m)
+    }
+    (0 until n).map(i => i -> x(i)).toMap
+  }
+
+  test("eigen: hub of a star saturates, leaves split evenly") {
+    // star: center 0, leaves 1..4 — bipartite, so the exact dynamic
+    // alternates between (1e6, 250000·leaves) and all-1e6; the naive
+    // replay is the ground truth, center saturates at every round.
+    val pairs = Seq((0, 1), (0, 2), (0, 3), (0, 4))
+    val g = graphOf(pairs, symmetric = true)
+    val got = byIndex(g, algos.EigenCentrality.run(g, iterations = 6).eigen,
+      "eigen_x")
+    val want = eigenNaive(5, pairs, 6)
+    assert(got == want.map { case (k, v) => k -> (v: Any) })
+    assert(got(0) == 1000000L)
+    g.unpersist()
+  }
+
+  test("eigen matches the naive integer replay on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 12
+    val pairs = (0 until 3 * n).map(_ => (rnd.nextInt(n), rnd.nextInt(n)))
+      .filter(p => p._1 != p._2).map(p => (p._1 min p._2, p._1 max p._2))
+      .distinct
+    val g = graphOf(pairs, symmetric = true)
+    val got = byIndex(g, algos.EigenCentrality.run(g, iterations = 6).eigen,
+      "eigen_x")
+    // vertices absent from any pair don't exist in the graph; compare
+    // only ids the graph knows
+    val present = got.keySet
+    val want = eigenNaive(n, pairs, 6).filter(kv => present(kv._1))
+    assert(got == want.map { case (k, v) => k -> (v: Any) })
+    g.unpersist()
+  }
+
+  // ---------- column profile ----------
+
+  test("columnProfile: nulls and exact distincts per column") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), "x"), (2L, None, "x"), (3L, Some("a"), "y"))
+      .toDF("id", "s", "t")
+    val got = pipeline.Profile.columnProfile(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      "id" -> ((3L, 0L, 3L)),
+      "s" -> ((3L, 1L, 1L)),   // count_distinct skips nulls
+      "t" -> ((3L, 0L, 2L))))
+  }
+
+  // ---------- mojibake ----------
+
+  test("mojibake: replacement chars and non-printables counted") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean ascii text"),
+      (2L, "bad � byte �"),
+      (3L, "ctrl\u0007char\u00e9"), // BEL and \u00e9 are non-printable-ASCII
+      (4L, "")).toDF("doc_id", "text")
+    val got = pipeline.Profile.mojibake(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) == ((16L, 0L, 0L, 0L)))
+    assert(got(2L) == ((12L, 2L, 2L, 1666L)))
+    assert(got(3L) == ((10L, 2L, 0L, 2000L)))
+    assert(got(4L) == ((0L, 0L, 0L, 0L)))
+  }
+
   // ---------- Heaps curve ----------
 
   test("heapsCurve: per-day volume, first-seen types, running totals") {
