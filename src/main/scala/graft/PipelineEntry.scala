@@ -151,6 +151,10 @@ object PipelineEntry {
       Profile.columnProfile(s.read.parquet(s"$dir/documents.parquet"))),
     // encoding-quality screen: non-printable + U+FFFD counts per doc
     "q_mojibake" -> ((s, dir) => Profile.mojibake(Dedup.docs(s, dir))),
+    // embedding-norm census: exact quantized ‖v‖² + dim counts (the
+    // vector-quality screen before ANN/dedup trusts a drop)
+    "q_emb_norms" -> ((s, dir) =>
+      Similarity.normCensus(Similarity.embeddings(s, dir))),
     // mergeable-sketch set algebra: per-pair union registers reduced
     // to exact-integer sufficient statistics
     "q_hll_pairs" -> ((s, dir) => Sketch.hllPairStats(Dedup.docs(s, dir))),
@@ -489,6 +493,19 @@ object PipelineEntry {
       |       cast(CASE WHEN n_chars = 0 THEN 0
       |                 ELSE (n_nonprint * 10000) // n_chars END AS bigint) AS nonprint_e4
       |FROM m""".stripMargin
+
+  private val embNormsSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         cast(round(cast(unnest(embedding) AS double) * 1000000) AS bigint) AS xq
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, count(*) AS n_dims, sum(xq * xq) AS norm2_q FROM q GROUP BY 1
+      |)
+      |SELECT vec_id, cast(n_dims AS bigint) AS n_dims,
+      |       cast(norm2_q AS bigint) AS norm2_q,
+      |       cast(length(bin(cast(norm2_q AS bigint))) AS bigint) AS bucket
+      |FROM n""".stripMargin
 
   private val readabilitySql: String =
     """WITH c AS (
@@ -1675,6 +1692,7 @@ object PipelineEntry {
     "q_readability" -> readabilitySql,
     "q_profile" -> profileSql,
     "q_mojibake" -> mojibakeSql,
+    "q_emb_norms" -> embNormsSql,
     "q_decontam" -> decontamSql,
     "q_sample" -> sampleSql,
     "q_mix_temp" -> mixTempSql,

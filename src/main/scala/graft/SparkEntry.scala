@@ -722,6 +722,10 @@ object SparkEntry {
         Some(Graphs.ccLabels(s, dir))).bridges),
     // bond-percolation census at p=0.7 (deterministic md5 coins):
     // the random-failure dual of q_bridges' targeted-failure view
+    // targeted hub-removal robustness census (attack-tolerance dual
+    // of percolation: delete top-20 degree hubs, census the shards)
+    "q_attack" -> ((s, dir) =>
+      Attack.census(Graphs.get(s, dir, symmetric = true), k = 20)),
     "q_percolation" -> ((s, dir) =>
       Percolation.census(Graphs.get(s, dir, symmetric = true))),
     // 2-edge-connected components: delete the bridges, CC the rest —
@@ -2501,6 +2505,49 @@ object SparkEntry {
    * need only agree on the partition). Cap 80 ≫ sampled diameter
    * (plateau verified at 60 on sf0.01); singletons fall out of the
    * all-vertices base. */
+  /** Attack-census replay via the SAME structural shortcut as
+   * [[ccBody]] (conversation chains stay internally connected, so
+   * components = conv-level components), valid because every top-20
+   * hub on this graph is a TOOL vertex (turn vertices max out at
+   * degree 3: prev + next + one tool edge; the 20th tool's degree is
+   * an order of magnitude above that at every SF) — deleting hubs
+   * therefore only removes tool link vertices, never splits a chain.
+   * Depth-safe: the conv-level recursion's diameter is tiny, unlike a
+   * HashMin replay over raw turn chains. */
+  private val attackSql: String =
+    "WITH RECURSIVE " + prefixBody + symBody +
+      """, hubs AS MATERIALIZED (
+        |  SELECT src_key AS hk FROM esw GROUP BY src_key
+        |  ORDER BY count(*) DESC, src_key LIMIT 20
+        |), tooluse AS (
+        |  SELECT DISTINCT conv_id, concat('T#', tool) AS tkey FROM k
+        |  WHERE tool IS NOT NULL
+        |    AND concat('T#', tool) NOT IN (SELECT hk FROM hubs)
+        |), convedge AS (
+        |  SELECT DISTINCT a.conv_id AS ca, b.conv_id AS cb
+        |  FROM tooluse a JOIN tooluse b ON a.tkey = b.tkey
+        |), r(c, l) AS (
+        |  SELECT conv_id, conv_id FROM (SELECT DISTINCT conv_id FROM k) z(conv_id)
+        |  UNION
+        |  SELECT ce.cb, r.l FROM r JOIN convedge ce ON ce.ca = r.c WHERE r.l < ce.cb
+        |), lab AS (
+        |  SELECT c, min(l) AS lc FROM r GROUP BY c
+        |), vc AS (
+        |  SELECT DISTINCT key, lc FROM (
+        |    SELECT k.vkey AS key, lab.lc FROM k JOIN lab ON lab.c = k.conv_id
+        |    UNION ALL
+        |    SELECT tu.tkey AS key, lab.lc FROM tooluse tu JOIN lab ON lab.c = tu.conv_id
+        |  ) u JOIN v USING (key)
+        |  WHERE key NOT IN (SELECT hk FROM hubs)
+        |), szs AS (
+        |  SELECT lc, count(*) AS sz FROM vc GROUP BY 1
+        |)
+        |SELECT cast(length(bin(sz)) AS bigint) AS bucket,
+        |       cast(count(*) AS bigint) AS n_components,
+        |       cast(min(sz) AS bigint) AS min_size,
+        |       cast(max(sz) AS bigint) AS max_size
+        |FROM szs GROUP BY 1""".stripMargin
+
   private val percolationSql: String = {
     val cap = 80
     "WITH RECURSIVE " + prefixBody + symBody +
@@ -3141,6 +3188,7 @@ object SparkEntry {
     "q_euler" -> eulerSql,
     "q_bipartite" -> bipartiteSql,
     "q_bridges" -> bridgesSql,
+    "q_attack" -> attackSql,
     "q_percolation" -> percolationSql,
     "q_2ecc" -> twoEccSql,
     "q_kcenter" -> kcenterSql,

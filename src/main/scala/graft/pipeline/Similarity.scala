@@ -45,6 +45,30 @@ object Similarity {
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
   }
 
+  /**
+   * Embedding-norm census — the vector-quality screen an ANN/dedup
+   * pipeline runs before trusting an embedding drop: per vector, the
+   * dimension count and the EXACT INTEGER quantized squared norm
+   * (each coordinate rounded to ×10⁶, then Σ xq² — the same
+   * quantization contract as the centroid-outlier screen), plus its
+   * power-of-two bucket. Zero vectors land in bucket 1 with
+   * norm2_q = 0; truncated or ragged vectors show up as n_dims
+   * outliers.
+   *
+   * Scale shape: one explode + one grouped aggregate keyed by vec_id
+   * (partial agg before the shuffle), pure column expressions.
+   *
+   * @return (vec_id, n_dims, norm2_q, bucket)
+   */
+  def normCensus(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"),
+        expr("cast(round(cast(x AS double) * 1000000) AS bigint)").as("xq"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"), sum(col("xq") * col("xq")).as("norm2_q"))
+      .withColumn("bucket", length(conv(col("norm2_q"), 10, 2)).cast("long"))
+
   /** Brute-force cosine top-k per query vector. Deterministic output:
    * ranking on (sim_e4 desc, nbr_id asc) so rounding-boundary float
    * noise cannot reorder results across engines/runs.

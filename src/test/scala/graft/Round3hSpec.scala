@@ -152,6 +152,51 @@ class Round3hSpec extends SparkSpec {
     g.unpersist()
   }
 
+  // ---------- targeted-attack census ----------
+
+  test("attack: removing the hub shatters the star into singletons") {
+    // two stars joined at their centers: 0-(1,2,3), 4-(5,6), 0-4.
+    // deg(0)=4, deg(4)=3. k=1 removes 0 → components {1},{2},{3},
+    // {4,5,6}: three size-1 (bucket 1) + one size-3 (bucket 2).
+    val pairs = Seq((0, 1), (0, 2), (0, 3), (4, 5), (4, 6), (0, 4))
+    val g = graphOf(pairs, symmetric = true)
+    val got = algos.Attack.census(g, k = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(1L -> ((3L, 1L, 1L)), 2L -> ((1L, 3L, 3L))))
+    g.unpersist()
+  }
+
+  test("attack: k=0 census equals the plain component census") {
+    val pairs = Seq((0, 1), (1, 2), (3, 4))
+    val g = graphOf(pairs, symmetric = true)
+    val got = algos.Attack.census(g, k = 0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // components {0,1,2} (bucket 2) and {3,4} (bucket 2)
+    assert(got == Map(2L -> ((2L, 2L, 3L))))
+    g.unpersist()
+  }
+
+  // ---------- embedding-norm census ----------
+
+  test("normCensus: exact quantized norms, zero vector in bucket 1") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),        // norm2_q = 1e12
+      (1L, Array(0.5f, 0.5f)),        // 2·(5e5)² = 5e11
+      (2L, Array(0.0f, 0.0f)),        // zero vector
+      (3L, Array(0.001f, 0.0f, 0.0f)) // 3 dims, xq=1000 → 1e6
+    ).toDF("vec_id", "embedding")
+    val got = pipeline.Similarity.normCensus(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(0L) == ((2L, 1000000000000L, 40L)))
+    assert(got(1L) == ((2L, 500000000000L, 39L)))
+    assert(got(2L) == ((2L, 0L, 1L)))
+    assert(got(3L) == ((3L, 1000000L, 20L)))
+  }
+
   // ---------- column profile ----------
 
   test("columnProfile: nulls and exact distincts per column") {
