@@ -323,6 +323,20 @@ object SparkEntry {
         .join(g.vertices, "id")
         .select(col("root_key"), col("key"), col("dist").cast("long").as("level"))
     }),
+    // landmark distance-distribution census: (root, vertex) pairs per
+    // hop distance — the small-world curve from the MSBFS state
+    "q_dist_census" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      MultiSourceBfs.distCensus(MultiSourceBfs.run(g, rootIds(g, 4)).dists)
+    }),
+    // ingestion-volume anomaly days: integer k-sigma spike/drop flags
+    // on the per-UTC-day turn volume
+    "q_anomaly_days" -> ((s, dir) =>
+      pipeline.Profile.dailyAnomalies(Transcripts.fromEvents(s, dir))),
+    // conversation topic drift: first-half vs second-half distinct-
+    // token Jaccard (whole-conv complement of TextTiling segments)
+    "q_drift" -> ((s, dir) =>
+      pipeline.Segment.halfDrift(Transcripts.fromEvents(s, dir))),
     // Per-vertex triangle counts + degree (local clustering coefficient
     // = 2t/d(d-1), derivable from the integer pair)
     "q_clustering" -> ((s, dir) => {
@@ -2719,6 +2733,50 @@ object SparkEntry {
     "q_pagerank_conv" -> pagerankConvSql,
     "q_bfs" -> bfsSql,
     "q_msbfs" -> msbfsSql,
+    "q_dist_census" -> ("WITH RECURSIVE " + prefixBody + symBody + msbfsBody +
+      """, d AS (
+        |  SELECT root, key, min(lvl) AS dd FROM r GROUP BY 1, 2
+        |)
+        |SELECT cast(dd AS bigint) AS dist, cast(count(*) AS bigint) AS n_pairs
+        |FROM d GROUP BY 1""".stripMargin),
+    "q_anomaly_days" -> (prefix +
+      """, dd AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n_turns
+        |  FROM t GROUP BY 1
+        |), st AS (
+        |  SELECT count(*) AS n, sum(n_turns) AS s,
+        |         sum(n_turns * n_turns) AS ssq
+        |  FROM dd
+        |)
+        |SELECT cast(day AS bigint) AS day, cast(n_turns AS bigint) AS n_turns,
+        |       cast(CASE WHEN (cast(n AS hugeint) * n_turns - s)
+        |                    * (cast(n AS hugeint) * n_turns - s)
+        |                  > 4 * (cast(n AS hugeint) * ssq - cast(s AS hugeint) * s)
+        |                  AND cast(n AS hugeint) * n_turns > s
+        |                 THEN 1 ELSE 0 END AS bigint) AS is_spike,
+        |       cast(CASE WHEN (cast(n AS hugeint) * n_turns - s)
+        |                    * (cast(n AS hugeint) * n_turns - s)
+        |                  > 4 * (cast(n AS hugeint) * ssq - cast(s AS hugeint) * s)
+        |                  AND cast(n AS hugeint) * n_turns < s
+        |                 THEN 1 ELSE 0 END AS bigint) AS is_drop
+        |FROM dd, st""".stripMargin),
+    "q_drift" -> (prefix +
+      """, cn AS (
+        |  SELECT conv_id, count(*) AS n FROM t GROUP BY 1
+        |), tk AS (
+        |  SELECT DISTINCT conv_id, fh, tok FROM (
+        |    SELECT t.conv_id, (t.turn_idx * 2 < cn.n) AS fh,
+        |           unnest(string_split(lower(t.text), ' ')) AS tok
+        |    FROM t JOIN cn ON cn.conv_id = t.conv_id) x
+        |  WHERE tok <> ''
+        |), ag AS (
+        |  SELECT conv_id, tok, count(*) AS halves FROM tk GROUP BY 1, 2
+        |)
+        |SELECT conv_id,
+        |       cast(sum(CASE WHEN halves = 2 THEN 1 ELSE 0 END) AS bigint) AS n_inter,
+        |       cast(count(*) AS bigint) AS n_union,
+        |       cast(sum(CASE WHEN halves = 2 THEN 1 ELSE 0 END) * 10000 // count(*) AS bigint) AS jaccard_e4
+        |FROM ag GROUP BY 1""".stripMargin),
     "q_closeness" -> closenessSql,
     "q_closeness_all" -> closenessAllSql,
     "q_walks" -> walksSql,

@@ -118,6 +118,15 @@ object MultiSourceBfs {
         count(lit(1)).as("n_reached"),
         sum(floor(lit(10000) / col("dist")).cast("long")).as("harmonic_e4"))
 
+  /** Landmark distance-distribution census — the small-world curve:
+   * how many (root, vertex) pairs sit at each hop distance, one tiny
+   * aggregate over the one-loop MSBFS state (dist 0 rows are the
+   * roots themselves).
+   * @return (dist, n_pairs) */
+  def distCensus(dists: DataFrame): DataFrame =
+    dists.groupBy(col("dist").cast("long").as("dist"))
+      .agg(count(lit(1)).as("n_pairs"))
+
   /** Eccentricity of each landmark root — the max BFS level it
    * reaches (exact within the root's component; over sampled
    * landmarks, max(ecc) lower-bounds the diameter and min(ecc)

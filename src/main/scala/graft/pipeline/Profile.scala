@@ -41,6 +41,38 @@ object Profile {
   }
 
   /**
+   * Ingestion-volume anomaly detection: flag UTC days whose turn
+   * volume sits more than `kSigma` standard deviations from the
+   * corpus mean — the spike/drop alarm an ingestion pipeline pages
+   * on. The k-sigma gate is the same cross-multiplied INTEGER form as
+   * the per-source length outliers (|n·x − s|² > k²·(n·ssq − s²),
+   * decimal(38,0) — no float mean/sqrt crosses the oracle boundary),
+   * with the sign split into separate spike/drop flags.
+   *
+   * Scale shape: one per-day count (partially aggregated), one 3-cell
+   * global aggregate broadcast back over the ~day-count rows.
+   *
+   * @return (day, n_turns, is_spike, is_drop)
+   */
+  def dailyAnomalies(transcripts: DataFrame, kSigma: Long = 2): DataFrame = {
+    val days = transcripts.select(
+      expr("unix_micros(cast(ts AS timestamp)) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_turns"))
+    val stats = days.agg(count(lit(1)).as("n"),
+      sum(col("n_turns")).as("s"),
+      sum(col("n_turns") * col("n_turns")).as("ssq"))
+    val dev = s"(cast(n AS decimal(38,0)) * n_turns - s)"
+    val gate = s"$dev * $dev > ${kSigma * kSigma} *" +
+      s" (cast(n AS decimal(38,0)) * ssq - cast(s AS decimal(38,0)) * s)"
+    days.crossJoin(broadcast(stats))
+      .select(col("day"), col("n_turns"),
+        expr(s"cast(CASE WHEN $gate AND cast(n AS decimal(38,0)) * n_turns > s" +
+          " THEN 1 ELSE 0 END AS bigint)").as("is_spike"),
+        expr(s"cast(CASE WHEN $gate AND cast(n AS decimal(38,0)) * n_turns < s" +
+          " THEN 1 ELSE 0 END AS bigint)").as("is_drop"))
+  }
+
+  /**
    * Encoding-quality (mojibake) screen over `documents`: per document,
    * the count of characters outside printable-ASCII ∪ {tab, LF, CR},
    * the count of U+FFFD replacement characters (the classic

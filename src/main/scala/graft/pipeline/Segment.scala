@@ -56,4 +56,38 @@ object Segment {
       .agg(min(col("turn_idx")).cast("long").as("start_turn"),
         count(lit(1)).as("n_turns"))
   }
+
+  /**
+   * Conversation topic-drift score: distinct-token Jaccard between
+   * the first and second half of each conversation (halves by turn
+   * position: first ⟺ 2·turn_idx < n_turns). High overlap = the
+   * conversation stayed on one topic; near-zero = it drifted — the
+   * whole-conversation complement of the adjacent-turn TextTiling
+   * boundaries above. Single-turn conversations have an empty second
+   * half and score 0 by construction.
+   *
+   * Integer-exact (counts and a floor-div ratio). Scale shape: one
+   * (conv, half, token) distinct + two grouped aggregates keyed by
+   * conv/token — all partially aggregated, no windows.
+   *
+   * @return (conv_id, n_inter, n_union, jaccard_e4)
+   */
+  def halfDrift(transcripts: DataFrame): DataFrame = {
+    val sizes = transcripts.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n"))
+    val toks = transcripts
+      .join(sizes, "conv_id")
+      .select(col("conv_id"),
+        (col("turn_idx") * 2 < col("n")).as("first_half"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .distinct()
+    toks.groupBy(col("conv_id"), col("tok"))
+      .agg(count(lit(1)).as("halves"))
+      .groupBy(col("conv_id"))
+      .agg(
+        sum(when(col("halves") === 2, 1L).otherwise(0L)).as("n_inter"),
+        count(lit(1)).as("n_union"))
+      .withColumn("jaccard_e4", expr("(n_inter * 10000L) div n_union"))
+  }
 }

@@ -197,6 +197,50 @@ class Round3hSpec extends SparkSpec {
     assert(got(3L) == ((3L, 1000000L, 20L)))
   }
 
+  // ---------- landmark distance census ----------
+
+  test("distCensus: path graph from one root counts one pair per level") {
+    val g = graphOf(Seq((0, 1), (1, 2)), symmetric = true)
+    val root = indexOf(g).collectFirst { case (id, 0) => id }.get
+    val got = algos.MultiSourceBfs.distCensus(
+      algos.MultiSourceBfs.run(g, Seq(root)).dists).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+    g.unpersist()
+  }
+
+  // ---------- daily volume anomalies ----------
+
+  test("dailyAnomalies: a 10x spike day flags, steady days don't") {
+    import spark.implicits._
+    val rows = (1 to 10).flatMap(d =>
+      (0 until 10).map(i => (s"c$d-$i", 0, f"2026-01-$d%02d 12:00:00"))) ++
+      (0 until 100).map(i => (s"cs-$i", 0, "2026-01-11 12:00:00"))
+    val tr = rows.toDF("conv_id", "turn_idx", "tss")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val got = pipeline.Profile.dailyAnomalies(tr, kSigma = 2).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(100L) == ((1L, 0L))) // the spike day
+    assert(got(10L) == ((0L, 0L)))  // steady days
+  }
+
+  // ---------- topic drift ----------
+
+  test("halfDrift: half-overlap Jaccard, single-turn scores zero") {
+    import spark.implicits._
+    val tr = Seq(
+      ("c1", 0, "a b"), ("c1", 1, "c"), ("c1", 2, "a d"), ("c1", 3, "e"),
+      ("c2", 0, "x y"))
+      .toDF("conv_id", "turn_idx", "text")
+    val got = pipeline.Segment.halfDrift(tr).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // c1: first {a,b,c} second {a,d,e} → inter 1, union 5, 2000
+    assert(got("c1") == ((1L, 5L, 2000L)))
+    assert(got("c2") == ((0L, 2L, 0L)))
+  }
+
   // ---------- column profile ----------
 
   test("columnProfile: nulls and exact distincts per column") {
