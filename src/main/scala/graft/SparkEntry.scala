@@ -323,6 +323,20 @@ object SparkEntry {
         .join(g.vertices, "id")
         .select(col("root_key"), col("key"), col("dist").cast("long").as("level"))
     }),
+    // bidirectional s-t BFS between the two busiest hubs (radii-
+    // certified early stop; -1 when disconnected)
+    "q_bidir" -> ((s, dir) => {
+      import s.implicits._
+      val g = Graphs.get(s, dir, symmetric = true)
+      val ids = rootIds(g, 2)
+      val keyOf = g.vertices.where(col("id").isin(ids: _*)).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("key")).toMap
+      val r = BidirBfs.dist(g, ids(0), ids(1))
+      Seq((keyOf(ids(0)), keyOf(ids(1)), r.dist)).toDF("s_key", "t_key", "dist")
+    }),
+    // deterministic R-MAT generator source: 20k edges over 2^12
+    // vertices, pure function of (seed, i) — engine-replayable
+    "q_rmat" -> ((s, _) => sources.RMat.edges(s, n = 20000L, scale = 12)),
     // landmark distance-distribution census: (root, vertex) pairs per
     // hop distance — the small-world curve from the MSBFS state
     "q_dist_census" -> ((s, dir) => {
@@ -2733,6 +2747,34 @@ object SparkEntry {
     "q_pagerank_conv" -> pagerankConvSql,
     "q_bfs" -> bfsSql,
     "q_msbfs" -> msbfsSql,
+    "q_bidir" -> ("WITH RECURSIVE " + prefixBody + symBody +
+      """, rt2 AS MATERIALIZED (
+        |  SELECT src_key AS rkey,
+        |         row_number() OVER (ORDER BY count(*) DESC, src_key) AS rn
+        |  FROM esw GROUP BY src_key ORDER BY count(*) DESC, src_key LIMIT 2
+        |), r(key, lvl) AS (
+        |  SELECT rkey, 0 FROM rt2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT esw.dst_key, min(r.lvl) + 1 FROM r JOIN esw ON esw.src_key = r.key
+        |  WHERE r.lvl < 60 GROUP BY 1
+        |)
+        |SELECT (SELECT rkey FROM rt2 WHERE rn = 1) AS s_key,
+        |       (SELECT rkey FROM rt2 WHERE rn = 2) AS t_key,
+        |       cast(coalesce((SELECT min(r.lvl) FROM r JOIN rt2
+        |                      ON rt2.rkey = r.key AND rt2.rn = 2), -1) AS bigint) AS dist""".stripMargin),
+    "q_rmat" ->
+      """WITH g AS (SELECT range AS i FROM range(20000)),
+        |lv AS (SELECT g.i, r.l FROM g, range(12) r(l)),
+        |h AS (
+        |  SELECT i, l,
+        |         ('0x' || substr(md5('rmat|' || i || '|' || l), 1, 4))::BIGINT AS h
+        |  FROM lv
+        |)
+        |SELECT i,
+        |       cast(sum(CASE WHEN h >= 49152 THEN 1 << (11 - l) ELSE 0 END) AS bigint) AS src,
+        |       cast(sum(CASE WHEN (h >= 36864 AND h < 49152) OR h >= 61440
+        |                     THEN 1 << (11 - l) ELSE 0 END) AS bigint) AS dst
+        |FROM h GROUP BY i""".stripMargin,
     "q_dist_census" -> ("WITH RECURSIVE " + prefixBody + symBody + msbfsBody +
       """, d AS (
         |  SELECT root, key, min(lvl) AS dd FROM r GROUP BY 1, 2

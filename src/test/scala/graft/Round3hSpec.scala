@@ -197,6 +197,60 @@ class Round3hSpec extends SparkSpec {
     assert(got(3L) == ((3L, 1000000L, 20L)))
   }
 
+  // ---------- bidirectional BFS ----------
+
+  test("bidirBfs: path distance, same-vertex zero, disconnected -1") {
+    val g = graphOf(Seq((0, 1), (1, 2), (2, 3), (3, 4), (5, 6)), symmetric = true)
+    val idx = indexOf(g).map(_.swap)
+    assert(algos.BidirBfs.dist(g, idx(0), idx(4)).dist == 4L)
+    assert(algos.BidirBfs.dist(g, idx(2), idx(2)).dist == 0L)
+    assert(algos.BidirBfs.dist(g, idx(0), idx(6)).dist == -1L)
+    g.unpersist()
+  }
+
+  test("bidirBfs agrees with single-source BFS levels on a random graph") {
+    val rnd = new scala.util.Random(13)
+    val n = 14
+    val pairs = (0 until 2 * n).map(_ => (rnd.nextInt(n), rnd.nextInt(n)))
+      .filter(p => p._1 != p._2).distinct
+    val g = graphOf(pairs, symmetric = true)
+    val idx = indexOf(g).map(_.swap)
+    val present = idx.keySet.toSeq.sorted
+    val s = idx(present.head)
+    val levels = byIndex(g, algos.Bfs.run(g, s).tree, "level")
+      .map { case (k, v) => k -> v.asInstanceOf[Int].toLong }
+    for (t <- present.drop(1).take(5)) {
+      val want = levels.getOrElse(t, -1L)
+      assert(algos.BidirBfs.dist(g, s, idx(t)).dist == want, s"t=$t")
+    }
+    g.unpersist()
+  }
+
+  // ---------- R-MAT generator ----------
+
+  test("rmat: bit-exact md5 replay, vertex range, determinism") {
+    val scale = 6
+    val got = sources.RMat.edges(spark, n = 32L, scale = scale).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    def h(i: Long, l: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"rmat|$i|$l".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16)
+    }
+    val want = (0L until 32L).map { i =>
+      var src = 0L; var dst = 0L
+      for (l <- 0 until scale) {
+        val hh = h(i, l)
+        if (hh >= 49152) src |= 1L << (scale - 1 - l)
+        if ((hh >= 36864 && hh < 49152) || hh >= 61440) dst |= 1L << (scale - 1 - l)
+      }
+      (i, src, dst)
+    }
+    assert(got.toSeq == want)
+    assert(got.forall(e => e._2 >= 0 && e._2 < 64 && e._3 >= 0 && e._3 < 64))
+  }
+
   // ---------- landmark distance census ----------
 
   test("distCensus: path graph from one root counts one pair per level") {
