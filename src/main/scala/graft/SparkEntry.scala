@@ -337,6 +337,25 @@ object SparkEntry {
     // deterministic R-MAT generator source: 20k edges over 2^12
     // vertices, pure function of (seed, i) — engine-replayable
     "q_rmat" -> ((s, _) => sources.RMat.edges(s, n = 20000L, scale = 12)),
+    // generator → engine roundtrip: the R-MAT multigraph through the
+    // dedup/self-loop-drop build, out-degree power-law histogram
+    "q_rmat_degs" -> ((s, _) => {
+      import graft.syntax._
+      val e = sources.RMat.edges(s, n = 20000L, scale = 12)
+      val g = LinkGraph.fromIdEdges(e.select(col("src"), col("dst")),
+        1L << 12, symmetric = false, Graphs.shufflePartitions(s))
+      val out = DegreeStats.histogram(g).graftCut
+      g.unpersist()
+      out
+    }),
+    // per-tool distinctive terms (integer lift vs the corpus token
+    // distribution — "what is this tool used for")
+    "q_topic_tools" -> ((s, dir) =>
+      pipeline.Cooccur.toolTopTerms(Transcripts.fromEvents(s, dir))),
+    // hashing-trick conversation featurizer (signed md5 buckets,
+    // long-format exact integers)
+    "q_hashfeat" -> ((s, dir) =>
+      pipeline.Extract.hashFeatures(Transcripts.fromEvents(s, dir))),
     // landmark distance-distribution census: (root, vertex) pairs per
     // hop distance — the small-world curve from the MSBFS state
     "q_dist_census" -> ((s, dir) => {
@@ -2775,6 +2794,63 @@ object SparkEntry {
         |       cast(sum(CASE WHEN (h >= 36864 AND h < 49152) OR h >= 61440
         |                     THEN 1 << (11 - l) ELSE 0 END) AS bigint) AS dst
         |FROM h GROUP BY i""".stripMargin,
+    "q_rmat_degs" ->
+      """WITH g AS (SELECT range AS i FROM range(20000)),
+        |lv AS (SELECT g.i, r.l FROM g, range(12) r(l)),
+        |h AS (
+        |  SELECT i, l,
+        |         ('0x' || substr(md5('rmat|' || i || '|' || l), 1, 4))::BIGINT AS h
+        |  FROM lv
+        |), e AS (
+        |  SELECT i,
+        |         sum(CASE WHEN h >= 49152 THEN 1 << (11 - l) ELSE 0 END) AS src,
+        |         sum(CASE WHEN (h >= 36864 AND h < 49152) OR h >= 61440
+        |                   THEN 1 << (11 - l) ELSE 0 END) AS dst
+        |  FROM h GROUP BY i
+        |), d AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+        |od AS (SELECT src, count(*) AS dg FROM d GROUP BY 1)
+        |SELECT cast(length(bin(dg)) AS bigint) AS bucket,
+        |       cast(count(*) AS bigint) AS n_vertices,
+        |       cast(min(dg) AS bigint) AS min_degree,
+        |       cast(max(dg) AS bigint) AS max_degree
+        |FROM od GROUP BY 1""".stripMargin,
+    "q_topic_tools" -> (prefix +
+      """, tok AS (
+        |  SELECT tool, w FROM (
+        |    SELECT tool, unnest(string_split(lower(text), ' ')) AS w FROM t) x
+        |  WHERE w <> ''
+        |), nn AS (SELECT count(*) AS n FROM tok),
+        |gw AS (SELECT w, count(*) AS n_w FROM tok GROUP BY 1),
+        |tt AS (
+        |  SELECT tool, w, count(*) AS n_tw FROM tok
+        |  WHERE tool IS NOT NULL GROUP BY 1, 2
+        |), nt AS (SELECT tool, sum(n_tw) AS n_t FROM tt GROUP BY 1),
+        |sc AS (
+        |  SELECT tt.tool, tt.w, tt.n_tw,
+        |         (cast(tt.n_tw AS hugeint) * (SELECT n FROM nn) * 10000)
+        |           // (cast(nt.n_t AS hugeint) * gw.n_w) AS lift_e4
+        |  FROM tt JOIN nt ON nt.tool = tt.tool JOIN gw ON gw.w = tt.w
+        |  WHERE tt.n_tw >= 3
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY tool
+        |            ORDER BY lift_e4 DESC, n_tw DESC, w) AS rank
+        |  FROM sc
+        |)
+        |SELECT tool, w AS term, cast(n_tw AS bigint) AS n_tw,
+        |       cast(lift_e4 AS bigint) AS lift_e4, cast(rank AS bigint) AS rank
+        |FROM rk WHERE rank <= 3""".stripMargin),
+    "q_hashfeat" -> (prefix +
+      """, tok AS (
+        |  SELECT conv_id, w FROM (
+        |    SELECT conv_id, unnest(string_split(lower(text), ' ')) AS w FROM t) x
+        |  WHERE w <> ''
+        |)
+        |SELECT conv_id,
+        |       ('0x' || substr(md5(w), 1, 4))::BIGINT % 16 AS dim,
+        |       cast(count(*) AS bigint) AS n_toks,
+        |       cast(sum(CASE WHEN ('0x' || substr(md5(w), 5, 1))::BIGINT % 2 = 0
+        |                     THEN 1 ELSE -1 END) AS bigint) AS feat
+        |FROM tok GROUP BY 1, 2""".stripMargin),
     "q_dist_census" -> ("WITH RECURSIVE " + prefixBody + symBody + msbfsBody +
       """, d AS (
         |  SELECT root, key, min(lvl) AS dd FROM r GROUP BY 1, 2

@@ -189,4 +189,46 @@ object Cooccur {
         expr("(1000000L * (2 * iwx - (n_tools + 1) * total_uses))" +
           " div (n_tools * total_uses)").as("gini_e6"))
   }
+
+  /**
+   * Per-tool DISTINCTIVE terms — "what is this tool used for": the
+   * top-`k` tokens of tool-bearing turns ranked by integer lift
+   * against the whole-corpus token distribution,
+   * lift_e4 = ⌊10⁴ · n_tw·N / (n_t·n_w)⌋ (N = corpus token count,
+   * n_t = the tool's token count, n_w = the token's corpus count),
+   * support ≥ `minSupport`. Ties by (n_tw desc, term asc). The
+   * numerator runs in decimal(38,0) — exact at any corpus scale.
+   *
+   * Scale shape: two grouped counts (corpus marginals broadcast), a
+   * per-tool rank window over the tool vocabulary — parallel across
+   * tools, no global sort; the one driver scalar is N (the Allreduce
+   * analog).
+   *
+   * @return (tool, term, n_tw, lift_e4, rank)
+   */
+  def toolTopTerms(transcripts: DataFrame, k: Int = 3,
+      minSupport: Long = 3): DataFrame = {
+    val tok = transcripts.select(col("tool"),
+      explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .persist()
+    val n = tok.count()
+    val gw = tok.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val tt = tok.where(col("tool").isNotNull)
+      .groupBy(col("tool"), col("w")).agg(count(lit(1)).as("n_tw"))
+    val nt = tt.groupBy(col("tool")).agg(sum(col("n_tw")).as("n_t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tool"))
+      .orderBy(desc("lift_e4"), desc("n_tw"), asc("w"))
+    val out = tt.join(broadcast(nt), "tool").join(gw, "w")
+      .where(col("n_tw") >= minSupport)
+      .withColumn("lift_e4",
+        expr(s"cast((cast(n_tw AS decimal(38,0)) * ${n}L * 10000)" +
+          " div (cast(n_t AS decimal(38,0)) * n_w) AS bigint)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("tool"), col("w").as("term"), col("n_tw"),
+        col("lift_e4"), col("rank"))
+    out // tok stays persisted for the two consumers; session cleanup frees it
+  }
 }

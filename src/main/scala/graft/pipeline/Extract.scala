@@ -57,6 +57,35 @@ object Extract {
    *         row per assistant turn with an earlier user turn;
    *         empty-token responses report echo_e4 = 0
    */
+  /**
+   * Feature-hashing (hashing-trick) conversation featurizer: every
+   * token hashes to one of `dims` buckets via an md5 dimension draw
+   * plus an independent md5 SIGN draw (the signed variant that keeps
+   * collisions unbiased, Weinberger et al.) — the fixed-width sparse
+   * featurization a downstream trainer consumes without a vocabulary
+   * pass. Long format (one row per non-empty (conv, dim)) so the
+   * export is exact integers.
+   *
+   * Deterministic and engine-replayable: dim = first 4 md5 hex
+   * nibbles mod dims, sign from the 5th nibble's parity.
+   *
+   * Scale shape: explode + one grouped aggregate keyed by
+   * (conv, dim) — partially aggregated, no vocabulary table, no
+   * windows.
+   *
+   * @return (conv_id, dim, n_toks, feat) with feat = Σ ±1
+   */
+  def hashFeatures(transcripts: DataFrame, dims: Int = 16): DataFrame =
+    transcripts.select(col("conv_id"),
+      explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .select(col("conv_id"),
+        expr(s"cast(conv(substring(md5(w), 1, 4), 16, 10) AS bigint) % $dims").as("dim"),
+        expr("CASE WHEN cast(conv(substring(md5(w), 5, 1), 16, 10) AS bigint) % 2 = 0" +
+          " THEN 1L ELSE -1L END").as("sign"))
+      .groupBy(col("conv_id"), col("dim"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("sign")).as("feat"))
+
   def sftEcho(transcripts: DataFrame): DataFrame = {
     val probes = transcripts.where(col("role") === "assistant")
       .select(col("conv_id"), col("turn_idx"), col("text").as("response"))

@@ -251,6 +251,69 @@ class Round3hSpec extends SparkSpec {
     assert(got.forall(e => e._2 >= 0 && e._2 < 64 && e._3 >= 0 && e._3 < 64))
   }
 
+  // ---------- per-tool distinctive terms ----------
+
+  test("toolTopTerms: integer lift ranks the tool-specific token first") {
+    import spark.implicits._
+    val tr = Seq(
+      ("c1", 0, Some("X"), "alpha alpha alpha"),
+      ("c1", 1, None: Option[String], "beta beta beta"),
+      ("c2", 0, Some("Y"), "gamma gamma gamma beta"))
+      .toDF("conv_id", "turn_idx", "tool", "text")
+    val got = pipeline.Cooccur.toolTopTerms(tr, k = 3, minSupport = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // N=10; X: lift(alpha) = 3·10·1e4 div (3·3) = 33333
+    // Y: lift(gamma) = 3·10·1e4 div (4·3) = 25000; beta support 1 < 3
+    assert(got == Set(
+      ("X", "alpha", 3L, 33333L, 1L),
+      ("Y", "gamma", 3L, 25000L, 1L)))
+  }
+
+  // ---------- feature hashing ----------
+
+  test("hashFeatures: md5 dims and signs replay bit-exactly") {
+    import spark.implicits._
+    val tr = Seq(("c1", 0, "aa bb aa"), ("c2", 0, "cc"))
+      .toDF("conv_id", "turn_idx", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def dim(w: String) = java.lang.Long.parseLong(md5hex(w).substring(0, 4), 16) % 16
+    def sign(w: String) =
+      if (java.lang.Long.parseLong(md5hex(w).substring(4, 5), 16) % 2 == 0) 1L else -1L
+    val expect = Seq("aa" -> "c1", "bb" -> "c1", "aa" -> "c1", "cc" -> "c2")
+      .groupBy { case (w, c) => (c, dim(w)) }
+      .map { case ((c, d), ws) =>
+        (c, d, ws.size.toLong, ws.map(x => sign(x._1)).sum) }
+      .toSet
+    val got = pipeline.Extract.hashFeatures(tr).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expect)
+  }
+
+  // ---------- R-MAT roundtrip ----------
+
+  test("rmat histogram: dedup + self-loop drop replayed naively") {
+    val e = sources.RMat.edges(spark, n = 500L, scale = 6).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val deg = e.filter(p => p._1 != p._2).distinct.groupBy(_._1)
+      .map { case (_, es) => es.size.toLong }
+    val expect = deg.groupBy(d => java.lang.Long.toBinaryString(d).length.toLong)
+      .map { case (b, ds) => b -> ((ds.size.toLong, ds.min, ds.max)) }
+    val g = graft.LinkGraph.fromIdEdges(
+      sources.RMat.edges(spark, n = 500L, scale = 6)
+        .select(col("src"), col("dst")),
+      64L, symmetric = false, numPartitions = 4)
+    val got = graft.algos.DegreeStats.histogram(g).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expect)
+    g.unpersist()
+  }
+
   // ---------- landmark distance census ----------
 
   test("distCensus: path graph from one root counts one pair per level") {
