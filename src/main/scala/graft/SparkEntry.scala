@@ -348,6 +348,27 @@ object SparkEntry {
       g.unpersist()
       out
     }),
+    // Broder bow-tie decomposition of the tool-transition digraph
+    // (CORE = largest SCC, IN/OUT via two frontier closures over the
+    // O(1) transpose)
+    "q_bowtie" -> ((s, dir) => {
+      val tt = EdgeBuilder.toolTransitions(Transcripts.fromEvents(s, dir))
+      val g = LinkGraph.fromKeyEdges(tt, symmetric = false,
+        Graphs.shufflePartitions(s))
+      BowTie.census(g)
+    }),
+    // directed in/out-degree correlation sufficient statistics (one
+    // exact-integer row; Pearson r is the consumer's one float div)
+    "q_deg_corr" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = false)
+      g.degrees.agg(
+        count(lit(1)).as("n"),
+        sum(col("out_degree")).as("s_out"),
+        sum(col("in_degree")).as("s_in"),
+        sum(col("out_degree") * col("out_degree")).as("ss_out"),
+        sum(col("in_degree") * col("in_degree")).as("ss_in"),
+        sum(col("in_degree") * col("out_degree")).as("s_io"))
+    }),
     // per-tool distinctive terms (integer lift vs the corpus token
     // distribution — "what is this tool used for")
     "q_topic_tools" -> ((s, dir) =>
@@ -2086,6 +2107,40 @@ object SparkEntry {
       |FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
       |GROUP BY a.s""".stripMargin
 
+  /** Bow-tie replay: the [[sccSql]] reach fixpoint, core = largest
+   * SCC (ties by min key — id order is key order), IN/OUT from the
+   * same closure read backward/forward. */
+  private val bowtieSql: String = sccSql.replace(
+    """SELECT a.s AS key, min(a.d) AS scc_key
+      |FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+      |GROUP BY a.s""".stripMargin,
+    """, scc AS MATERIALIZED (
+      |  SELECT a.s AS key, min(a.d) AS scc_key
+      |  FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+      |  GROUP BY a.s
+      |), core AS MATERIALIZED (
+      |  SELECT scc_key FROM (
+      |    SELECT scc_key, count(*) AS sz FROM scc GROUP BY 1) x
+      |  ORDER BY sz DESC, scc_key LIMIT 1
+      |), coremem AS (
+      |  SELECT key FROM scc WHERE scc_key = (SELECT scc_key FROM core)
+      |), fwd AS (
+      |  SELECT DISTINCT r.d AS key FROM reach r JOIN coremem c ON r.s = c.key
+      |), bwd AS (
+      |  SELECT DISTINCT r.s AS key FROM reach r JOIN coremem c ON r.d = c.key
+      |), cls AS (
+      |  SELECT s.key,
+      |         CASE WHEN s.scc_key = (SELECT scc_key FROM core) THEN 'core'
+      |              WHEN b.key IS NOT NULL AND f.key IS NULL THEN 'in'
+      |              WHEN f.key IS NOT NULL AND b.key IS NULL THEN 'out'
+      |              ELSE 'other' END AS cls
+      |  FROM scc s LEFT JOIN fwd f ON f.key = s.key
+      |             LEFT JOIN bwd b ON b.key = s.key
+      |)
+      |SELECT cls, cast(count(*) AS bigint) AS n,
+      |       min(key) AS min_key, max(key) AS max_key
+      |FROM cls GROUP BY 1""".stripMargin)
+
   /** Condensation edge census: same reach fixpoint, then distinct
    * dominant-direction edges grouped by (component, component). */
   private val sccDagSql: String = sccSql.replace(
@@ -3331,6 +3386,21 @@ object SparkEntry {
     "q_critpath" -> critpathSql,
     "q_critpath_fast" -> critpathSql,
     "q_scc" -> sccSql,
+    "q_bowtie" -> bowtieSql,
+    "q_deg_corr" -> (prefix +
+      """, od AS (SELECT src_key AS key, count(*) AS o FROM e GROUP BY 1)
+        |, id2 AS (SELECT dst_key AS key, count(*) AS i FROM e GROUP BY 1)
+        |, dg AS (
+        |  SELECT v.key, coalesce(od.o, 0) AS o, coalesce(id2.i, 0) AS i
+        |  FROM v LEFT JOIN od ON od.key = v.key LEFT JOIN id2 ON id2.key = v.key
+        |)
+        |SELECT cast(count(*) AS bigint) AS n,
+        |       cast(sum(o) AS bigint) AS s_out,
+        |       cast(sum(i) AS bigint) AS s_in,
+        |       cast(sum(o * o) AS bigint) AS ss_out,
+        |       cast(sum(i * i) AS bigint) AS ss_in,
+        |       cast(sum(i * o) AS bigint) AS s_io
+        |FROM dg""".stripMargin),
     "q_scc_dag" -> sccDagSql,
     "q_katz" -> katzSql,
     "q_eigen" -> eigenSql,

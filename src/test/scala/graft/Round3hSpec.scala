@@ -251,6 +251,33 @@ class Round3hSpec extends SparkSpec {
     assert(got.forall(e => e._2 >= 0 && e._2 < 64 && e._3 >= 0 && e._3 < 64))
   }
 
+  // ---------- bow-tie decomposition ----------
+
+  test("bowTie: cycle core, upstream in, downstream out, rest other") {
+    // core = cycle 1→2→3→1; 0→1 feeds it (IN); 3→4 drains (OUT);
+    // 0→7 is an IN-tendril and 5→6 a separate component (both OTHER)
+    val g = graphOf(Seq((0, 1), (1, 2), (2, 3), (3, 1), (3, 4), (5, 6), (0, 7)),
+      symmetric = false)
+    val got = algos.BowTie.census(g).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("core" -> 3L, "in" -> 1L, "out" -> 1L, "other" -> 3L))
+    g.unpersist()
+  }
+
+  // ---------- degree correlation ----------
+
+  test("degCorr sufficient statistics on a hand graph") {
+    val g = graphOf(Seq((0, 1), (0, 2), (1, 2)), symmetric = false)
+    val r = g.degrees.agg(
+      count(lit(1)), sum(col("out_degree")), sum(col("in_degree")),
+      sum(col("out_degree") * col("out_degree")),
+      sum(col("in_degree") * col("in_degree")),
+      sum(col("in_degree") * col("out_degree"))).first()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((3L, 3L, 3L, 5L, 5L, 1L)))
+    g.unpersist()
+  }
+
   // ---------- per-tool distinctive terms ----------
 
   test("toolTopTerms: integer lift ranks the tool-specific token first") {
