@@ -377,6 +377,35 @@ object SparkEntry {
     // long-format exact integers)
     "q_hashfeat" -> ((s, dir) =>
       pipeline.Extract.hashFeatures(Transcripts.fromEvents(s, dir))),
+    // landmark distance-oracle estimates between the top-6 hub pairs
+    // (min over landmarks of d(a,l)+d(l,b) — the scalable approximate
+    // point-to-point distance technique)
+    "q_dist_oracle" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      // hubs restricted to the GIANT component (size desc, min key —
+      // same pick as KCenter) so every pair has a defined estimate
+      val lk = Graphs.ccLabels(s, dir).join(g.vertices, "id")
+      val giantLbl = lk.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("sz"), min(col("key")).as("mk"))
+        .orderBy(desc("sz"), asc("mk")).limit(1)
+        .first().getLong(0)
+      val hubs = g.degrees
+        .join(lk.where(col("lbl") === giantLbl).select(col("id"), col("key")), "id")
+        .orderBy(desc("out_degree"), asc("key"))
+        .limit(6).select(col("id")).collect().map(_.getLong(0)).toSeq
+      val dists = MultiSourceBfs.run(g, hubs.take(4)).dists
+      val pairs = for { i <- hubs.indices; j <- i + 1 until hubs.length }
+        yield (hubs(i), hubs(j))
+      MultiSourceBfs.distOracle(dists, g.vertices, pairs)
+    }),
+    // second-order tool-transition trigram census (order-2 Markov
+    // fingerprint with conditional share vs the bigram prefix)
+    "q_markov2" -> ((s, dir) =>
+      pipeline.Funnel.toolMarkov2(Transcripts.fromEvents(s, dir))),
+    // inter-turn gap histogram, power-of-two µs buckets (latency
+    // distribution shape)
+    "q_gap_hist" -> ((s, dir) =>
+      pipeline.Funnel.gapHistogram(Transcripts.fromEvents(s, dir))),
     // landmark distance-distribution census: (root, vertex) pairs per
     // hop distance — the small-world curve from the MSBFS state
     "q_dist_census" -> ((s, dir) => {
@@ -2906,6 +2935,66 @@ object SparkEntry {
         |       cast(sum(CASE WHEN ('0x' || substr(md5(w), 5, 1))::BIGINT % 2 = 0
         |                     THEN 1 ELSE -1 END) AS bigint) AS feat
         |FROM tok GROUP BY 1, 2""".stripMargin),
+    "q_dist_oracle" -> ("WITH RECURSIVE " + prefixBody + symBody + ccBody +
+      """, gl AS (
+        |  SELECT lc FROM (
+        |    SELECT lc, count(*) AS sz, min(key) AS mk FROM vc GROUP BY lc) x
+        |  ORDER BY sz DESC, mk LIMIT 1
+        |), gset AS MATERIALIZED (
+        |  SELECT key FROM vc JOIN gl USING (lc)
+        |), dgr AS (
+        |  SELECT src_key AS key, count(*) AS dg FROM esw GROUP BY 1
+        |), rt6 AS MATERIALIZED (
+        |  SELECT d.key AS hkey,
+        |         row_number() OVER (ORDER BY d.dg DESC, d.key) AS rn
+        |  FROM dgr d JOIN gset g ON g.key = d.key
+        |  ORDER BY d.dg DESC, d.key LIMIT 6
+        |), r6(root, key, lvl) AS (
+        |  SELECT hkey, hkey, 0 FROM rt6 WHERE rn <= 4
+        |  UNION ALL
+        |  SELECT r6.root, esw.dst_key, min(r6.lvl) + 1
+        |  FROM r6 JOIN esw ON esw.src_key = r6.key
+        |  WHERE r6.lvl < 60 GROUP BY r6.root, esw.dst_key
+        |), d AS (
+        |  SELECT root, key, min(lvl) AS dd FROM r6 GROUP BY 1, 2
+        |), pr AS (
+        |  SELECT a.hkey AS ak, b.hkey AS bk FROM rt6 a JOIN rt6 b ON a.rn < b.rn
+        |), est AS (
+        |  SELECT pr.ak, pr.bk, min(da.dd + db.dd) AS est
+        |  FROM pr
+        |  JOIN d da ON da.key = pr.ak
+        |  JOIN d db ON db.key = pr.bk AND db.root = da.root
+        |  GROUP BY 1, 2
+        |)
+        |SELECT least(ak, bk) AS a_key, greatest(ak, bk) AS b_key,
+        |       cast(est AS bigint) AS est
+        |FROM est""".stripMargin),
+    "q_markov2" -> (prefix +
+      """, ts3 AS (
+        |  SELECT conv_id, turn_idx, tool,
+        |         lead(tool, 1) OVER win AS b, lead(tool, 2) OVER win AS c
+        |  FROM t WHERE tool IS NOT NULL
+        |  WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx)
+        |), cnt AS (
+        |  SELECT tool AS tool_a, b AS tool_b, c AS tool_c, count(*) AS n
+        |  FROM ts3 WHERE c IS NOT NULL GROUP BY 1, 2, 3
+        |), marg AS (
+        |  SELECT tool_a, tool_b, sum(n) AS n_ab FROM cnt GROUP BY 1, 2
+        |)
+        |SELECT c.tool_a, c.tool_b, c.tool_c, cast(c.n AS bigint) AS n,
+        |       cast(c.n * 10000 // m.n_ab AS bigint) AS share_e4
+        |FROM cnt c JOIN marg m ON m.tool_a = c.tool_a AND m.tool_b = c.tool_b""".stripMargin),
+    "q_gap_hist" -> (prefix +
+      """, g AS (
+        |  SELECT epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+        |  FROM t
+        |)
+        |SELECT cast(CASE WHEN gap = 0 THEN 0 ELSE length(bin(gap)) END AS bigint) AS bucket,
+        |       cast(count(*) AS bigint) AS n_gaps,
+        |       cast(min(gap) AS bigint) AS min_gap_us,
+        |       cast(max(gap) AS bigint) AS max_gap_us
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin),
     "q_dist_census" -> ("WITH RECURSIVE " + prefixBody + symBody + msbfsBody +
       """, d AS (
         |  SELECT root, key, min(lvl) AS dd FROM r GROUP BY 1, 2

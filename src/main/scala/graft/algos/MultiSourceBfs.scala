@@ -118,6 +118,34 @@ object MultiSourceBfs {
         count(lit(1)).as("n_reached"),
         sum(floor(lit(10000) / col("dist")).cast("long")).as("harmonic_e4"))
 
+  /** Landmark DISTANCE ORACLE estimates (the classic landmark/seed
+   * technique for approximate point-to-point distances at scale):
+   * est(a, b) = min over landmarks l of d(a,l) + d(l,b) — an upper
+   * bound on the true distance, exact whenever some shortest path
+   * passes a landmark. One self-join of the MSBFS state on the
+   * landmark column restricted to the query pairs; pairs where either
+   * endpoint is unreachable from every landmark drop out.
+   *
+   * @param pairs (aId, bId) query pairs
+   * @return (a_key, b_key, est) with a_key < b_key lexicographically */
+  def distOracle(dists: DataFrame, vertices: DataFrame,
+      pairs: Seq[(Long, Long)]): DataFrame = {
+    val spark = dists.sparkSession
+    import spark.implicits._
+    val pdf = pairs.toDF("a", "b")
+    pdf
+      .join(dists.select(col("id").as("a"), col("root"),
+        col("dist").as("da")), "a")
+      .join(dists.select(col("id").as("b"), col("root"),
+        col("dist").as("db")), Seq("b", "root"))
+      .groupBy(col("a"), col("b"))
+      .agg(min(col("da") + col("db")).cast("long").as("est"))
+      .join(vertices.select(col("id").as("a"), col("key").as("ka")), "a")
+      .join(vertices.select(col("id").as("b"), col("key").as("kb")), "b")
+      .select(least(col("ka"), col("kb")).as("a_key"),
+        greatest(col("ka"), col("kb")).as("b_key"), col("est"))
+  }
+
   /** Landmark distance-distribution census — the small-world curve:
    * how many (root, vertex) pairs sit at each hop distance, one tiny
    * aggregate over the one-loop MSBFS state (dist 0 rows are the

@@ -208,6 +208,58 @@ object Funnel {
         sum(when(col("cum") > budget, col("nt")).otherwise(0L)).as("lost_tokens"))
   }
 
+  /**
+   * Second-order tool-transition census: trigrams (a, b, c) of
+   * consecutive tool-bearing turns per conversation, with the
+   * conditional share ×10⁴ against the (a, b) prefix — the order-2
+   * Markov fingerprint that distinguishes "retry loops" from
+   * "pipelines" where the order-1 matrix cannot. Per-conversation
+   * windows only.
+   *
+   * @return (tool_a, tool_b, tool_c, n, share_e4)
+   */
+  def toolMarkov2(transcripts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val seq3 = transcripts.where(col("tool").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), col("tool"))
+      .withColumn("b", lead(col("tool"), 1).over(w))
+      .withColumn("c", lead(col("tool"), 2).over(w))
+      .where(col("c").isNotNull)
+    val cnt = seq3.groupBy(col("tool").as("tool_a"), col("b").as("tool_b"),
+      col("c").as("tool_c")).agg(count(lit(1)).as("n"))
+    val marg = cnt.groupBy(col("tool_a"), col("tool_b"))
+      .agg(sum(col("n")).as("n_ab"))
+    cnt.join(marg, Seq("tool_a", "tool_b"))
+      .select(col("tool_a"), col("tool_b"), col("tool_c"), col("n"),
+        expr("(n * 10000L) div n_ab").as("share_e4"))
+  }
+
+  /**
+   * Inter-turn gap histogram in power-of-two microsecond buckets
+   * (bit-length bucketing; zero-µs gaps get bucket 0) — the latency
+   * distribution SHAPE, complementing the per-conversation and
+   * per-tool percentile profiles. One window pass + a ~60-row
+   * aggregate.
+   *
+   * @return (bucket, n_gaps, min_gap_us, max_gap_us)
+   */
+  def gapHistogram(transcripts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    transcripts
+      .select(col("conv_id"), col("turn_idx"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+      .where(col("gap").isNotNull)
+      .withColumn("bucket",
+        when(col("gap") === 0L, 0L)
+          .otherwise(length(conv(col("gap"), 10, 2)).cast("long")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap_us"), max(col("gap")).as("max_gap_us"))
+  }
+
   /** @return (conv_id, depth, done_us): steps completed in order
    * (0-3) and the completion time of the deepest step (-1 if none). */
   def toolFunnel(transcripts: DataFrame): DataFrame = {

@@ -251,6 +251,50 @@ class Round3hSpec extends SparkSpec {
     assert(got.forall(e => e._2 >= 0 && e._2 < 64 && e._3 >= 0 && e._3 < 64))
   }
 
+  // ---------- landmark distance oracle ----------
+
+  test("distOracle: est = min over landmarks of d(a,l)+d(l,b)") {
+    val g = graphOf(Seq((0, 1), (1, 2), (2, 3)), symmetric = true)
+    val idx = indexOf(g).map(_.swap)
+    val dists = algos.MultiSourceBfs.run(g, Seq(idx(0))).dists
+    val got = algos.MultiSourceBfs
+      .distOracle(dists, g.vertices, Seq((idx(1), idx(3))))
+      .collect().map(r => r.getLong(2))
+    // only landmark is vertex 0: est = d(1,0)+d(0,3) = 1+3 = 4 ≥ true 2
+    assert(got.toSeq == Seq(4L))
+    g.unpersist()
+  }
+
+  // ---------- order-2 tool Markov ----------
+
+  test("toolMarkov2: trigrams with conditional share") {
+    import spark.implicits._
+    val tr = Seq(
+      ("c1", 0, Some("A")), ("c1", 1, Some("B")), ("c1", 2, Some("A")),
+      ("c1", 3, Some("B")), ("c1", 4, None: Option[String]))
+      .toDF("conv_id", "turn_idx", "tool")
+    val got = pipeline.Funnel.toolMarkov2(tr).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(("A", "B", "A", 1L, 10000L), ("B", "A", "B", 1L, 10000L)))
+  }
+
+  // ---------- gap histogram ----------
+
+  test("gapHistogram: zero gaps bucket 0, pow-2 buckets otherwise") {
+    import spark.implicits._
+    val tr = Seq(
+      ("c1", 0, "2026-01-01 00:00:00"), ("c1", 1, "2026-01-01 00:00:00"),
+      ("c1", 2, "2026-01-01 00:00:01"))
+      .toDF("conv_id", "turn_idx", "tss")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val got = pipeline.Funnel.gapHistogram(tr).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // 10^6 µs has bit-length 20 (2^19 ≤ 10^6 < 2^20)
+    assert(got == Map(0L -> ((1L, 0L, 0L)), 20L -> ((1L, 1000000L, 1000000L))))
+  }
+
   // ---------- bow-tie decomposition ----------
 
   test("bowTie: cycle core, upstream in, downstream out, rest other") {
