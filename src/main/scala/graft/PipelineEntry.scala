@@ -155,6 +155,10 @@ object PipelineEntry {
     // vector-quality screen before ANN/dedup trusts a drop)
     "q_emb_norms" -> ((s, dir) =>
       Similarity.normCensus(Similarity.embeddings(s, dir))),
+    // SQ-8 scalar-quantization codes (per-dim min/max grid on the
+    // integer-quantized coordinates; per-vector checksum profile)
+    "q_sq8" -> ((s, dir) =>
+      Similarity.sq8Codes(Similarity.embeddings(s, dir))),
     // mergeable-sketch set algebra: per-pair union registers reduced
     // to exact-integer sufficient statistics
     "q_hll_pairs" -> ((s, dir) => Sketch.hllPairStats(Dedup.docs(s, dir))),
@@ -506,6 +510,25 @@ object PipelineEntry {
       |       cast(norm2_q AS bigint) AS norm2_q,
       |       cast(length(bin(cast(norm2_q AS bigint))) AS bigint) AS bucket
       |FROM n""".stripMargin
+
+  private val sq8Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         cast(round(cast(unnest(embedding) AS double) * 1000000) AS bigint) AS xq
+      |  FROM embeddings
+      |), rng AS (
+      |  SELECT i, min(xq) AS mn, max(xq) AS mx FROM q GROUP BY 1
+      |), c AS (
+      |  SELECT q.vec_id,
+      |         CASE WHEN r.mx = r.mn THEN 0
+      |              ELSE ((q.xq - r.mn) * 255) // (r.mx - r.mn) END AS code
+      |  FROM q JOIN rng r ON r.i = q.i
+      |)
+      |SELECT vec_id, cast(count(*) AS bigint) AS n_dims,
+      |       cast(sum(code) AS bigint) AS code_sum,
+      |       cast(min(code) AS bigint) AS code_min,
+      |       cast(max(code) AS bigint) AS code_max
+      |FROM c GROUP BY 1""".stripMargin
 
   private val readabilitySql: String =
     """WITH c AS (
@@ -1693,6 +1716,7 @@ object PipelineEntry {
     "q_profile" -> profileSql,
     "q_mojibake" -> mojibakeSql,
     "q_emb_norms" -> embNormsSql,
+    "q_sq8" -> sq8Sql,
     "q_decontam" -> decontamSql,
     "q_sample" -> sampleSql,
     "q_mix_temp" -> mixTempSql,

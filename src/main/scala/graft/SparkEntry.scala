@@ -398,6 +398,13 @@ object SparkEntry {
         yield (hubs(i), hubs(j))
       MultiSourceBfs.distOracle(dists, g.vertices, pairs)
     }),
+    // sequential patterns: tool a → b ordered support per conversation
+    // (PrefixSpan length-2 core; first_pos(a) < last_pos(b))
+    "q_seq_mining" -> ((s, dir) =>
+      pipeline.Cooccur.toolSeqPatterns(Transcripts.fromEvents(s, dir))),
+    // stale-tool deprecation screen (last-used UTC day vs corpus max)
+    "q_stale_tools" -> ((s, dir) =>
+      pipeline.Cooccur.staleTools(Transcripts.fromEvents(s, dir))),
     // second-order tool-transition trigram census (order-2 Markov
     // fingerprint with conditional share vs the bigram prefix)
     "q_markov2" -> ((s, dir) =>
@@ -2969,6 +2976,30 @@ object SparkEntry {
         |SELECT least(ak, bk) AS a_key, greatest(ak, bk) AS b_key,
         |       cast(est AS bigint) AS est
         |FROM est""".stripMargin),
+    "q_seq_mining" -> (prefix +
+      """, pos AS (
+        |  SELECT conv_id, tool, min(turn_idx) AS minp, max(turn_idx) AS maxp
+        |  FROM t WHERE tool IS NOT NULL GROUP BY 1, 2
+        |), sup AS (
+        |  SELECT a.tool AS tool_a, b.tool AS tool_b, count(*) AS n_convs
+        |  FROM pos a JOIN pos b ON b.conv_id = a.conv_id
+        |   AND b.tool <> a.tool AND a.minp < b.maxp
+        |  GROUP BY 1, 2
+        |)
+        |SELECT tool_a, tool_b, cast(n_convs AS bigint) AS n_convs
+        |FROM sup WHERE n_convs >= 2
+        |ORDER BY n_convs DESC, tool_a, tool_b LIMIT 50""".stripMargin),
+    "q_stale_tools" -> (prefix +
+      """, uses AS (
+        |  SELECT tool, epoch_us(ts) // 86400000000 AS day
+        |  FROM t WHERE tool IS NOT NULL
+        |), mx AS (SELECT max(day) AS m FROM uses)
+        |SELECT tool, cast(max(day) AS bigint) AS last_day,
+        |       cast((SELECT m FROM mx) - max(day) AS bigint) AS age_days,
+        |       cast(count(*) AS bigint) AS n_uses,
+        |       cast(CASE WHEN (SELECT m FROM mx) - max(day) > 7
+        |                 THEN 1 ELSE 0 END AS bigint) AS stale
+        |FROM uses GROUP BY 1""".stripMargin),
     "q_markov2" -> (prefix +
       """, ts3 AS (
         |  SELECT conv_id, turn_idx, tool,

@@ -191,6 +191,58 @@ object Cooccur {
   }
 
   /**
+   * Sequential-pattern mining (the ordered complement of the
+   * a-priori itemsets): tool pairs a → b supported by a conversation
+   * iff SOME a-call precedes SOME b-call there — i.e.
+   * first_pos(a) < last_pos(b) — counted once per conversation.
+   * PrefixSpan's length-2 core, which is where most of the signal
+   * lives on tool logs ("search before write", "read before edit").
+   *
+   * Scale shape: one (conv, tool) aggregate to (min_pos, max_pos),
+   * then a per-conversation self-join whose fan-out is bounded by the
+   * conversation's DISTINCT tool count (≪ turns) — never doc×doc;
+   * top-k by (support desc, tool_a, tool_b).
+   *
+   * @return (tool_a, tool_b, n_convs)
+   */
+  def toolSeqPatterns(transcripts: DataFrame, k: Int = 50,
+      minSupport: Long = 2): DataFrame = {
+    val pos = transcripts.where(col("tool").isNotNull)
+      .groupBy(col("conv_id"), col("tool"))
+      .agg(min(col("turn_idx")).as("minp"), max(col("turn_idx")).as("maxp"))
+    pos.as("a").join(pos.as("b"),
+      col("a.conv_id") === col("b.conv_id") &&
+        col("a.tool") =!= col("b.tool") &&
+        col("a.minp") < col("b.maxp"))
+      .groupBy(col("a.tool").as("tool_a"), col("b.tool").as("tool_b"))
+      .agg(count(lit(1)).as("n_convs"))
+      .where(col("n_convs") >= minSupport)
+      .orderBy(desc("n_convs"), asc("tool_a"), asc("tool_b"))
+      .limit(k)
+  }
+
+  /**
+   * Stale-tool screen: per tool, the last UTC day it was invoked and
+   * its age against the corpus' newest day — the deprecation
+   * dashboard ("which tools has the fleet stopped using"). Integer
+   * day arithmetic; `stale` flags age > `staleDays`.
+   *
+   * @return (tool, last_day, age_days, n_uses, stale)
+   */
+  def staleTools(transcripts: DataFrame, staleDays: Long = 7): DataFrame = {
+    val uses = transcripts.where(col("tool").isNotNull)
+      .select(col("tool"),
+        expr("unix_micros(cast(ts AS timestamp)) div 86400000000").as("day"))
+    val maxDay = uses.agg(coalesce(max(col("day")), lit(0L))).first().getLong(0)
+    uses.groupBy(col("tool"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("n_uses"))
+      .select(col("tool"), col("last_day"),
+        (lit(maxDay) - col("last_day")).as("age_days"), col("n_uses"),
+        when(lit(maxDay) - col("last_day") > staleDays, 1L).otherwise(0L)
+          .as("stale"))
+  }
+
+  /**
    * Per-tool DISTINCTIVE terms — "what is this tool used for": the
    * top-`k` tokens of tool-bearing turns ranked by integer lift
    * against the whole-corpus token distribution,

@@ -69,6 +69,39 @@ object Similarity {
       .agg(count(lit(1)).as("n_dims"), sum(col("xq") * col("xq")).as("norm2_q"))
       .withColumn("bucket", length(conv(col("norm2_q"), 10, 2)).cast("long"))
 
+  /**
+   * Int8 scalar quantization (SQ-8) codec — the memory-4×-cheaper
+   * sibling of the PQ codes: per DIMENSION the corpus min/max define
+   * a 256-step grid, each coordinate maps to
+   * code = (xq − min_d)·255 ÷ (max_d − min_d). All arithmetic runs on
+   * the ×10⁶-quantized integer coordinates (the centroid-outlier
+   * contract), so codes are bit-identical in any engine — no float
+   * division crosses the oracle boundary. Constant dimensions code
+   * to 0. Exported as a per-vector code checksum profile rather than
+   * 2500×d rows.
+   *
+   * Scale shape: one per-dimension min/max aggregate (d rows,
+   * broadcast back), then pure column arithmetic + one per-vector
+   * aggregate.
+   *
+   * @return (vec_id, n_dims, code_sum, code_min, code_max)
+   */
+  def sq8Codes(emb: DataFrame): DataFrame = {
+    val q = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        expr("cast(round(cast(x AS double) * 1000000) AS bigint)").as("xq"))
+    val rng = q.groupBy(col("i"))
+      .agg(min(col("xq")).as("mn"), max(col("xq")).as("mx"))
+    q.join(broadcast(rng), "i")
+      .select(col("vec_id"),
+        when(col("mx") === col("mn"), 0L)
+          .otherwise(expr("((xq - mn) * 255L) div (mx - mn)")).as("code"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"), sum(col("code")).as("code_sum"),
+        min(col("code")).as("code_min"), max(col("code")).as("code_max"))
+  }
+
   /** Brute-force cosine top-k per query vector. Deterministic output:
    * ranking on (sim_e4 desc, nbr_id asc) so rounding-boundary float
    * noise cannot reorder results across engines/runs.

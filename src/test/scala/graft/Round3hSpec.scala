@@ -251,6 +251,56 @@ class Round3hSpec extends SparkSpec {
     assert(got.forall(e => e._2 >= 0 && e._2 < 64 && e._3 >= 0 && e._3 < 64))
   }
 
+  // ---------- sequential patterns ----------
+
+  test("toolSeqPatterns: ordered support, below-support pairs dropped") {
+    import spark.implicits._
+    val tr = Seq(
+      ("c1", 0, Some("A")), ("c1", 2, Some("B")), ("c1", 4, Some("A")),
+      ("c2", 0, Some("A")), ("c2", 1, Some("B")),
+      ("c2", 2, None: Option[String]))
+      .toDF("conv_id", "turn_idx", "tool")
+    val got = pipeline.Cooccur.toolSeqPatterns(tr, k = 10, minSupport = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // (A→B) in both convs; (B→A) only in c1 (support 1 < 2)
+    assert(got.toSeq == Seq(("A", "B", 2L)))
+  }
+
+  // ---------- stale tools ----------
+
+  test("staleTools: age vs corpus max day, stale flag past threshold") {
+    import spark.implicits._
+    val tr = Seq(
+      ("c1", 0, Some("A"), "2026-01-01 00:00:00"),
+      ("c2", 0, Some("A"), "2026-01-10 00:00:00"),
+      ("c3", 0, Some("B"), "2026-01-01 00:00:00"))
+      .toDF("conv_id", "turn_idx", "tool", "tss")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val got = pipeline.Cooccur.staleTools(tr, staleDays = 7).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got("A") == ((0L, 2L, 0L)))
+    assert(got("B") == ((9L, 1L, 1L)))
+  }
+
+  // ---------- SQ-8 codes ----------
+
+  test("sq8Codes: per-dim integer grid, constant dims code to 0") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.5f, 1.0f))).toDF("vec_id", "embedding")
+    val got = pipeline.Similarity.sq8Codes(emb).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // dim0 grid [0,1e6]: codes 0/255/127; dim1 grid [0,1e6]: 0/0/255
+    assert(got(0L) == ((2L, 0L, 0L, 0L)))
+    assert(got(1L) == ((2L, 255L, 0L, 255L)))
+    assert(got(2L) == ((2L, 382L, 127L, 255L)))
+  }
+
   // ---------- landmark distance oracle ----------
 
   test("distOracle: est = min over landmarks of d(a,l)+d(l,b)") {
