@@ -613,6 +613,11 @@ object SparkEntry {
     // this corpus' overlaps cluster at {0.2, 0.5, 1.0})
     "q_segments" -> ((s, dir) =>
       pipeline.Segment.lexical(Transcripts.fromEvents(s, dir), thrE4 = 3000)),
+    // TextRank turn salience: integer-exact weighted PageRank on the
+    // per-conversation shared-token turn graph, top-3 turns per conv
+    // (the extractive-summarization primitive for excerpt curation)
+    "q_textrank" -> ((s, dir) =>
+      pipeline.TextRank.turnSalience(Transcripts.fromEvents(s, dir))),
     // degree-assortativity sufficient statistics (exact integer sums)
     "q_assort" -> ((s, dir) =>
       DegreeStats.assortativity(Graphs.get(s, dir, symmetric = true))),
@@ -1679,6 +1684,48 @@ object SparkEntry {
 
   /** Segmentation replay: same distinct-token consecutive-turn
    * intersection, integer boundary gate, window prefix-sum seg ids. */
+  /** TextRank replay: the same integer power iteration as the engine
+   * (10⁶ scale, 17/20 damping, floor at every division), unrolled as
+   * 4 chained CTE rounds over the shared-token turn graph — the
+   * [[eigenSql]] pattern on a per-conversation graph. */
+  private val textrankSql: String = {
+    val round = (k: Int) =>
+      s""", tr$k AS (
+         |  SELECT en.conv_id, en.dst AS id,
+         |         150000 + (17 * sum((p.score * en.w) // en.wtot)) // 20 AS score
+         |  FROM en JOIN tr${k - 1} p ON p.conv_id = en.conv_id AND p.id = en.src
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    prefix +
+      """, ttk AS MATERIALIZED (
+        |  SELECT DISTINCT conv_id, turn_idx, unnest(string_split(lower(text), ' ')) AS tok FROM t
+        |), tpe AS MATERIALIZED (
+        |  SELECT a.conv_id AS conv_id, a.turn_idx AS i, b.turn_idx AS j, count(*) AS w
+        |  FROM ttk a JOIN ttk b ON b.conv_id = a.conv_id
+        |    AND b.turn_idx > a.turn_idx AND b.tok = a.tok
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |), ted AS MATERIALIZED (
+        |  SELECT conv_id, i AS src, j AS dst, w FROM tpe
+        |  UNION ALL
+        |  SELECT conv_id, j, i, w FROM tpe
+        |), en AS MATERIALIZED (
+        |  SELECT ted.conv_id, ted.src, ted.dst, ted.w, ws.wtot
+        |  FROM ted JOIN (
+        |    SELECT conv_id, src, sum(w) AS wtot FROM ted GROUP BY 1, 2) ws
+        |    USING (conv_id, src)
+        |), tr0 AS (
+        |  SELECT DISTINCT conv_id, src AS id, cast(1000000 AS bigint) AS score FROM ted
+        |)""".stripMargin +
+      (1 to 4).map(round).mkString +
+      """
+        |SELECT conv_id, cast(id AS bigint) AS turn_idx,
+        |       cast(score AS bigint) AS score, cast(rn AS bigint) AS rnk
+        |FROM (SELECT conv_id, id, score,
+        |             row_number() OVER (PARTITION BY conv_id ORDER BY score DESC, id) AS rn
+        |      FROM tr4) x
+        |WHERE rn <= 3""".stripMargin
+  }
+
   private val segmentsSql: String = prefix +
     """, tok AS (
       |  SELECT DISTINCT conv_id, turn_idx, unnest(string_split(lower(text), ' ')) AS tok FROM t
@@ -3277,6 +3324,7 @@ object SparkEntry {
     "q_cover" -> coverSql,
     "q_gini" -> giniSql,
     "q_segments" -> segmentsSql,
+    "q_textrank" -> textrankSql,
     "q_graph_growth" -> (prefix +
       """, kt AS (
         |  SELECT conv_id, turn_idx,

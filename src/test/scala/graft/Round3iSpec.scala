@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-3i operators: TextRank turn salience. */
+class Round3iSpec extends SparkSpec {
+
+  // ---------- TextRank ----------
+
+  test("textrank: star conversation ranks the hub first, exact integer trajectory") {
+    import spark.implicits._
+    val tr = Seq(
+      // c1: t0—t1 (w=2) both at the symmetric fixpoint 10^6; t2/t3 edgeless
+      ("c1", 0, "alpha beta gamma"),
+      ("c1", 1, "alpha beta delta"),
+      ("c1", 2, "alpha epsilon zeta"), // shares only 1 token — below minShared
+      ("c1", 3, "unrelated words here"),
+      // c2: star — t0 shares 2 tokens with each leaf, leaves share nothing
+      ("c2", 0, "x1 y1 x2 y2 x3 y3"),
+      ("c2", 1, "x1 y1 p q"),
+      ("c2", 2, "x2 y2 r s"),
+      ("c2", 3, "x3 y3 u v"))
+      .toDF("conv_id", "turn_idx", "text")
+    val got = pipeline.TextRank.turnSalience(tr).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      // c1: symmetric pair stays at the 10^6 fixpoint; tie → lower idx
+      ("c1", 0L) -> ((1000000L, 1L)),
+      ("c1", 1L) -> ((1000000L, 2L)),
+      // c2 after 4 integer rounds (hand-replayed): hub 1439236,
+      // leaves 853587; top-3 keeps hub + first two leaves
+      ("c2", 0L) -> ((1439236L, 1L)),
+      ("c2", 1L) -> ((853587L, 2L)),
+      ("c2", 2L) -> ((853587L, 3L))))
+  }
+
+  test("textrank: edgeless corpus yields an empty result") {
+    import spark.implicits._
+    val tr = Seq(("c1", 0, "a b"), ("c1", 1, "c d"))
+      .toDF("conv_id", "turn_idx", "text")
+    assert(pipeline.TextRank.turnSalience(tr).count() == 0)
+  }
+}
