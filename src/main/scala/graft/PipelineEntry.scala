@@ -105,6 +105,9 @@ object PipelineEntry {
     "q_quantiles_src" -> ((s, dir) =>
       Quantiles.tokenCountQuantilesBy(Dedup.docs(s, dir), "source")),
     "q_tfidf" -> ((s, dir) => Vocab.distinctiveTerms(Dedup.docs(s, dir))),
+    // sparse tf-idf cosine all-pairs: the lexical similarity join over
+    // the inverted index (content-word vectors, integer cos² export)
+    "q_sparse_cos" -> ((s, dir) => Vocab.sparseCosinePairs(Dedup.docs(s, dir))),
     // mergeable sketches: integer-exact register/counter tables
     "q_hll" -> ((s, dir) => Sketch.hll(Dedup.docs(s, dir))),
     "q_cms" -> ((s, dir) => Sketch.countMin(Dedup.docs(s, dir))),
@@ -1054,6 +1057,36 @@ object PipelineEntry {
       |       cast(rank AS bigint) AS rank
       |FROM r WHERE rank <= 3""".stripMargin
 
+  /** Sparse tf-idf cosine pairs — mirrors Vocab.sparseCosinePairs:
+   * content-word gate df·4 ≤ N (∧ df ≤ 1000, inert at this scale),
+   * idf = bit_length(⌊N/df⌋), cos2_e6 in HUGEINT. */
+  private val sparseCosSql: String =
+    """WITH tq AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+      |), tfq AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tq GROUP BY 1, 2
+      |), dfq AS (
+      |  SELECT term, count(*) AS df FROM tfq GROUP BY 1
+      |), nq AS (SELECT count(*) AS n FROM documents
+      |), wq AS (
+      |  SELECT tfq.doc_id, tfq.term,
+      |         tfq.tf * length(bin((SELECT n FROM nq) // dfq.df)) AS w
+      |  FROM tfq JOIN dfq USING (term)
+      |  WHERE dfq.df * 4 <= (SELECT n FROM nq) AND dfq.df <= 1000
+      |), n2 AS (
+      |  SELECT doc_id, sum(w * w) AS n2 FROM wq GROUP BY 1
+      |), dotq AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+      |  FROM wq a JOIN wq b ON b.term = a.term AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, cast(dot AS bigint) AS dot,
+      |       cast((dot * dot * 1000000) // (na.n2 * nb.n2) AS bigint) AS cos2_e6
+      |FROM dotq
+      |JOIN n2 na ON na.doc_id = doc_a
+      |JOIN n2 nb ON nb.doc_id = doc_b
+      |WHERE (dot * dot * 1000000) // (na.n2 * nb.n2) >= 250000""".stripMargin
+
   /** HLL registers — mirrors Sketch.hll: 60-bit md5 token hash,
    * bucket = low p bits, rho = 53 − bitlen(h >> p) (bin() is
    * minimal-width on BIGINT, so length(bin(w)) = bitlen). */
@@ -1739,6 +1772,7 @@ object PipelineEntry {
     "q_quantiles" -> quantilesSql,
     "q_quantiles_src" -> quantilesSrcSql,
     "q_tfidf" -> tfidfSql,
+    "q_sparse_cos" -> sparseCosSql,
     "q_hll" -> hllSql,
     "q_hll_pairs" -> hllPairsSql,
     "q_word_pmi" ->

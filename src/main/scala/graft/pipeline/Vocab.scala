@@ -119,6 +119,59 @@ object Vocab {
       .select(col("term"), col("doc_id"), col("tf"), col("df"), col("positions"))
   }
 
+  /**
+   * Sparse tf-idf cosine all-pairs over the inverted index — the
+   * lexical near-dup/similarity join that complements the embedding
+   * side ([[Similarity.cosineDupPairs]]) when no embeddings exist:
+   * pairs of documents whose CONTENT-WORD tf-idf vectors have
+   * cos² ≥ threshold.
+   *
+   * Integer-exact: idf = bit_length(⌊N/df⌋) (the repo's exact-log2
+   * convention — any decreasing idf works, this one needs no floats),
+   * weight w = tf·idf, dot = Σ w_a·w_b over shared terms, and the
+   * exported score is cos2_e6 = ⌊10⁶·dot² / (‖a‖²·‖b‖²)⌋ — squaring
+   * avoids sqrt and loses nothing since weights are nonnegative.
+   * The document VECTOR is defined as content words only (df·4 ≤ N,
+   * the bm25 content-word gate, AND df ≤ `dfCap`), so the cosine is
+   * exact for that representation.
+   *
+   * Scale shape: the pair generator is a postings self-join on term —
+   * per-term fan-out is C(df, 2), so the df gates are simultaneously
+   * the semantic definition and the hub guard (the AllPairs family's
+   * stop-the-star-join move): with df ≤ dfCap the join is
+   * Σ_term C(df,2) ≤ dfCap·Σdf = dfCap·|postings|, LINEAR in corpus
+   * size with a constant cap factor. Norms are one partial-agg
+   * groupBy; the df table broadcasts.
+   */
+  def sparseCosinePairs(
+      docs: DataFrame,
+      minCos2E6: Long = 250000,
+      dfCap: Long = 1000): DataFrame = {
+    val n = docs.count()
+    val tf = terms(docs).groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = tf
+      .join(broadcast(df.where(col("df") * 4 <= lit(n) && col("df") <= lit(dfCap))), "term")
+      .select(col("doc_id"), col("term"),
+        (col("tf") * expr(s"length(bin(${n}L div df))")).as("w"))
+      .persist()
+    val n2 = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("n2"))
+    val dot = w.as("a")
+      .join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    dot
+      .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("na2")), "doc_a")
+      .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        expr("(cast(dot AS decimal(38,0)) * dot * 1000000)" +
+          " div (cast(na2 AS decimal(38,0)) * nb2)")
+          .cast("long").as("cos2_e6"))
+      .where(col("cos2_e6") >= minCos2E6)
+  }
+
   def distinctiveTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val tf = terms(docs).groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))

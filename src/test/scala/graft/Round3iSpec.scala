@@ -35,6 +35,25 @@ class Round3iSpec extends SparkSpec {
       ("c2", 2L) -> ((853587L, 3L))))
   }
 
+  // ---------- sparse tf-idf cosine ----------
+
+  test("sparseCosinePairs: exact integer cosine, stopword-like terms excluded") {
+    import spark.implicits._
+    // N = 8: content-word gate keeps df ≤ 2; "common" (df=3) is cut
+    val docs = (Seq(
+      (1L, "apple banana cherry common"),
+      (2L, "apple banana damson common"),
+      (3L, "x y z common")) ++
+      (4L to 8L).map(i => (i, s"f${i}a f${i}b")))
+      .toDF("doc_id", "text")
+    val got = pipeline.Vocab.sparseCosinePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // idf: df=2 → bitlen(8/2)=3, df=1 → bitlen(8)=4
+    // w(d1) = w(d2) = {3, 3, 4} → ‖·‖² = 34; dot = 9 + 9 = 18
+    // cos2_e6 = ⌊10⁶·18²/34²⌋ = ⌊324000000/1156⌋ = 280276
+    assert(got.toSeq == Seq((1L, 2L, 18L, 280276L)))
+  }
+
   test("textrank: edgeless corpus yields an empty result") {
     import spark.implicits._
     val tr = Seq(("c1", 0, "a b"), ("c1", 1, "c d"))
