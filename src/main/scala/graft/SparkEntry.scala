@@ -679,6 +679,11 @@ object SparkEntry {
     // coloring) on the dominant-direction tool-transition digraph —
     // the derived graph with genuine cycles (the turn graph is a DAG
     // by construction, where every SCC would be a singleton)
+    // SimRank structural similarity on the dominant-direction tool
+    // digraph: "similar tools follow similar tools" (integer-exact
+    // 3-round fixpoint, diagonal pinned, oracle replays the rounds)
+    "q_simrank" -> ((s, dir) =>
+      algos.SimRank.run(EdgeBuilder.toolTransitions(Transcripts.fromEvents(s, dir)))),
     "q_scc" -> ((s, dir) => {
       val tt = EdgeBuilder.toolTransitions(Transcripts.fromEvents(s, dir))
       val g = LinkGraph.fromKeyEdges(tt, symmetric = false, Graphs.shufflePartitions(s))
@@ -2168,6 +2173,51 @@ object SparkEntry {
    * recursive closure joined to itself reversed — scc_key = min key
    * among mutually reachable vertices, exactly the engine's
    * re-canonicalized export. */
+  /** SimRank replay — the engine's 3 integer rounds as chained CTEs
+   * over the same dominant-direction tool digraph as [[sccSql]]:
+   * s' = ⌊4·Σs / (5·indeg_a·indeg_b)⌋, diagonal pinned at 10⁶,
+   * rows < 1 pruned each round (mirrors SimRank.run minS). */
+  private val simrankSql: String = {
+    val round = (k: Int) =>
+      s""", sr$k AS (
+         |  SELECT a, b, s FROM (
+         |    SELECT ea.dst AS a, eb.dst AS b,
+         |           (4 * sum(p.s)) // (5 * ia.deg * ib.deg) AS s
+         |    FROM sr${k - 1} p
+         |    JOIN te ea ON ea.src = p.a
+         |    JOIN te eb ON eb.src = p.b
+         |    JOIN ind ia ON ia.dst = ea.dst
+         |    JOIN ind ib ON ib.dst = eb.dst
+         |    WHERE ea.dst <> eb.dst
+         |    GROUP BY ea.dst, eb.dst, ia.deg, ib.deg) x
+         |  WHERE s >= 1
+         |  UNION ALL
+         |  SELECT n AS a, n AS b, cast(1000000 AS bigint) AS s FROM tv
+         |)""".stripMargin
+    prefix +
+      """, tseq AS (
+        |  SELECT tool, lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+        |  FROM t WHERE tool IS NOT NULL
+        |), tcnt AS (
+        |  SELECT tool AS src, nxt AS dst, count(*) AS c FROM tseq
+        |  WHERE nxt IS NOT NULL AND nxt <> tool GROUP BY 1, 2
+        |), te AS MATERIALIZED (
+        |  SELECT a.src, a.dst FROM tcnt a
+        |  LEFT JOIN tcnt b ON b.src = a.dst AND b.dst = a.src
+        |  WHERE a.c > coalesce(b.c, 0)
+        |), tv AS MATERIALIZED (
+        |  SELECT DISTINCT n FROM (SELECT src AS n FROM te UNION ALL SELECT dst FROM te) u
+        |), ind AS (
+        |  SELECT dst, count(*) AS deg FROM te GROUP BY 1
+        |), sr0 AS (
+        |  SELECT n AS a, n AS b, cast(1000000 AS bigint) AS s FROM tv
+        |)""".stripMargin +
+      (1 to 3).map(round).mkString +
+      """
+        |SELECT a AS tool_a, b AS tool_b, cast(s AS bigint) AS simrank_e6
+        |FROM sr3 WHERE a < b""".stripMargin
+  }
+
   private val sccSql: String = "WITH RECURSIVE " + prefixBody +
     """, tseq AS (
       |  SELECT tool, lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
@@ -3554,6 +3604,7 @@ object SparkEntry {
     "q_critpath" -> critpathSql,
     "q_critpath_fast" -> critpathSql,
     "q_scc" -> sccSql,
+    "q_simrank" -> simrankSql,
     "q_bowtie" -> bowtieSql,
     "q_deg_corr" -> (prefix +
       """, od AS (SELECT src_key AS key, count(*) AS o FROM e GROUP BY 1)

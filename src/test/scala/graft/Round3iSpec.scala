@@ -35,6 +35,20 @@ class Round3iSpec extends SparkSpec {
       ("c2", 2L) -> ((853587L, 3L))))
   }
 
+  // ---------- SimRank ----------
+
+  test("simrank: shared in-neighbor pair converges to the exact integer fixpoint") {
+    import spark.implicits._
+    // I(A) = {u1, u2}, I(B) = {u1, u3}: only u1 is shared, so
+    // s(A,B) = ⌊4·10⁶ / (5·2·2)⌋ = 200000 at round 1 and stays there
+    // (A and B have no out-edges, so off-diagonal mass never compounds)
+    val e = Seq(("u1", "A"), ("u1", "B"), ("u2", "A"), ("u3", "B"))
+      .toDF("src_key", "dst_key")
+    val got = algos.SimRank.run(e).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("A", "B", 200000L)))
+  }
+
   // ---------- sparse tf-idf cosine ----------
 
   test("sparseCosinePairs: exact integer cosine, stopword-like terms excluded") {
