@@ -679,6 +679,11 @@ object SparkEntry {
     // coloring) on the dominant-direction tool-transition digraph —
     // the derived graph with genuine cycles (the turn graph is a DAG
     // by construction, where every SCC would be a singleton)
+    // non-induced 4-node graphlet census: closed-form motif counts
+    // (wedges/claws/paths/tailed/C4/diamond/K4) from one shared
+    // codegree table — the motif fingerprint of the link graph
+    "q_graphlets" -> ((s, dir) =>
+      Graphlets.census4(Graphs.get(s, dir, symmetric = true))),
     // SimRank structural similarity on the dominant-direction tool
     // digraph: "similar tools follow similar tools" (integer-exact
     // 3-round fixpoint, diagonal pinned, oracle replays the rounds)
@@ -2173,6 +2178,49 @@ object SparkEntry {
    * recursive closure joined to itself reversed — scc_key = min key
    * among mutually reachable vertices, exactly the engine's
    * re-canonicalized export. */
+  /** Graphlet-census replay: the same closed forms over the
+   * symmetric edge set — one wedge/codegree CTE feeds C4, the
+   * adjacent restriction (t_e) feeds triangles/diamond/tailed, and
+   * K4 is the q_4clique 6-join. Per-row C(n,k) floors are exact
+   * (numerators divisible by k!). */
+  private val graphletsSql: String = "WITH " + prefixBody + symBody +
+    """, ud AS MATERIALIZED (
+      |  SELECT DISTINCT least(src_key, dst_key) AS a, greatest(src_key, dst_key) AS b FROM e
+      |  WHERE src_key <> dst_key
+      |), dgs AS (
+      |  SELECT src_key AS k, count(*) AS d FROM esw GROUP BY 1
+      |), wdg AS MATERIALIZED (
+      |  SELECT x.dst_key AS u, y.dst_key AS v, count(*) AS c
+      |  FROM esw x JOIN esw y ON y.src_key = x.src_key AND x.dst_key < y.dst_key
+      |  GROUP BY 1, 2
+      |), teq AS MATERIALIZED (
+      |  SELECT wdg.u, wdg.v, wdg.c FROM wdg JOIN ud ON ud.a = wdg.u AND ud.b = wdg.v
+      |), tvq AS (
+      |  SELECT k, sum(c) // 2 AS t FROM (
+      |    SELECT u AS k, c FROM teq UNION ALL SELECT v, c FROM teq) x GROUP BY 1
+      |), p3 AS (
+      |  SELECT coalesce(sum((da.d - 1) * (db.d - 1)), 0) AS s
+      |  FROM ud JOIN dgs da ON da.k = ud.a JOIN dgs db ON db.k = ud.b
+      |), k4q AS (
+      |  SELECT count(*) AS n
+      |  FROM ud e1
+      |  JOIN ud e2 ON e2.a = e1.b
+      |  JOIN ud e3 ON e3.a = e1.a AND e3.b = e2.b
+      |  JOIN ud e4 ON e4.a = e2.b
+      |  JOIN ud e5 ON e5.a = e1.a AND e5.b = e4.b
+      |  JOIN ud e6 ON e6.a = e1.b AND e6.b = e4.b
+      |)
+      |SELECT
+      |  (SELECT count(*) FROM ud) AS n_edges,
+      |  cast((SELECT coalesce(sum(d * (d - 1) // 2), 0) FROM dgs) AS bigint) AS n_wedges,
+      |  cast((SELECT coalesce(sum(d * (d - 1) * (d - 2) // 6), 0) FROM dgs) AS bigint) AS n_claws,
+      |  cast((SELECT coalesce(sum(c), 0) // 3 FROM teq) AS bigint) AS n_triangles,
+      |  cast((SELECT s FROM p3) - (SELECT coalesce(sum(c), 0) FROM teq) AS bigint) AS n_paths3,
+      |  cast((SELECT coalesce(sum(tvq.t * (dgs.d - 2)), 0) FROM tvq JOIN dgs USING (k)) AS bigint) AS n_tailed,
+      |  cast((SELECT coalesce(sum(c * (c - 1) // 2), 0) // 2 FROM wdg) AS bigint) AS n_c4,
+      |  cast((SELECT coalesce(sum(c * (c - 1) // 2), 0) FROM teq) AS bigint) AS n_diamonds,
+      |  cast((SELECT n FROM k4q) AS bigint) AS n_k4""".stripMargin
+
   /** SimRank replay — the engine's 3 integer rounds as chained CTEs
    * over the same dominant-direction tool digraph as [[sccSql]]:
    * s' = ⌊4·Σs / (5·indeg_a·indeg_b)⌋, diagonal pinned at 10⁶,
@@ -3605,6 +3653,7 @@ object SparkEntry {
     "q_critpath_fast" -> critpathSql,
     "q_scc" -> sccSql,
     "q_simrank" -> simrankSql,
+    "q_graphlets" -> graphletsSql,
     "q_bowtie" -> bowtieSql,
     "q_deg_corr" -> (prefix +
       """, od AS (SELECT src_key AS key, count(*) AS o FROM e GROUP BY 1)

@@ -35,6 +35,25 @@ class Round3iSpec extends SparkSpec {
       ("c2", 2L) -> ((853587L, 3L))))
   }
 
+  // ---------- graphlet census ----------
+
+  test("graphlets: K4 and P4 closed-form counts") {
+    def censusOf(pairs: Seq[(Int, Int)]): Seq[Long] = {
+      val g = graphOf(pairs, symmetric = true)
+      val r = algos.Graphlets.census4(g).collect()(0)
+      val out = (0 until 9).map(r.getLong(_))
+      g.unpersist()
+      out
+    }
+    // K4: 6 edges, 12 wedges, 4 claws, 4 triangles, 12 paths,
+    // 12 tailed, 3 squares, 6 diamonds, 1 clique
+    assert(censusOf(Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))) ==
+      Seq(6L, 12L, 4L, 4L, 12L, 12L, 3L, 6L, 1L))
+    // P4 path a-b-c-d: 3 edges, 2 wedges, one 3-path, all else zero
+    assert(censusOf(Seq((0, 1), (1, 2), (2, 3))) ==
+      Seq(3L, 2L, 0L, 0L, 1L, 0L, 0L, 0L, 0L))
+  }
+
   // ---------- SimRank ----------
 
   test("simrank: shared in-neighbor pair converges to the exact integer fixpoint") {
