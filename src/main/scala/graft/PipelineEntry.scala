@@ -68,6 +68,11 @@ object PipelineEntry {
     // (max pairwise cosine ≈ 0.49), so the driver check runs at a
     // similarity level the data actually contains (253 pairs at
     // sf0.01); production dedup would use ~0.9 on real embeddings
+    // embedding-level decontamination: max cosine of each train
+    // vector vs the (broadcast) eval set — catches paraphrased eval
+    // leakage the n-gram q_decontam cannot see
+    "q_decontam_emb" -> ((s, dir) =>
+      Similarity.evalContamination(Similarity.embeddings(s, dir))),
     "q_embed_dedup" -> ((s, dir) =>
       Similarity.cosineDupPairs(Similarity.embeddings(s, dir), simThresholdE4 = 3000)),
     // language-ID with confidence margin (best − runner-up hits; the
@@ -1479,6 +1484,33 @@ object PipelineEntry {
   }
 
   /** Mirrors Similarity.cosineDupPairs at threshold 0.30 (q_embed_dedup). */
+  /** Mirrors Similarity.evalContamination: eval = vec_id ≡ 0 (mod 97),
+   * max cosine per train vector, flag at sim_e4 ≥ 3000. */
+  private val decontamEmbSql: String =
+    """WITH vv AS (
+      |  SELECT vec_id, cast(unnest(embedding) AS double) AS x,
+      |         generate_subscripts(embedding, 1) - 1 AS i
+      |  FROM embeddings
+      |), norms AS (
+      |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM vv GROUP BY 1
+      |), ev AS (SELECT vec_id FROM embeddings WHERE vec_id % 97 = 0
+      |), tr AS (SELECT vec_id FROM embeddings WHERE vec_id % 97 <> 0
+      |), dots AS (
+      |  SELECT t.vec_id AS vec_id, e.vec_id AS eval_id, sum(va.x * vb.x) AS d
+      |  FROM tr t CROSS JOIN ev e
+      |  JOIN vv va ON va.vec_id = t.vec_id
+      |  JOIN vv vb ON vb.vec_id = e.vec_id AND vb.i = va.i
+      |  GROUP BY 1, 2
+      |), sims AS (
+      |  SELECT d.vec_id, cast(round(d.d / (na.nrm * nb.nrm) * 10000) AS bigint) AS s
+      |  FROM dots d
+      |  JOIN norms na ON na.vec_id = d.vec_id
+      |  JOIN norms nb ON nb.vec_id = d.eval_id
+      |)
+      |SELECT vec_id, max(s) AS max_sim_e4,
+      |       cast(max(s) >= 3000 AS bigint) AS contaminated
+      |FROM sims GROUP BY 1""".stripMargin
+
   private val embedDedupSql: String = lshPrefix +
     """, dots AS (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(va.x * vb.x) AS d
@@ -1730,6 +1762,7 @@ object PipelineEntry {
     "q_ann_lsh_multi" -> annLshMultiSql(),
     "q_ann_ivf" -> annIvfSql(),
     "q_embed_dedup" -> embedDedupSql,
+    "q_decontam_emb" -> decontamEmbSql,
     "q_media" -> mediaSql,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keeper_id

@@ -506,6 +506,37 @@ object Similarity {
    * of [[lshTopK]]: LSH-bucketed candidate generation (linear), exact
    * cosine within buckets, keep pairs with sim ≥ threshold. The scale
    * path for "drop training docs whose embeddings almost coincide". */
+  /**
+   * Embedding-level benchmark decontamination — the SEMANTIC
+   * complement of [[Decontam.contamination]]'s n-gram overlap: flag
+   * training vectors whose cosine to ANY eval-set vector reaches the
+   * threshold (paraphrased eval leakage that shares no n-gram).
+   * Eval membership mirrors Decontam.isEval: vec_id ≡ 0 (mod evalMod).
+   *
+   * Scale shape: benchmarks are thousands of vectors against a
+   * 100 TB corpus, so the eval side is BROADCAST and the train side
+   * is one linear scan (|train|·|eval| codegen'd dot products, no
+   * shuffle before the per-vector max). For eval sets too big to
+   * broadcast, route through the IVF quantizer ([[ivfTopK]]) first.
+   *
+   * @return (vec_id, max_sim_e4, contaminated) for every train vector
+   */
+  def evalContamination(
+      emb: DataFrame,
+      evalMod: Long = 97,
+      simThresholdE4: Long = 3000): DataFrame = {
+    val p = prepared(emb)
+    val eval = p.where(pmod(col("vec_id"), lit(evalMod)) === 0)
+      .select(col("v").as("w"), col("norm").as("en"))
+    val train = p.where(pmod(col("vec_id"), lit(evalMod)) =!= 0)
+    train.join(broadcast(eval))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("w")) / (col("norm") * col("en")) * 10000)
+          .cast("long").as("s"))
+      .groupBy(col("vec_id")).agg(max(col("s")).as("max_sim_e4"))
+      .withColumn("contaminated", (col("max_sim_e4") >= simThresholdE4).cast("long"))
+  }
+
   def cosineDupPairs(
       emb: DataFrame,
       planes: Int = 6,

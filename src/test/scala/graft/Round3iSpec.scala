@@ -35,6 +35,20 @@ class Round3iSpec extends SparkSpec {
       ("c2", 2L) -> ((853587L, 3L))))
   }
 
+  // ---------- embedding decontamination ----------
+
+  test("evalContamination: train vector matching an eval vector flags, orthogonal doesn't") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), // eval (0 mod 97)
+      (1L, Seq(1.0f, 0.0f)), // identical to eval → sim 10000
+      (2L, Seq(0.0f, 1.0f))) // orthogonal → sim 0
+      .toDF("vec_id", "embedding")
+    val got = pipeline.Similarity.evalContamination(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 10000L, 1L), (2L, 0L, 0L)))
+  }
+
   // ---------- graphlet census ----------
 
   test("graphlets: K4 and P4 closed-form counts") {
