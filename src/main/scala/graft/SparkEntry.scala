@@ -679,6 +679,13 @@ object SparkEntry {
     // coloring) on the dominant-direction tool-transition digraph —
     // the derived graph with genuine cycles (the turn graph is a DAG
     // by construction, where every SCC would be a singleton)
+    // truncated absorbing-walk hitting time to the tool vertices:
+    // per-turn "expected turns until the next tool interaction"
+    // (integer value iteration, 5 rounds, oracle replays them)
+    "q_hitting" -> ((s, dir) =>
+      HittingTime.run(Graphs.get(s, dir, symmetric = true),
+        absorbing = col("key").startsWith("T#"))
+        .select(col("key"), col("h_e4"))),
     // non-induced 4-node graphlet census: closed-form motif counts
     // (wedges/claws/paths/tailed/C4/diamond/K4) from one shared
     // codegree table — the motif fingerprint of the link graph
@@ -2178,6 +2185,33 @@ object SparkEntry {
    * recursive closure joined to itself reversed — scc_key = min key
    * among mutually reachable vertices, exactly the engine's
    * re-canonicalized export. */
+  /** Hitting-time replay: the engine's 5 truncated value-iteration
+   * rounds (10⁴-scaled, floor division, tools pinned at 0) as
+   * chained CTEs over the symmetric edge set. */
+  private val hittingSql: String = {
+    val round = (k: Int) =>
+      s""", h$k AS (
+         |  SELECT ab.key,
+         |         CASE WHEN ab.absorb THEN 0
+         |              ELSE 10000 + coalesce(s.m, 0) // dgs.d END AS h
+         |  FROM ab JOIN dgs USING (key)
+         |  LEFT JOIN (
+         |    SELECT esw.dst_key AS key, sum(p.h) AS m
+         |    FROM esw JOIN h${k - 1} p ON p.key = esw.src_key GROUP BY 1) s
+         |    USING (key)
+         |)""".stripMargin
+    "WITH " + prefixBody + symBody +
+      """, dgs AS (
+        |  SELECT src_key AS key, count(*) AS d FROM esw GROUP BY 1
+        |), ab AS (
+        |  SELECT key, (key LIKE 'T#%') AS absorb FROM v
+        |), h0 AS (
+        |  SELECT key, cast(0 AS bigint) AS h FROM v
+        |)""".stripMargin +
+      (1 to 5).map(round).mkString +
+      "\nSELECT key, cast(h AS bigint) AS h_e4 FROM h5"
+  }
+
   /** Graphlet-census replay: the same closed forms over the
    * symmetric edge set — one wedge/codegree CTE feeds C4, the
    * adjacent restriction (t_e) feeds triangles/diamond/tailed, and
@@ -3654,6 +3688,7 @@ object SparkEntry {
     "q_scc" -> sccSql,
     "q_simrank" -> simrankSql,
     "q_graphlets" -> graphletsSql,
+    "q_hitting" -> hittingSql,
     "q_bowtie" -> bowtieSql,
     "q_deg_corr" -> (prefix +
       """, od AS (SELECT src_key AS key, count(*) AS o FROM e GROUP BY 1)

@@ -35,6 +35,19 @@ class Round3iSpec extends SparkSpec {
       ("c2", 2L) -> ((853587L, 3L))))
   }
 
+  // ---------- hitting time ----------
+
+  test("hittingTime: path to an absorbing endpoint, exact truncated trajectory") {
+    // a–b–T, T absorbing. Hand-replayed 5 rounds (10⁴ scale):
+    // h(a): 10000, 20000, 25000, 30000, 32500
+    // h(b): 10000, 15000, 20000, 22500, 25000  (→ 40000/30000 at ∞)
+    val g = graphOf(Seq((0, 1), (1, 2)), symmetric = true)
+    val got = algos.HittingTime.run(g, col("key") === keyOf(2)).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got == Map(keyOf(0) -> 32500L, keyOf(1) -> 25000L, keyOf(2) -> 0L))
+    g.unpersist()
+  }
+
   // ---------- embedding decontamination ----------
 
   test("evalContamination: train vector matching an eval vector flags, orthogonal doesn't") {
