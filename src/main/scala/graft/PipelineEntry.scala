@@ -78,6 +78,9 @@ object PipelineEntry {
     // language-ID with confidence margin (best − runner-up hits; the
     // gate before trusting the label)
     "q_langid_margin" -> ((s, dir) => TextStats.langIdMargin(Dedup.docs(s, dir))),
+    // pairwise total-variation distance between source unigram
+    // distributions (integer-exact mixture-drift dashboard)
+    "q_source_tv" -> ((s, dir) => TextStats.sourceDivergence(Dedup.docs(s, dir))),
     "q_langid" -> ((s, dir) =>
       TextStats.langId(Dedup.docs(s, dir))
         .select(col("doc_id"), col("pred_lang"), col("stop_hits").cast("long").as("stop_hits"))),
@@ -1484,6 +1487,30 @@ object PipelineEntry {
   }
 
   /** Mirrors Similarity.cosineDupPairs at threshold 0.30 (q_embed_dedup). */
+  /** Mirrors TextStats.sourceDivergence: shared-vocab cross-multiplied
+   * TV core + one-sided mass closing terms, HUGEINT throughout. */
+  private val sourceTvSql: String =
+    """WITH cw AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents
+      |), cnt AS (
+      |  SELECT source, w, count(*) AS n FROM cw GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT source, sum(n) AS nt FROM cnt GROUP BY 1
+      |), c2 AS (
+      |  SELECT cnt.source, cnt.w, cnt.n, tot.nt FROM cnt JOIN tot USING (source)
+      |), agg AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, a.nt AS na, b.nt AS nb,
+      |         sum(abs(cast(a.n AS hugeint) * b.nt - cast(b.n AS hugeint) * a.nt)) AS sh,
+      |         sum(a.n) AS ma, sum(b.n) AS mb, count(*) AS n_shared
+      |  FROM c2 a JOIN c2 b ON b.w = a.w AND a.source < b.source
+      |  GROUP BY 1, 2, 3, 4
+      |)
+      |SELECT source_a, source_b, n_shared,
+      |       cast((1000000 * (sh + cast(na - ma AS hugeint) * nb
+      |              + cast(nb - mb AS hugeint) * na))
+      |            // (2 * cast(na AS hugeint) * nb) AS bigint) AS tv_e6
+      |FROM agg""".stripMargin
+
   /** Mirrors Similarity.evalContamination: eval = vec_id ≡ 0 (mod 97),
    * max cosine per train vector, flag at sim_e4 ≥ 3000. */
   private val decontamEmbSql: String =
@@ -1763,6 +1790,7 @@ object PipelineEntry {
     "q_ann_ivf" -> annIvfSql(),
     "q_embed_dedup" -> embedDedupSql,
     "q_decontam_emb" -> decontamEmbSql,
+    "q_source_tv" -> sourceTvSql,
     "q_media" -> mediaSql,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keeper_id

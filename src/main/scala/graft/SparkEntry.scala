@@ -409,6 +409,10 @@ object SparkEntry {
     // fingerprint with conditional share vs the bigram prefix)
     "q_markov2" -> ((s, dir) =>
       pipeline.Funnel.toolMarkov2(Transcripts.fromEvents(s, dir))),
+    // δ-windowed temporal motif census over consecutive tool-call
+    // triples (retry ping-pong vs pipeline, within a 2-day span)
+    "q_temporal_motifs" -> ((s, dir) =>
+      pipeline.Funnel.temporalMotifs(Transcripts.fromEvents(s, dir))),
     // inter-turn gap histogram, power-of-two µs buckets (latency
     // distribution shape)
     "q_gap_hist" -> ((s, dir) =>
@@ -3194,6 +3198,21 @@ object SparkEntry {
         |SELECT c.tool_a, c.tool_b, c.tool_c, cast(c.n AS bigint) AS n,
         |       cast(c.n * 10000 // m.n_ab AS bigint) AS share_e4
         |FROM cnt c JOIN marg m ON m.tool_a = c.tool_a AND m.tool_b = c.tool_b""".stripMargin),
+    "q_temporal_motifs" -> (prefix +
+      """, tm3 AS (
+        |  SELECT tool AS t1, lead(tool, 1) OVER win AS t2, lead(tool, 2) OVER win AS t3,
+        |         lead(epoch_us(ts), 2) OVER win - epoch_us(ts) AS span
+        |  FROM t WHERE tool IS NOT NULL
+        |  WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx)
+        |)
+        |SELECT CASE WHEN t1 = t2 AND t2 = t3 THEN 'aaa'
+        |            WHEN t1 = t3 AND t1 <> t2 THEN 'aba'
+        |            WHEN t1 = t2 THEN 'aab'
+        |            WHEN t2 = t3 THEN 'abb'
+        |            ELSE 'abc' END AS pattern,
+        |       count(*) AS n_motifs
+        |FROM tm3 WHERE t3 IS NOT NULL AND span <= 172800000000
+        |GROUP BY 1""".stripMargin),
     "q_gap_hist" -> (prefix +
       """, g AS (
         |  SELECT epoch_us(ts) - lag(epoch_us(ts))

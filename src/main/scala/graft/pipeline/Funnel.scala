@@ -236,6 +236,43 @@ object Funnel {
   }
 
   /**
+   * δ-windowed temporal motif census (the Paranjape-Benson-Leskovec
+   * WSDM'17 temporal-motif idea specialised to consecutive tool-call
+   * triples): classify every run of 3 consecutive tool calls whose
+   * total span fits in `deltaUs` by its equality pattern —
+   *
+   *   aba  retry ping-pong (A→B→A)    aaa  triple repeat
+   *   aab / abb  stutter variants     abc  3-step pipeline
+   *
+   * The time window is what [[toolMarkov2]] lacks: an A→B→A that
+   * spans a week is coincidence, inside δ it is a retry loop. One
+   * per-conversation window pass + a ≤5-row aggregate; integer µs
+   * arithmetic only.
+   *
+   * @return (pattern, n_motifs)
+   */
+  def temporalMotifs(
+      transcripts: DataFrame,
+      deltaUs: Long = 172800000000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    transcripts.where(col("tool").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), col("tool"),
+        expr("unix_micros(cast(ts AS timestamp))").as("tus"))
+      .withColumn("t2", lead(col("tool"), 1).over(w))
+      .withColumn("t3", lead(col("tool"), 2).over(w))
+      .withColumn("span", lead(col("tus"), 2).over(w) - col("tus"))
+      .where(col("t3").isNotNull && col("span") <= deltaUs)
+      .select(
+        when(col("tool") === col("t2") && col("t2") === col("t3"), "aaa")
+          .when(col("tool") === col("t3") && col("tool") =!= col("t2"), "aba")
+          .when(col("tool") === col("t2"), "aab")
+          .when(col("t2") === col("t3"), "abb")
+          .otherwise("abc").as("pattern"))
+      .groupBy(col("pattern")).agg(count(lit(1)).as("n_motifs"))
+  }
+
+  /**
    * Inter-turn gap histogram in power-of-two microsecond buckets
    * (bit-length bucketing; zero-µs gaps get bucket 0) — the latency
    * distribution SHAPE, complementing the per-conversation and

@@ -96,6 +96,49 @@ object TextStats {
   }
 
   /**
+   * Pairwise total-variation distance between source unigram
+   * distributions — the mixture-drift dashboard ("did crawl B's
+   * token distribution move away from crawl A's") a data-mixing
+   * pipeline watches; TV is the f-divergence that stays INTEGER-exact
+   * (KL needs logs): with n_{s,w} the token counts and N_s totals,
+   *
+   *   TV(a,b) = ½ Σ_w |n_aw/N_a − n_bw/N_b|
+   *   tv_e6   = ⌊10⁶·(Σ_shared |n_aw·N_b − n_bw·N_a|
+   *                   + (N_a−M_a)·N_b + (N_b−M_b)·N_a) / (2·N_a·N_b)⌋
+   *
+   * where M_s sums each side's counts over the SHARED vocabulary —
+   * the two closing terms add the one-sided mass without ever
+   * materializing the vocabulary union. Cross-multiplied decimal(38)
+   * arithmetic (HUGEINT in the oracle): no floats at any scale.
+   *
+   * Scale shape: one (source, word) grouped count, a word-keyed
+   * self-join (fan-out = #sources per word, a small constant), and a
+   * #source²-row aggregate. Totals broadcast via the grouped key.
+   *
+   * @return (source_a, source_b, n_shared, tv_e6), a < b
+   */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("source")).agg(sum(col("n")).as("nt"))
+    val c2 = cnt.join(tot, "source").persist()
+    val agg = c2.as("a")
+      .join(c2.as("b"), col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.nt").as("na"), col("b.nt").as("nb"))
+      .agg(
+        sum(abs(col("a.n").cast("decimal(38,0)") * col("b.nt")
+          - col("b.n").cast("decimal(38,0)") * col("a.nt"))).as("sh"),
+        sum(col("a.n")).as("ma"), sum(col("b.n")).as("mb"),
+        count(lit(1)).as("n_shared"))
+    agg.select(col("source_a"), col("source_b"), col("n_shared"),
+      expr("cast((1000000 * (sh + cast(na - ma AS decimal(38,0)) * nb" +
+        " + cast(nb - mb AS decimal(38,0)) * na)) div" +
+        " (2 * cast(na AS decimal(38,0)) * nb) AS bigint)").as("tv_e6"))
+  }
+
+  /**
    * Boilerplate-turn detection: turn texts that recur across ≥
    * `minConvs` DISTINCT conversations — the greeting/disclaimer/
    * template mass a transcript-curation pipeline strips before

@@ -35,6 +35,45 @@ class Round3iSpec extends SparkSpec {
       ("c2", 2L) -> ((853587L, 3L))))
   }
 
+  // ---------- source TV divergence ----------
+
+  test("sourceDivergence: hand-computed TV with shared and one-sided mass") {
+    import spark.implicits._
+    // p_A = {x:2/3, y:1/3}, p_B = {x:1/2, z:1/2} → TV = ½(1/6+1/3+1/2) = 0.5
+    val docs = Seq((1L, "x x y", "A"), (2L, "x z", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = pipeline.TextStats.sourceDivergence(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("A", "B", 1L, 500000L)))
+  }
+
+  // ---------- temporal motifs ----------
+
+  test("temporalMotifs: pattern classes counted, out-of-window triples dropped") {
+    import spark.implicits._
+    def conv(id: String, tools: Seq[String], tss: Seq[String]) =
+      tools.zip(tss).zipWithIndex.map { case ((tl, ts), i) => (id, i, Option(tl), ts) }
+    val tr = (
+      conv("c1", Seq("A", "B", "A"),
+        Seq("2026-01-01 00:00:00", "2026-01-01 00:01:00", "2026-01-01 00:02:00")) ++
+      conv("c2", Seq("A", "A", "A"),
+        Seq("2026-01-01 00:00:00", "2026-01-01 00:01:00", "2026-01-01 00:02:00")) ++
+      conv("c3", Seq("A", "B", "C"),
+        Seq("2026-01-01 00:00:00", "2026-01-01 00:01:00", "2026-01-01 00:02:00")) ++
+      // span 3 days > δ: dropped
+      conv("c4", Seq("A", "B", "A"),
+        Seq("2026-01-01 00:00:00", "2026-01-01 00:01:00", "2026-01-04 00:00:00")) ++
+      conv("c5", Seq("A", "A", "B"),
+        Seq("2026-01-01 00:00:00", "2026-01-01 00:01:00", "2026-01-01 00:02:00")) ++
+      conv("c6", Seq("A", "B", "B"),
+        Seq("2026-01-01 00:00:00", "2026-01-01 00:01:00", "2026-01-01 00:02:00")))
+      .toDF("conv_id", "turn_idx", "tool", "tss")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val got = pipeline.Funnel.temporalMotifs(tr).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("aba" -> 1L, "aaa" -> 1L, "abc" -> 1L, "aab" -> 1L, "abb" -> 1L))
+  }
+
   // ---------- hitting time ----------
 
   test("hittingTime: path to an absorbing endpoint, exact truncated trajectory") {
