@@ -359,6 +359,21 @@ object SparkEntry {
     }),
     // directed in/out-degree correlation sufficient statistics (one
     // exact-integer row; Pearson r is the consumer's one float div)
+    // PageRank-vs-degree Pearson sufficient statistics: exact integer
+    // sums over (out_degree, rank_e5) — the "is PageRank ≈ degree on
+    // this graph" readout (assemble r from the six sums downstream)
+    "q_pr_deg_corr" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = false)
+      val pr = PageRank.run(g, iterations = 5).ranks
+        .select(col("id"), round(col("rank") * 100000).cast("long").as("r"))
+      g.degrees.select(col("id"), col("out_degree").as("d"))
+        .join(pr, "id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("d")).as("s_d"), sum(col("r")).as("s_r"),
+          sum(col("d") * col("d")).as("ss_d"),
+          sum(col("r") * col("r")).as("ss_r"),
+          sum(col("d") * col("r")).as("s_dr"))
+    }),
     "q_deg_corr" -> ((s, dir) => {
       val g = Graphs.get(s, dir, symmetric = false)
       g.degrees.agg(
@@ -413,6 +428,10 @@ object SparkEntry {
     // triples (retry ping-pong vs pipeline, within a 2-day span)
     "q_temporal_motifs" -> ((s, dir) =>
       pipeline.Funnel.temporalMotifs(Transcripts.fromEvents(s, dir))),
+    // per-tool burstiness: Fano factor of daily call counts over the
+    // active lifetime (Poisson ≈ 10⁴, batchy ≫ 10⁴)
+    "q_burstiness" -> ((s, dir) =>
+      pipeline.Funnel.toolBurstiness(Transcripts.fromEvents(s, dir))),
     // inter-turn gap histogram, power-of-two µs buckets (latency
     // distribution shape)
     "q_gap_hist" -> ((s, dir) =>
@@ -1028,7 +1047,11 @@ object SparkEntry {
       |       cast(max(sz) AS bigint) AS max_size
       |FROM szs GROUP BY 1""".stripMargin
 
-  private val pagerankSql: String = {
+  /** 5 unrolled PageRank iterations ending in `p5(key, raw, v)` plus
+   * the `deg(key, o)` out-degree CTE — shared by the per-vertex
+   * export ([[pagerankSql]]) and the degree-correlation sufficient
+   * statistics ([[prDegCorrSql]]). */
+  private val pagerankBody: String = {
     val iter = (i: Int) =>
       s""", s$i AS (
          |  SELECT e.dst_key AS key, sum(p${i - 1}.v) AS s
@@ -1044,9 +1067,27 @@ object SparkEntry {
       """, od AS (SELECT src_key AS key, count(*) AS o FROM e GROUP BY 1)
         |, deg AS (SELECT v.key, coalesce(od.o, 0) AS o FROM v LEFT JOIN od ON od.key = v.key)
         |, p0 AS (SELECT key, CASE WHEN o > 0 THEN 1.0/o ELSE 1.0 END AS v FROM deg)""".stripMargin +
-      (1 to 5).map(iter).mkString +
-      "\nSELECT key, cast(round(raw*100000) AS bigint) AS rank_e5 FROM p5"
+      (1 to 5).map(iter).mkString
   }
+
+  private val pagerankSql: String = pagerankBody +
+    "\nSELECT key, cast(round(raw*100000) AS bigint) AS rank_e5 FROM p5"
+
+  /** PageRank-vs-degree Pearson sufficient statistics ("does PageRank
+   * just recover degree here?") — exact integer sums over the SAME
+   * rounded rank_e5 both engines agree on (q_pagerank is hash-green),
+   * the [[q_deg_corr]] pattern on a computed score. */
+  private val prDegCorrSql: String = pagerankBody +
+    """
+      |SELECT count(*) AS n,
+      |       cast(sum(o) AS bigint) AS s_d,
+      |       cast(sum(r) AS bigint) AS s_r,
+      |       cast(sum(o * o) AS bigint) AS ss_d,
+      |       cast(sum(r * r) AS bigint) AS ss_r,
+      |       cast(sum(o * r) AS bigint) AS s_dr
+      |FROM (
+      |  SELECT deg.o AS o, cast(round(p5.raw*100000) AS bigint) AS r
+      |  FROM p5 JOIN deg USING (key)) x""".stripMargin
 
   /** Weighted-PageRank oracle builder (5 unrolled iterations, flow ∝
    * w / Σ out-w): the caller supplies the `ew(src_key, dst_key, w)`
@@ -3198,6 +3239,21 @@ object SparkEntry {
         |SELECT c.tool_a, c.tool_b, c.tool_c, cast(c.n AS bigint) AS n,
         |       cast(c.n * 10000 // m.n_ab AS bigint) AS share_e4
         |FROM cnt c JOIN marg m ON m.tool_a = c.tool_a AND m.tool_b = c.tool_b""".stripMargin),
+    "q_burstiness" -> (prefix +
+      """, dx AS (
+        |  SELECT tool, epoch_us(ts) // 86400000000 AS day, count(*) AS x
+        |  FROM t WHERE tool IS NOT NULL GROUP BY 1, 2
+        |), ag AS (
+        |  SELECT tool, sum(x) AS n_calls, count(*) AS n_days_active,
+        |         max(day) - min(day) + 1 AS span_days, sum(x*x) AS sx2
+        |  FROM dx GROUP BY 1
+        |)
+        |SELECT tool, cast(n_calls AS bigint) AS n_calls,
+        |       cast(n_days_active AS bigint) AS n_days_active,
+        |       cast(span_days AS bigint) AS span_days,
+        |       cast(10000 * (span_days * sx2 - n_calls * n_calls)
+        |            // (span_days * n_calls) AS bigint) AS fano_e4
+        |FROM ag""".stripMargin),
     "q_temporal_motifs" -> (prefix +
       """, tm3 AS (
         |  SELECT tool AS t1, lead(tool, 1) OVER win AS t2, lead(tool, 2) OVER win AS t3,
@@ -3459,6 +3515,7 @@ object SparkEntry {
         |SELECT v.key AS key, coalesce(od.o, 0) AS out_degree, coalesce(id2.i, 0) AS in_degree
         |FROM v LEFT JOIN od ON od.key = v.key LEFT JOIN id2 ON id2.key = v.key""".stripMargin),
     "q_pagerank" -> pagerankSql,
+    "q_pr_deg_corr" -> prDegCorrSql,
     "q_hits" -> hitsSql,
     "q_kcore" -> kcoreSql,
     "q_coreness" -> corenessSql,

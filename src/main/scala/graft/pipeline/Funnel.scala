@@ -236,6 +236,35 @@ object Funnel {
   }
 
   /**
+   * Per-tool burstiness: the Fano factor (variance-to-mean ratio) of
+   * DAILY call counts over the tool's active lifetime — Poisson
+   * traffic scores ≈ 10⁴, batch/cron-like bursts score ≫ 10⁴, and a
+   * steady drumbeat < 10⁴ (the index-of-dispersion screen on tool
+   * traffic shape, complementing [[toolLatency]]'s per-call view).
+   *
+   * Integer-exact over the lifetime span D = last−first+1 days with
+   * zero days implicit: Var/mean = (D·Σx² − S²)/(D·S), exported as
+   * fano_e4 = ⌊10⁴·(D·Σx² − S²) div (D·S)⌋ (S = total calls; a
+   * single-day tool degenerates to 0). Integer UTC-day arithmetic,
+   * two grouped aggregates, no windows.
+   *
+   * @return (tool, n_calls, n_days_active, span_days, fano_e4)
+   */
+  def toolBurstiness(transcripts: DataFrame): DataFrame =
+    transcripts.where(col("tool").isNotNull)
+      .select(col("tool"),
+        expr("unix_micros(cast(ts AS timestamp)) div 86400000000L").as("day"))
+      .groupBy(col("tool"), col("day")).agg(count(lit(1)).as("x"))
+      .groupBy(col("tool")).agg(
+        sum(col("x")).as("n_calls"),
+        count(lit(1)).as("n_days_active"),
+        (max(col("day")) - min(col("day")) + 1).as("span_days"),
+        sum(col("x") * col("x")).as("sx2"))
+      .select(col("tool"), col("n_calls"), col("n_days_active"), col("span_days"),
+        expr("10000 * (span_days * sx2 - n_calls * n_calls)" +
+          " div (span_days * n_calls)").as("fano_e4"))
+
+  /**
    * δ-windowed temporal motif census (the Paranjape-Benson-Leskovec
    * WSDM'17 temporal-motif idea specialised to consecutive tool-call
    * triples): classify every run of 3 consecutive tool calls whose

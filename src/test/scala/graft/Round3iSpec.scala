@@ -35,6 +35,47 @@ class Round3iSpec extends SparkSpec {
       ("c2", 2L) -> ((853587L, 3L))))
   }
 
+  // ---------- burstiness ----------
+
+  test("toolBurstiness: Fano factor over the lifetime span, zero days implicit") {
+    import spark.implicits._
+    val tr = Seq(
+      // A: 2 calls day 0, 1 call day 2 → D=3, S=3, Σx²=5 → ⌊10⁴·6/9⌋
+      ("c1", 0, Some("A"), "2026-01-01 00:00:00"),
+      ("c1", 1, Some("A"), "2026-01-01 12:00:00"),
+      ("c2", 0, Some("A"), "2026-01-03 00:00:00"),
+      // B: single call → degenerate 0
+      ("c3", 0, Some("B"), "2026-01-01 00:00:00"))
+      .toDF("conv_id", "turn_idx", "tool", "tss")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val got = pipeline.Funnel.toolBurstiness(tr).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == Map(
+      "A" -> ((3L, 2L, 3L, 6666L)),
+      "B" -> ((1L, 1L, 1L, 0L))))
+  }
+
+  // ---------- PageRank-vs-degree correlation ----------
+
+  test("prDegCorr wiring: sufficient statistics equal a per-vertex recompute") {
+    val g = graphOf(Seq((0, 1), (0, 2), (1, 2), (2, 3)), symmetric = false)
+    val pr = algos.PageRank.run(g, iterations = 5).ranks
+      .select(col("id"), round(col("rank") * 100000).cast("long").as("r"))
+    val rows = g.degrees.select(col("id"), col("out_degree").as("d"))
+      .join(pr, "id").collect().map(r => (r.getLong(1), r.getLong(2)))
+    val agg = g.degrees.select(col("id"), col("out_degree").as("d"))
+      .join(pr, "id")
+      .agg(count(lit(1)), sum(col("d")), sum(col("r")),
+        sum(col("d") * col("d")), sum(col("r") * col("r")),
+        sum(col("d") * col("r"))).collect()(0)
+    assert(agg.getLong(0) == rows.length)
+    assert(agg.getLong(1) == rows.map(_._1).sum)
+    assert(agg.getLong(2) == rows.map(_._2).sum)
+    assert(agg.getLong(5) == rows.map(p => p._1 * p._2).sum)
+    g.unpersist()
+  }
+
   // ---------- source TV divergence ----------
 
   test("sourceDivergence: hand-computed TV with shared and one-sided mass") {
