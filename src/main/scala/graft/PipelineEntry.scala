@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bpe, Cooccur, Curate, Decontam, Dedup, Mix, Multimodal, Profile, Quantiles, Similarity, Sketch, TextStats, Vocab}
+import graft.pipeline.{Bpe, Cooccur, Curate, Decontam, Dedup, Mix, Multimodal, Pca, Profile, Quantiles, Similarity, Sketch, TextStats, Vocab}
 
 /** Driver-contract entries for the training-data pipeline operators
  * (dedup / similarity / text analysis / multimodal) over the
@@ -105,6 +105,14 @@ object PipelineEntry {
     // counts, computed entirely inside the row (no shuffle)
     "q_repetition" -> ((s, dir) => TextStats.repetition(Dedup.docs(s, dir))),
     "q_vocab" -> ((s, dir) => Vocab.topVocab(Dedup.docs(s, dir))),
+    // Zipf frequency-of-frequencies: word types bucketed by the bit
+    // length of their corpus frequency — the rank-frequency
+    // diagnostic behind vocab sizing (Heaps-curve's frequency
+    // marginal at rest)
+    "q_zipf" -> ((s, dir) => Vocab.zipfHistogram(Dedup.docs(s, dir))),
+    // k-anonymity census over (source, lang, length bucket) — the
+    // privacy screen before releasing a corpus slice
+    "q_kanon" -> ((s, dir) => Profile.kAnonymity(Dedup.docs(s, dir))),
     // exact corpus length percentiles via the value-histogram trick
     // (one scan, no global sort — see pipeline.Quantiles)
     "q_quantiles" -> ((s, dir) => Quantiles.tokenCountQuantiles(Dedup.docs(s, dir))),
@@ -170,6 +178,10 @@ object PipelineEntry {
     // integer-quantized coordinates; per-vector checksum profile)
     "q_sq8" -> ((s, dir) =>
       Similarity.sq8Codes(Similarity.embeddings(s, dir))),
+    // first principal component of the embedding cloud: distributed
+    // exact-integer covariance + driver-side BigInt power iteration
+    // (tiny d×d model state), one broadcast projection pass
+    "q_pca" -> ((s, dir) => Pca.pc1(Similarity.embeddings(s, dir))),
     // mergeable-sketch set algebra: per-pair union registers reduced
     // to exact-integer sufficient statistics
     "q_hll_pairs" -> ((s, dir) => Sketch.hllPairStats(Dedup.docs(s, dir))),
@@ -521,6 +533,44 @@ object PipelineEntry {
       |       cast(norm2_q AS bigint) AS norm2_q,
       |       cast(length(bin(cast(norm2_q AS bigint))) AS bigint) AS bucket
       |FROM n""".stripMargin
+
+  /** PC1 power-iteration replay — identical 8-round integer
+   * trajectory as pipeline.Pca (HUGEINT matvec ≡ BigInt; sign-split
+   * floor division; canonical sign). */
+  private val pcaSql: String = {
+    // every round CTE is referenced 2-3× downstream — without
+    // MATERIALIZED DuckDB inlines per reference and the 8-round chain
+    // re-derives exponentially (the prefixBody gotcha, measured: >10
+    // min inlined vs <1 s materialized)
+    val round = (r: Int) =>
+      s""", u$r AS MATERIALIZED (
+         |  SELECT cov.j, sum(cast(cov.c AS hugeint) * w${r - 1}.w) AS u
+         |  FROM cov JOIN w${r - 1} ON w${r - 1}.j = cov.k GROUP BY 1
+         |), m$r AS MATERIALIZED (SELECT max(abs(u)) AS m FROM u$r
+         |), w$r AS MATERIALIZED (
+         |  SELECT j, CASE WHEN (SELECT m FROM m$r) = 0 THEN 0
+         |                 WHEN u < 0 THEN -cast((-u) * 1000000 // (SELECT m FROM m$r) AS bigint)
+         |                 ELSE cast(u * 1000000 // (SELECT m FROM m$r) AS bigint) END AS w
+         |  FROM u$r
+         |)""".stripMargin
+    """WITH q AS MATERIALIZED (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         cast(round(cast(unnest(embedding) AS double) * 1000) AS bigint) AS xq
+      |  FROM embeddings
+      |), cov AS MATERIALIZED (
+      |  SELECT a.i AS j, b.i AS k, sum(a.xq * b.xq) AS c
+      |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2
+      |), w0 AS (SELECT DISTINCT i AS j, cast(1000000 AS bigint) AS w FROM q)""".stripMargin +
+      (1 to 8).map(round).mkString +
+      """
+        |, sg AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT w FROM w8
+        |                    WHERE j = (SELECT min(j) FROM w8 WHERE w <> 0)) < 0
+        |              THEN -1 ELSE 1 END AS s
+        |), wf AS MATERIALIZED (SELECT j, w * (SELECT s FROM sg) AS w FROM w8)
+        |SELECT q.vec_id, cast(sum(q.xq * wf.w) AS bigint) AS pc1_q
+        |FROM q JOIN wf ON wf.j = q.i GROUP BY 1""".stripMargin
+  }
 
   private val sq8Sql: String =
     """WITH q AS (
@@ -1048,6 +1098,21 @@ object PipelineEntry {
       |)
       |SELECT term, cast(tf AS bigint) AS tf, cast(df AS bigint) AS df
       |FROM a ORDER BY tf DESC, term LIMIT 50""".stripMargin
+
+  /** Zipf bucket census — `length(bin(tf))` ≡ Spark
+   * `length(conv(tf,10,2))` (minimal-width bit length on BIGINT). */
+  private val zipfSql: String =
+    """WITH t AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+      |), a AS (
+      |  SELECT term, count(*) AS tf FROM t GROUP BY 1
+      |)
+      |SELECT cast(length(bin(tf)) AS bigint) AS bucket,
+      |       cast(count(*) AS bigint) AS n_types,
+      |       cast(sum(tf) AS bigint) AS n_tokens,
+      |       cast(min(tf) AS bigint) AS min_tf,
+      |       cast(max(tf) AS bigint) AS max_tf
+      |FROM a GROUP BY 1""".stripMargin
 
   private val tfidfSql: String =
     """WITH t AS (
@@ -1811,6 +1876,7 @@ object PipelineEntry {
     "q_mojibake" -> mojibakeSql,
     "q_emb_norms" -> embNormsSql,
     "q_sq8" -> sq8Sql,
+    "q_pca" -> pcaSql,
     "q_decontam" -> decontamSql,
     "q_sample" -> sampleSql,
     "q_mix_temp" -> mixTempSql,
@@ -1830,6 +1896,13 @@ object PipelineEntry {
     "q_winnow" -> winnowSql,
     "q_repetition" -> repetitionSql,
     "q_vocab" -> vocabSql,
+    "q_zipf" -> zipfSql,
+    "q_kanon" ->
+      """SELECT source, lang,
+        |       cast(length(bin(n_chars)) AS bigint) AS len_bucket,
+        |       cast(count(*) AS bigint) AS n_docs,
+        |       cast(CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS bigint) AS anon_ok
+        |FROM documents GROUP BY 1, 2, 3""".stripMargin,
     "q_quantiles" -> quantilesSql,
     "q_quantiles_src" -> quantilesSrcSql,
     "q_tfidf" -> tfidfSql,

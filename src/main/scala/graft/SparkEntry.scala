@@ -271,6 +271,22 @@ object SparkEntry {
       Hits.run(g, iterations = 4).scores.join(g.vertices, "id")
         .select(col("key"), col("auth"), col("hub"))
     }),
+    // SALSA authorities/hubs — HITS's degree-normalized sibling;
+    // integer floor-division walk replayed exactly by the oracle
+    "q_salsa" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = false)
+      Salsa.run(g, iterations = 4).scores.join(g.vertices, "id")
+        .select(col("key"), col("auth"), col("hub"))
+    }),
+    // linear-threshold influence cascade from the 4 busiest hubs on
+    // the directed graph: md5-derived integer thresholds, monotone
+    // frontier rounds — (key, activation round)
+    "q_cascade" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = false)
+      Cascade.run(g, rootIds(g, 4), maxRounds = 8)
+        .join(g.vertices, "id")
+        .select(col("key"), col("act_round"))
+    }),
     // 2-core of the symmetric graph (iterative peeling; chains braided
     // by shared tools survive, pure linear conversations peel away)
     "q_kcore" -> ((s, dir) => {
@@ -312,6 +328,18 @@ object SparkEntry {
       Betweenness.run(g, rootId(g)).bc.join(g.vertices, "id")
         .select(col("key"), col("sigma").cast("long").as("sigma"),
           round(col("bc") * 1000).cast("long").as("bc_e3"))
+    }),
+    // Edge betweenness from the same root (Girvan-Newman scoring):
+    // pure composition of the vertex Brandes pass + BFS levels + one
+    // co-partitioned edge join — no new frontier machinery
+    "q_ebc" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      val sk = g.vertices.select(col("id").as("src"), col("key").as("src_key"))
+      val dk = g.vertices.select(col("id").as("dst"), col("key").as("dst_key"))
+      EdgeBetweenness.run(g, rootId(g))
+        .join(sk, "src").join(dk, "dst")
+        .select(col("src_key"), col("dst_key"),
+          round(col("ebc") * 1000).cast("long").as("ebc_e3"))
     }),
     // Multi-source BFS: the 4 busiest hubs searched in ONE frontier
     // loop (K landmarks at O(diameter) total jobs — the batched form
@@ -644,6 +672,18 @@ object SparkEntry {
     // degree-assortativity sufficient statistics (exact integer sums)
     "q_assort" -> ((s, dir) =>
       DegreeStats.assortativity(Graphs.get(s, dir, symmetric = true))),
+    // friendship-paradox readout: mean degree vs size-biased mean
+    // neighbor degree (exact integer sums + floor-scaled means)
+    "q_friendship" -> ((s, dir) =>
+      DegreeStats.friendshipParadox(Graphs.get(s, dir, symmetric = true))),
+    // GraphSAGE mean-pool layer (no learned weights): per (vertex,
+    // dim) own feature + floored neighbor mean, long format so one
+    // edge join serves all dims
+    "q_sage" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      Sage.meanPoolLayer(g).join(g.vertices, "id")
+        .select(col("key"), col("dim"), col("own"), col("nbr_mean"))
+    }),
     // deterministic maximal matching (md5-priority parallel greedy)
     "q_matching" -> ((s, dir) =>
       Matching.run(Graphs.get(s, dir, symmetric = true)).matching),
@@ -1215,6 +1255,59 @@ object SparkEntry {
       """
         |SELECT a4.key AS key, cast(a4.v AS bigint) AS auth, cast(h4.v AS bigint) AS hub
         |FROM a4 JOIN h4 ON h4.key = a4.key""".stripMargin
+  }
+
+  /** SALSA, 4 unrolled iterations — per-edge BIGINT floor division
+   * (DuckDB `//` ≡ Spark `div` on nonnegative longs), exact replay of
+   * algos.Salsa. */
+  private val salsaSql: String = {
+    val iter = (i: Int) =>
+      s""", a$i AS (
+         |  SELECT v.key, coalesce(s.s, 0) AS v FROM v LEFT JOIN (
+         |    SELECT e.dst_key AS key, sum(h${i - 1}.v // od.o) AS s
+         |    FROM e JOIN h${i - 1} ON h${i - 1}.key = e.src_key
+         |           JOIN od ON od.key = e.src_key GROUP BY 1) s ON s.key = v.key
+         |), h$i AS (
+         |  SELECT v.key, coalesce(s.s, 0) AS v FROM v LEFT JOIN (
+         |    SELECT e.src_key AS key, sum(a$i.v // ind.i) AS s
+         |    FROM e JOIN a$i ON a$i.key = e.dst_key
+         |           JOIN ind ON ind.key = e.dst_key GROUP BY 1) s ON s.key = v.key
+         |)""".stripMargin
+    prefix +
+      """, od AS MATERIALIZED (SELECT src_key AS key, count(*) AS o FROM e GROUP BY 1)
+        |, ind AS MATERIALIZED (SELECT dst_key AS key, count(*) AS i FROM e GROUP BY 1)
+        |, h0 AS (SELECT key, cast(1000000000000 AS bigint) AS v FROM v)""".stripMargin +
+      (1 to 4).map(iter).mkString +
+      """
+        |SELECT a4.key AS key, cast(a4.v AS bigint) AS auth, cast(h4.v AS bigint) AS hub
+        |FROM a4 JOIN h4 ON h4.key = a4.key""".stripMargin
+  }
+
+  /** Linear-threshold cascade, 8 unrolled monotone rounds from the
+   * max-out-degree directed root; md5-derived thresholds evaluate
+   * identically in both engines (algos.Cascade). */
+  private val cascadeSql: String = {
+    val round = (i: Int) =>
+      s""", a$i AS MATERIALIZED (
+         |  SELECT key, r FROM a${i - 1}
+         |  UNION ALL
+         |  SELECT th.key, $i AS r FROM th
+         |  JOIN (SELECT e.dst_key AS key, count(*) AS c
+         |        FROM e JOIN a${i - 1} p ON p.key = e.src_key GROUP BY 1) c
+         |    ON c.key = th.key
+         |  WHERE c.c >= th.th AND th.key NOT IN (SELECT key FROM a${i - 1})
+         |)""".stripMargin
+    prefix +
+      """, th AS MATERIALIZED (
+        |  SELECT dst_key AS key,
+        |         1 + (('0x' || substr(md5('lt|' || dst_key), 1, 10))::BIGINT % count(*)) AS th
+        |  FROM e GROUP BY dst_key
+        |), rtd AS MATERIALIZED (
+        |  SELECT src_key AS rkey FROM e GROUP BY src_key ORDER BY count(*) DESC, src_key LIMIT 4
+        |), a0 AS (SELECT rkey AS key, 0 AS r FROM rtd)""".stripMargin +
+      (1 to 8).map(round).mkString +
+      """
+        |SELECT key, cast(r AS int) AS act_round FROM a8""".stripMargin
   }
 
   /** PageRank to 1e-6 convergence (reference delta semantics,
@@ -2160,7 +2253,10 @@ object SparkEntry {
    * state keeps expansion junk-free, so it terminates naturally;
    * backward = per-level recursion over the shortest-path DAG
    * computing dep(v) = 1/σ(v) + Σ dep(children); bc = dep·σ − 1. */
-  private val bcSql: String = "WITH RECURSIVE " + prefixBody + symBody +
+  /** Shared Brandes CTE chain (forward σ levels, shortest-path DAG,
+   * backward dependency recursion) — the body of [[bcSql]], reused by
+   * the edge-betweenness oracle. */
+  private val bcCtes: String = "WITH RECURSIVE " + prefixBody + symBody +
     """, fw(key, lvl, sigma) AS (
       |  SELECT rkey, 0, cast(1.0 AS double) FROM rt
       |  UNION ALL
@@ -2194,10 +2290,22 @@ object SparkEntry {
       |    GROUP BY 1
       |  ) ch ON ch.key = s.key
       |  WHERE s.lvl = (SELECT min(d2.lvl) FROM dp d2) - 1 AND (SELECT min(d3.lvl) FROM dp d3) > 0
-      |)
+      |)""".stripMargin
+
+  private val bcSql: String = bcCtes +
+    """
       |SELECT sg.key AS key, cast(sg.sigma AS bigint) AS sigma,
       |       cast(round((dp.dep * sg.sigma - 1.0)*1000) AS bigint) AS bc_e3
       |FROM sg JOIN dp ON dp.key = sg.key""".stripMargin
+
+  /** Edge betweenness over the shortest-path DAG: per-edge credit
+   * σ(src) · dep(dst) — algos.EdgeBetweenness, same rounding as bc. */
+  private val ebcSql: String = bcCtes +
+    """
+      |SELECT dag.src_key AS src_key, dag.dst_key AS dst_key,
+      |       cast(round(a.sigma * dp.dep * 1000) AS bigint) AS ebc_e3
+      |FROM dag JOIN sg a ON a.key = dag.src_key
+      |         JOIN dp ON dp.key = dag.dst_key""".stripMargin
 
   /** Voronoi assignment replay: per reached key, the (min level, min
    * root) seed over the msbfs recursion — the same argmin the engine's
@@ -3359,6 +3467,31 @@ object SparkEntry {
         |       cast(sum(a.d * a.d) AS bigint) AS sx2
         |FROM esw e JOIN od a ON a.src_key = e.src_key
         |           JOIN od b ON b.src_key = e.dst_key""".stripMargin),
+    "q_sage" -> ("WITH " + prefixBody + symBody +
+      """
+        |, dg AS (SELECT src_key AS key, count(*) AS d FROM esw GROUP BY 1)
+        |, ft AS (
+        |  SELECT key, 0 AS dim, d AS f FROM dg
+        |  UNION ALL SELECT key, 1, CASE WHEN key LIKE 'T#%' THEN 1 ELSE 0 END FROM dg
+        |  UNION ALL SELECT key, 2, length(bin(d)) FROM dg
+        |), ns AS (
+        |  SELECT esw.src_key AS key, ft.dim, sum(ft.f) AS s
+        |  FROM esw JOIN ft ON ft.key = esw.dst_key GROUP BY 1, 2
+        |)
+        |SELECT ft.key AS key, cast(ft.dim AS int) AS dim,
+        |       cast(ft.f AS bigint) AS own,
+        |       cast(coalesce(ns.s, 0) // dg.d AS bigint) AS nbr_mean
+        |FROM ft JOIN dg ON dg.key = ft.key
+        |        LEFT JOIN ns ON ns.key = ft.key AND ns.dim = ft.dim""".stripMargin),
+    "q_friendship" -> ("WITH " + prefixBody + symBody +
+      """
+        |, dg AS (SELECT src_key, count(*) AS d FROM esw GROUP BY 1)
+        |, s AS (SELECT count(*) AS n, sum(d) AS sd, sum(d*d) AS sd2 FROM dg)
+        |SELECT cast(n AS bigint) AS n, cast(sd AS bigint) AS sd,
+        |       cast(sd2 AS bigint) AS sd2,
+        |       cast(sd * 10000 // n AS bigint) AS mean_deg_e4,
+        |       cast(sd2 * 10000 // sd AS bigint) AS mean_nbr_deg_e4
+        |FROM s""".stripMargin),
     "q_linkpred" -> linkpredSql,
     "q_edge_jaccard" -> edgeJaccardSql,
     "q_backbone" -> backboneSql,
@@ -3370,6 +3503,7 @@ object SparkEntry {
     "q_sssp" -> ssspSql,
     "q_sssp_delta" -> ssspSql,
     "q_bc" -> bcSql,
+    "q_ebc" -> ebcSql,
     "q_cc_fast" -> ccSql,
     "q_err_tools" -> (prefix +
       """
@@ -3517,6 +3651,8 @@ object SparkEntry {
     "q_pagerank" -> pagerankSql,
     "q_pr_deg_corr" -> prDegCorrSql,
     "q_hits" -> hitsSql,
+    "q_salsa" -> salsaSql,
+    "q_cascade" -> cascadeSql,
     "q_kcore" -> kcoreSql,
     "q_coreness" -> corenessSql,
     "q_truss" -> trussSql,

@@ -120,6 +120,33 @@ object DegreeStats {
         .as("phi_e4"))
   }
 
+  /** Friendship-paradox readout on the symmetric graph: "your
+   * neighbors have more neighbors than you". Exact integer sufficient
+   * statistics — n (vertices), Σd, Σd² — plus the two floor-scaled
+   * means the statistic compares: mean degree ⌊10⁴·Σd/n⌋ and mean
+   * NEIGHBOR degree ⌊10⁴·Σd²/Σd⌋ (a uniformly random edge endpoint
+   * has degree d with probability d/Σd, so its expected degree is
+   * Σd²/Σd ≥ Σd/n by Cauchy-Schwarz — equality iff regular). The gap
+   * is the size-biased sampling effect that makes hub-first crawling
+   * and salting-threshold planning work on power-law graphs.
+   * One aggregate over the degree table — a single reduce at any
+   * scale. */
+  def friendshipParadox(graph: LinkGraph): DataFrame = {
+    require(graph.symmetric, "friendship paradox reads undirected degrees")
+    graph.degrees
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("out_degree")).as("sd"),
+        sum(col("out_degree") * col("out_degree")).as("sd2"))
+      .select(col("n"), col("sd"), col("sd2"),
+        // decimal(38,0): Σd²·10⁴ overflows a long once hub degrees
+        // pass ~10^7 (same guard as Cooccur's lift numerator)
+        expr("cast(cast(sd AS decimal(38,0)) * 10000 div n AS bigint)")
+          .as("mean_deg_e4"),
+        expr("cast(cast(sd2 AS decimal(38,0)) * 10000 div sd AS bigint)")
+          .as("mean_nbr_deg_e4"))
+  }
+
   /** Component-size histogram over CC labels (id, lbl) — same exact
    * power-of-two bucketing; the giant-component census that drives
    * partitioner and sampler decisions on web graphs. ≤ 64 output rows

@@ -94,4 +94,26 @@ object Profile {
       .withColumn("nonprint_e4",
         when(col("n_chars") === 0L, 0L)
           .otherwise(expr("(n_nonprint * 10000L) div n_chars")))
+
+  /**
+   * k-anonymity census over the release quasi-identifiers (source,
+   * lang, length bucket): a privacy screen run before publishing a
+   * corpus slice — any quasi-identifier combination shared by fewer
+   * than k documents re-identifies its members, so those groups are
+   * flagged for suppression/generalization. The length bucket is the
+   * power-of-two bit-length class (exact integer), mirroring the
+   * generalization a release pipeline actually applies to a
+   * continuous column.
+   *
+   * Output one row per equivalence class with its size and the
+   * anonymity flag — exact integers end to end. Scale shape: one
+   * partial-aggregated groupBy over low-cardinality keys.
+   */
+  def kAnonymity(docs: DataFrame, k: Long = 5): DataFrame =
+    docs.select(col("source"), col("lang"),
+      length(conv(col("n_chars"), 10, 2)).cast("long").as("len_bucket"))
+      .groupBy(col("source"), col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("anon_ok",
+        when(col("n_docs") >= k, 1L).otherwise(0L))
 }

@@ -172,6 +172,30 @@ object Vocab {
       .where(col("cos2_e6") >= minCos2E6)
   }
 
+  /**
+   * Zipf frequency-of-frequencies census: word types bucketed by the
+   * BIT LENGTH of their corpus frequency (bucket b holds types with
+   * tf ∈ [2^(b-1), 2^b)), with per-bucket type and token totals — the
+   * rank-frequency diagnostic behind tokenizer-vocab sizing and the
+   * Heaps-curve twin ([[TextStats.heapsCurve]] grows the vocabulary
+   * over time; this is its frequency-marginal at rest). A corpus
+   * whose log-log histogram is straight with slope ≈ −1 between
+   * adjacent buckets is Zipfian; a bulge in low buckets flags
+   * boilerplate/near-dup inflation of the singleton tail.
+   *
+   * Exact integers only (counts and bit lengths: `length(conv(n,10,
+   * 2))` ≡ DuckDB `length(bin(n))`). Scale shape: groupBy(term) with
+   * map-side combine → |vocab| rows → a ≤64-row bucket aggregate.
+   */
+  def zipfHistogram(docs: DataFrame): DataFrame =
+    terms(docs).groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", length(conv(col("tf"), 10, 2)).cast("long"))
+      .groupBy(col("bucket")).agg(
+        count(lit(1)).as("n_types"),
+        sum(col("tf")).as("n_tokens"),
+        min(col("tf")).as("min_tf"),
+        max(col("tf")).as("max_tf"))
+
   def distinctiveTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val tf = terms(docs).groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))

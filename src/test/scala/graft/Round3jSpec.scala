@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-3j operators: SALSA, linear-threshold cascade, edge
+ * betweenness, Zipf census, friendship paradox. */
+class Round3jSpec extends SparkSpec {
+
+  // ---------- edge betweenness ----------
+
+  test("edge betweenness: path graph carries downstream subtree sizes") {
+    val g = graphOf(Seq((0, 1), (1, 2), (2, 3)), symmetric = true)
+    val root = g.vertices.where(col("key") === keyOf(0))
+      .select(col("id")).first().getLong(0)
+    val idx = indexOf(g)
+    val got = algos.EdgeBetweenness.run(g, root).collect()
+      .map(r => (idx(r.getLong(0)), idx(r.getLong(1))) -> r.getDouble(2)).toMap
+    assert(got == Map((0, 1) -> 3.0, (1, 2) -> 2.0, (2, 3) -> 1.0))
+    g.unpersist()
+  }
+
+  test("edge betweenness: diamond splits flow across the two branches") {
+    val g = graphOf(Seq((0, 1), (0, 2), (1, 3), (2, 3)), symmetric = true)
+    val root = g.vertices.where(col("key") === keyOf(0))
+      .select(col("id")).first().getLong(0)
+    val idx = indexOf(g)
+    val got = algos.EdgeBetweenness.run(g, root).collect()
+      .map(r => (idx(r.getLong(0)), idx(r.getLong(1))) -> r.getDouble(2)).toMap
+    assert(got == Map(
+      (0, 1) -> 1.5, (0, 2) -> 1.5, (1, 3) -> 0.5, (2, 3) -> 0.5))
+    g.unpersist()
+  }
+
+  // ---------- Zipf census ----------
+
+  test("zipfHistogram: bit-length buckets with exact type/token totals") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val got = pipeline.Vocab.zipfHistogram(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1L, 1L, 1L, 1L)), // c: tf=1
+      2L -> ((1L, 2L, 2L, 2L)), // b: tf=2
+      3L -> ((1L, 4L, 4L, 4L)))) // a: tf=4
+  }
+
+  // ---------- friendship paradox ----------
+
+  test("friendshipParadox: star graph separates the two means") {
+    val g = graphOf(Seq((0, 1), (0, 2), (0, 3)), symmetric = true)
+    val r = algos.DegreeStats.friendshipParadox(g).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 6L, 12L)))
+    assert(r.getLong(3) == 15000L) // mean degree 1.5
+    assert(r.getLong(4) == 20000L) // mean neighbor degree 2.0
+    g.unpersist()
+  }
+
+  // ---------- SAGE mean-pool ----------
+
+  test("sage meanPoolLayer: path graph, floored neighbor means per dim") {
+    val g = graphOf(Seq((0, 1), (1, 2)), symmetric = true)
+    val idx = indexOf(g)
+    val got = algos.Sage.meanPoolLayer(g).collect()
+      .map(r => (idx(r.getLong(0)), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      // v0: deg 1, nbr = v1 (deg 2, bitlen 2)
+      (0, 0) -> ((1L, 2L)), (0, 1) -> ((0L, 0L)), (0, 2) -> ((1L, 2L)),
+      // v1: deg 2, nbrs v0+v2 (deg 1 each) → mean 1
+      (1, 0) -> ((2L, 1L)), (1, 1) -> ((0L, 0L)), (1, 2) -> ((2L, 1L)),
+      (2, 0) -> ((1L, 2L)), (2, 1) -> ((0L, 0L)), (2, 2) -> ((1L, 2L))))
+    g.unpersist()
+  }
+
+  // ---------- k-anonymity ----------
+
+  test("kAnonymity: groups below k flagged") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "web", "en", 10L), (2L, "web", "en", 12L), (3L, "web", "en", 9L),
+      (4L, "web", "en", 15L), (5L, "web", "en", 8L),
+      (6L, "chat", "fr", 100L))
+      .toDF("doc_id", "source", "lang", "n_chars")
+    val got = pipeline.Profile.kAnonymity(docs, k = 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      ("web", "en", 4L) -> ((5L, 1L)), // 8..15 all bit-length 4
+      ("chat", "fr", 7L) -> ((1L, 0L))))
+  }
+
+  // ---------- PCA ----------
+
+  test("pca pc1: dominant-axis cloud projects onto that axis") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)), (3L, Seq(0.5f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = pipeline.Pca.pc1(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1000000000L, 2L -> -1000000000L, 3L -> 500000000L))
+  }
+
+  test("pca pc1: canonical sign flips a negative leading component") {
+    import spark.implicits._
+    // vectors along (1,-2): iteration converges to w=(-5e5,1e6),
+    // canonicalized to (5e5,-1e6)
+    val emb = Seq(
+      (1L, Seq(1.0f, -2.0f)), (2L, Seq(-1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val got = pipeline.Pca.pc1(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2500000000L, 2L -> -2500000000L))
+  }
+
+  // ---------- SALSA ----------
+
+  test("salsa: hand-replayed integer floor-division trajectory") {
+    // 0→1, 0→2, 1→2: out(0)=2, out(1)=1; in(1)=1, in(2)=2
+    val g = graphOf(Seq((0, 1), (0, 2), (1, 2)), symmetric = false)
+    val r = algos.Salsa.run(g, iterations = 4).scores
+    val auth = byIndex(g, r, "auth")
+    val hub = byIndex(g, r, "hub")
+    assert(auth == Map(
+      0 -> 0L, 1 -> 664062500000L, 2 -> 1335937500000L))
+    assert(hub == Map(
+      0 -> 1332031250000L, 1 -> 667968750000L, 2 -> 0L))
+    g.unpersist()
+  }
+
+  test("salsa: uniform-degree graph reaches the mass-conserving fixpoint") {
+    // 0→2, 1→2, 2→3: every divisor is the full degree, no floor loss
+    val g = graphOf(Seq((0, 2), (1, 2), (2, 3)), symmetric = false)
+    val r = algos.Salsa.run(g, iterations = 4).scores
+    val s = 1000000000000L
+    assert(byIndex(g, r, "auth") == Map(0 -> 0L, 1 -> 0L, 2 -> 2 * s, 3 -> s))
+    assert(byIndex(g, r, "hub") == Map(0 -> s, 1 -> s, 2 -> s, 3 -> 0L))
+    g.unpersist()
+  }
+
+  // ---------- linear-threshold cascade ----------
+
+  test("cascade: indegree-1 chain activates at BFS distance") {
+    // θ = 1 + (h mod 1) = 1 on every in-degree-1 vertex, hash-free
+    val g = graphOf(Seq((0, 1), (1, 2), (2, 3)), symmetric = false)
+    val idx = indexOf(g)
+    val seed = g.vertices.where(col("key") === keyOf(0))
+      .select(col("id")).first().getLong(0)
+    val act = algos.Cascade.run(g, Seq(seed), maxRounds = 8).collect()
+      .map(r => idx(r.getLong(0)) -> r.getInt(1)).toMap
+    assert(act == Map(0 -> 0, 1 -> 1, 2 -> 2, 3 -> 3))
+    g.unpersist()
+  }
+
+  test("cascade: matches a driver-side brute-force replay with real thresholds") {
+    // braided digraph with mixed in-degrees (1..3)
+    val pairs = Seq(
+      (0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 4), (2, 4), (0, 4),
+      (4, 5), (3, 5), (5, 6), (6, 7), (2, 7), (7, 8), (8, 9), (5, 9))
+    val g = graphOf(pairs, symmetric = false)
+    val idx = indexOf(g)
+    val seed = g.vertices.where(col("key") === keyOf(0))
+      .select(col("id")).first().getLong(0)
+    val got = algos.Cascade.run(g, Seq(seed), maxRounds = 8).collect()
+      .map(r => idx(r.getLong(0)) -> r.getInt(1)).toMap
+
+    // brute force: thresholds via the SAME Spark hash expression
+    val th = g.degrees.where(col("in_degree") >= 1).join(g.vertices, "id")
+      .select(col("id"),
+        (lit(1L) + expr(
+          "cast(conv(substring(md5(concat('lt|', key)), 1, 10), 16, 10) as bigint)")
+          % col("in_degree")).as("th"))
+      .collect().map(r => idx(r.getLong(0)) -> r.getLong(1)).toMap
+    var active = Map(0 -> 0)
+    var changed = true
+    var round = 0
+    while (changed && round < 8) {
+      round += 1
+      val cnt = pairs.filter(p => active.contains(p._1)).groupBy(_._2)
+        .map { case (v, es) => v -> es.size.toLong }
+      val fresh = cnt.collect {
+        case (v, c) if !active.contains(v) && th.get(v).exists(c >= _) => v
+      }
+      changed = fresh.nonEmpty
+      active = active ++ fresh.map(_ -> round)
+    }
+    assert(got == active)
+    g.unpersist()
+  }
+}
