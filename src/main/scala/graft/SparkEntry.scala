@@ -676,6 +676,19 @@ object SparkEntry {
     // neighbor degree (exact integer sums + floor-scaled means)
     "q_friendship" -> ((s, dir) =>
       DegreeStats.friendshipParadox(Graphs.get(s, dir, symmetric = true))),
+    // k_nn(k) degree-correlation curve: mean neighbor degree per
+    // degree class (the functional form behind q_assort's scalar)
+    "q_knn_curve" -> ((s, dir) =>
+      DegreeStats.knnCurve(Graphs.get(s, dir, symmetric = true))),
+    // ACL forward-push approximate PPR from the busiest hub: bulk
+    // integer pushes, residual-thresholded frontier — work O(1/ε),
+    // independent of graph size
+    "q_ppr_push" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      PprPush.run(g, rootId(g), rounds = 6).state
+        .join(g.vertices, "id")
+        .select(col("key"), col("p"), col("r"))
+    }),
     // GraphSAGE mean-pool layer (no learned weights): per (vertex,
     // dim) own feature + floored neighbor mean, long format so one
     // edge join serves all dims
@@ -1308,6 +1321,41 @@ object SparkEntry {
       (1 to 8).map(round).mkString +
       """
         |SELECT key, cast(r AS int) AS act_round FROM a8""".stripMargin
+  }
+
+  /** ACL forward-push PPR, 6 unrolled synchronized rounds — exact
+   * integer replay of algos.PprPush (scale 2^40, α = 1/4, threshold
+   * 2^20 per unit degree, floor leftovers held in place). */
+  private val pprPushSql: String = {
+    val round = (i: Int) =>
+      s""", a$i AS MATERIALIZED (
+         |  SELECT s.key, s.p, s.r, d.d,
+         |         s.p + s.r // 4 AS p2,
+         |         (s.r - s.r // 4) // d.d AS share,
+         |         (s.r - s.r // 4) - ((s.r - s.r // 4) // d.d) * d.d AS lft
+         |  FROM s${i - 1} s JOIN dg d ON d.key = s.key
+         |  WHERE s.r >= 1048576 * d.d
+         |), g$i AS MATERIALIZED (
+         |  SELECT esw.dst_key AS key, sum(a.share) AS m
+         |  FROM a$i a JOIN esw ON esw.src_key = a.key GROUP BY 1
+         |), s$i AS MATERIALIZED (
+         |  SELECT coalesce(b.key, g.key) AS key,
+         |         coalesce(CASE WHEN a.key IS NOT NULL THEN a.p2 ELSE b.p END, 0) AS p,
+         |         coalesce(CASE WHEN a.key IS NOT NULL THEN a.lft ELSE b.r END, 0)
+         |           + coalesce(g.m, 0) AS r
+         |  FROM s${i - 1} b
+         |  LEFT JOIN a$i a ON a.key = b.key
+         |  FULL JOIN g$i g ON g.key = b.key
+         |)""".stripMargin
+    "WITH " + prefixBody + symBody +
+      """
+        |, dg AS MATERIALIZED (SELECT src_key AS key, count(*) AS d FROM esw GROUP BY 1)
+        |, s0 AS MATERIALIZED (
+        |  SELECT rkey AS key, cast(0 AS bigint) AS p,
+        |         cast(1099511627776 AS bigint) AS r FROM rt)""".stripMargin +
+      (1 to 6).map(round).mkString +
+      """
+        |SELECT key, cast(p AS bigint) AS p, cast(r AS bigint) AS r FROM s6""".stripMargin
   }
 
   /** PageRank to 1e-6 convergence (reference delta semantics,
@@ -3653,6 +3701,16 @@ object SparkEntry {
     "q_hits" -> hitsSql,
     "q_salsa" -> salsaSql,
     "q_cascade" -> cascadeSql,
+    "q_ppr_push" -> pprPushSql,
+    "q_knn_curve" -> ("WITH " + prefixBody + symBody +
+      """
+        |, od AS (SELECT src_key, count(*) AS d FROM esw GROUP BY 1)
+        |SELECT a.d AS k, cast(count(*) AS bigint) AS n_edges,
+        |       cast(sum(b.d) AS bigint) AS s_nbr,
+        |       cast(sum(b.d) * 10000 // count(*) AS bigint) AS knn_e4
+        |FROM esw e JOIN od a ON a.src_key = e.src_key
+        |           JOIN od b ON b.src_key = e.dst_key
+        |GROUP BY 1""".stripMargin),
     "q_kcore" -> kcoreSql,
     "q_coreness" -> corenessSql,
     "q_truss" -> trussSql,

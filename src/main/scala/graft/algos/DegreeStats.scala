@@ -120,6 +120,29 @@ object DegreeStats {
         .as("phi_e4"))
   }
 
+  /** k_nn(k) degree-correlation curve (Pastor-Satorras et al.): the
+   * mean neighbor degree of degree-k vertices, per degree class — the
+   * functional form behind the scalar assortativity coefficient
+   * ([[assortativity]]): decreasing k_nn(k) = disassortative
+   * hub-periphery wiring (the transcript graph's tool hubs), flat =
+   * uncorrelated. Exact integer sufficient statistics per class:
+   * n_edges = Σ_{deg(v)=k} deg(v) = k·n_k and s_nbr = Σ over those
+   * vertices' edges of deg(neighbor); the floor-scaled mean
+   * ⌊10⁴·s_nbr/n_edges⌋ rides along. One co-clustered degree join
+   * each way + a ≤max-degree-row aggregate. */
+  def knnCurve(graph: LinkGraph): DataFrame = {
+    require(graph.symmetric, "k_nn(k) is defined on the undirected graph")
+    val deg = graph.degrees.select(col("id"), col("out_degree").as("d"))
+    graph.edgesBySrc
+      .join(deg.withColumnRenamed("id", "src").withColumnRenamed("d", "du"), "src")
+      .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("d", "dv"), "dst")
+      .groupBy(col("du").as("k"))
+      .agg(count(lit(1)).as("n_edges"), sum(col("dv")).as("s_nbr"))
+      .select(col("k"), col("n_edges"), col("s_nbr"),
+        expr("cast(cast(s_nbr AS decimal(38,0)) * 10000 div n_edges AS bigint)")
+          .as("knn_e4"))
+  }
+
   /** Friendship-paradox readout on the symmetric graph: "your
    * neighbors have more neighbors than you". Exact integer sufficient
    * statistics — n (vertices), Σd, Σd² — plus the two floor-scaled

@@ -90,6 +90,46 @@ class Round3jSpec extends SparkSpec {
       ("chat", "fr", 7L) -> ((1L, 0L))))
   }
 
+  // ---------- ACL forward push ----------
+
+  test("pprPush: two-vertex path, hand-replayed integer pushes") {
+    val g = graphOf(Seq((0, 1)), symmetric = true)
+    val idx = indexOf(g)
+    val seed = g.vertices.where(col("key") === keyOf(0))
+      .select(col("id")).first().getLong(0)
+    val got = algos.PprPush.run(g, seed, rounds = 2).state.collect()
+      .map(r => idx(r.getLong(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // round 1: seed pushes p += 2^40/4, full remainder to v1;
+    // round 2: v1 pushes back
+    assert(got == Map(
+      0 -> ((274877906944L, 618475290624L)),
+      1 -> ((206158430208L, 0L))))
+    g.unpersist()
+  }
+
+  test("pprPush: mass conservation p + r = scale at every horizon") {
+    val g = graphOf(
+      Seq((0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (1, 4)), symmetric = true)
+    val seed = g.vertices.orderBy(col("key")).select(col("id")).first().getLong(0)
+    val st = algos.PprPush.run(g, seed, rounds = 6).state
+      .agg(sum(col("p")), sum(col("r"))).collect()(0)
+    assert(st.getLong(0) + st.getLong(1) == algos.PprPush.scale)
+    g.unpersist()
+  }
+
+  // ---------- k_nn(k) curve ----------
+
+  test("knnCurve: star graph, exact per-class sums") {
+    val g = graphOf(Seq((0, 1), (0, 2), (0, 3)), symmetric = true)
+    val got = algos.DegreeStats.knnCurve(g).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      3L -> ((3L, 3L, 10000L)), // hub's 3 edges all point at degree-1 leaves
+      1L -> ((3L, 9L, 30000L)))) // each leaf's single edge points at the hub
+    g.unpersist()
+  }
+
   // ---------- PCA ----------
 
   test("pca pc1: dominant-axis cloud projects onto that axis") {
