@@ -113,6 +113,8 @@ object PipelineEntry {
     // k-anonymity census over (source, lang, length bucket) — the
     // privacy screen before releasing a corpus slice
     "q_kanon" -> ((s, dir) => Profile.kAnonymity(Dedup.docs(s, dir))),
+    // code-vs-prose router: code-surface character density per doc
+    "q_codefrac" -> ((s, dir) => TextStats.codeLikeness(Dedup.docs(s, dir))),
     // exact corpus length percentiles via the value-histogram trick
     // (one scan, no global sort — see pipeline.Quantiles)
     "q_quantiles" -> ((s, dir) => Quantiles.tokenCountQuantiles(Dedup.docs(s, dir))),
@@ -1897,6 +1899,21 @@ object PipelineEntry {
     "q_repetition" -> repetitionSql,
     "q_vocab" -> vocabSql,
     "q_zipf" -> zipfSql,
+    "q_codefrac" -> {
+      val nSym = ";{}()=<>[]".map(c =>
+        s"(length(text) - length(replace(text, '$c', '')))").mkString(" + ")
+      s"""WITH c AS (
+         |  SELECT doc_id, cast(length(text) AS bigint) AS n_chars,
+         |         cast($nSym AS bigint) AS n_sym
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_chars, n_sym,
+         |       CASE WHEN n_chars = 0 THEN 0
+         |            ELSE (n_sym * 10000) // n_chars END AS codey_e4,
+         |       cast(CASE WHEN n_chars > 0 AND (n_sym * 10000) // n_chars >= 500
+         |                 THEN 1 ELSE 0 END AS bigint) AS is_code
+         |FROM c""".stripMargin
+    },
     "q_kanon" ->
       """SELECT source, lang,
         |       cast(length(bin(n_chars)) AS bigint) AS len_bucket,

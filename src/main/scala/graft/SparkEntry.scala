@@ -676,6 +676,13 @@ object SparkEntry {
     // neighbor degree (exact integer sums + floor-scaled means)
     "q_friendship" -> ((s, dir) =>
       DegreeStats.friendshipParadox(Graphs.get(s, dir, symmetric = true))),
+    // deterministic parallel MAX-CUT local search: hash 2-coloring +
+    // alternating-parity gain flips (monotone cut improvement)
+    "q_maxcut" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      MaxCut.run(g, rounds = 4).join(g.vertices, "id")
+        .select(col("key"), col("side"))
+    }),
     // k_nn(k) degree-correlation curve: mean neighbor degree per
     // degree class (the functional form behind q_assort's scalar)
     "q_knn_curve" -> ((s, dir) =>
@@ -1356,6 +1363,44 @@ object SparkEntry {
       (1 to 6).map(round).mkString +
       """
         |SELECT key, cast(p AS bigint) AS p, cast(r AS bigint) AS r FROM s6""".stripMargin
+  }
+
+  /** MAX-CUT local search, 4 unrolled independent-flip rounds —
+   * exact replay of algos.MaxCut (md5 side + fixed-width priority
+   * string; a positive-gain candidate flips iff its π beats every
+   * candidate neighbor's). */
+  private val maxcutSql: String = {
+    val round = (r: Int) =>
+      s""", m$r AS MATERIALIZED (
+         |  SELECT esw.src_key AS key, sum(c.side) AS s1
+         |  FROM esw JOIN c${r - 1} c ON c.key = esw.dst_key GROUP BY 1
+         |), cd$r AS MATERIALIZED (
+         |  SELECT c.key, substr(md5('mx|' || c.key), 1, 10) || '|' || c.key AS pi
+         |  FROM c${r - 1} c JOIN dg d ON d.key = c.key
+         |  LEFT JOIN m$r m ON m.key = c.key
+         |  WHERE (CASE WHEN c.side = 1 THEN coalesce(m.s1, 0)
+         |              ELSE d.d - coalesce(m.s1, 0) END) * 2 > d.d
+         |), nm$r AS MATERIALIZED (
+         |  SELECT esw.src_key AS key, min(cd.pi) AS mpi
+         |  FROM cd$r cd JOIN esw ON esw.dst_key = cd.key GROUP BY 1
+         |), c$r AS MATERIALIZED (
+         |  SELECT c.key,
+         |         CASE WHEN cd.key IS NOT NULL AND (nm.mpi IS NULL OR cd.pi < nm.mpi)
+         |              THEN 1 - c.side ELSE c.side END AS side
+         |  FROM c${r - 1} c
+         |  LEFT JOIN cd$r cd ON cd.key = c.key
+         |  LEFT JOIN nm$r nm ON nm.key = c.key
+         |)""".stripMargin
+    "WITH " + prefixBody + symBody +
+      """
+        |, dg AS MATERIALIZED (SELECT src_key AS key, count(*) AS d FROM esw GROUP BY 1)
+        |, c0 AS MATERIALIZED (
+        |  SELECT key,
+        |         ('0x' || substr(md5('mc|' || key), 1, 10))::BIGINT % 2 AS side
+        |  FROM v)""".stripMargin +
+      (1 to 4).map(round).mkString +
+      """
+        |SELECT key, cast(side AS bigint) AS side FROM c4""".stripMargin
   }
 
   /** PageRank to 1e-6 convergence (reference delta semantics,
@@ -3702,6 +3747,7 @@ object SparkEntry {
     "q_salsa" -> salsaSql,
     "q_cascade" -> cascadeSql,
     "q_ppr_push" -> pprPushSql,
+    "q_maxcut" -> maxcutSql,
     "q_knn_curve" -> ("WITH " + prefixBody + symBody +
       """
         |, od AS (SELECT src_key, count(*) AS d FROM esw GROUP BY 1)

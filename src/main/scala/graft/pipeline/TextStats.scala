@@ -487,4 +487,29 @@ object TextStats {
         lit(206835L) - expr("(1015L * words) div sentences")
           - expr("(84600L * syllables) div words"))
   }
+
+  /**
+   * Code-likeness screen: the code-vs-prose router every pretraining
+   * mix runs before assigning documents to the code or text bucket.
+   * Signal = density of code-surface characters (`;{}()=<>[]`) —
+   * counted by per-character length differencing (exact, no regex
+   * dialect surface), scaled to ⌊10⁴·n_sym/n_chars⌋. A prose doc
+   * sits ≪ 300; real code ≫ 800. Pure column expressions, one pass.
+   *
+   * @return (doc_id, n_chars, n_sym, codey_e4, is_code)
+   */
+  def codeLikeness(docs: DataFrame, threshold: Long = 500): DataFrame = {
+    val syms = ";{}()=<>[]".map(c => s"$c")
+    val nSym = syms.map(s =>
+      length(col("text")) - length(replace(col("text"), lit(s), lit(""))))
+      .reduce(_ + _).cast("long")
+    docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      nSym.as("n_sym"))
+      .withColumn("codey_e4",
+        when(col("n_chars") === 0L, 0L)
+          .otherwise(expr("(n_sym * 10000L) div n_chars")))
+      .withColumn("is_code",
+        when(col("codey_e4") >= threshold, 1L).otherwise(0L))
+  }
 }

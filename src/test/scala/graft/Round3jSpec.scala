@@ -90,6 +90,56 @@ class Round3jSpec extends SparkSpec {
       ("chat", "fr", 7L) -> ((1L, 0L))))
   }
 
+  // ---------- max-cut local search ----------
+
+  test("maxcut: matches a driver-side replay and never decreases the cut") {
+    val pairs = Seq(
+      (0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0), (1, 4), (2, 5))
+    val g = graphOf(pairs, symmetric = true)
+    val idx = indexOf(g)
+    val got = algos.MaxCut.run(g, rounds = 4).collect()
+      .map(r => idx(r.getLong(0)) -> r.getLong(1)).toMap
+
+    // replay with the SAME Spark hash/priority expressions
+    val init = g.vertices.select(col("id"),
+      (expr("cast(conv(substring(md5(concat('mc|', key)), 1, 10), 16, 10) as bigint)")
+        % 2).cast("long").as("side"),
+      concat(substring(md5(concat(lit("mx|"), col("key"))), 1, 10),
+        lit("|"), col("key")).as("pi"))
+      .collect().map(r => idx(r.getLong(0)) -> ((r.getLong(1), r.getString(2)))).toMap
+    val und = pairs.flatMap(p => Seq(p, p.swap))
+    def nbrs(v: Int) = und.filter(_._1 == v).map(_._2)
+    var side = init.map { case (v, (s, _)) => v -> s }
+    def cut(s: Map[Int, Long]) = pairs.count(p => s(p._1) != s(p._2))
+    var lastCut = cut(side)
+    for (r <- 1 to 4) {
+      val cand = side.keySet.filter { v =>
+        val n = nbrs(v); n.count(side(_) == side(v)) * 2 > n.size
+      }
+      val flips = cand.filter(v =>
+        nbrs(v).filter(cand).forall(u => init(v)._2 < init(u)._2))
+      side = side.map { case (v, s) => v -> (if (flips(v)) 1L - s else s) }
+      assert(cut(side) >= lastCut, s"cut decreased in round $r")
+      lastCut = cut(side)
+    }
+    assert(got == side)
+    g.unpersist()
+  }
+
+  // ---------- code likeness ----------
+
+  test("codeLikeness: symbol density separates code from prose") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "for (i = 0; i < n; i++) { x[i] = y; }"),
+      (2L, "plain prose with no symbols at all"))
+      .toDF("doc_id", "text")
+    val got = pipeline.TextStats.codeLikeness(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(got(1L)._2 == 1L) // flagged as code
+    assert(got(2L) == ((0L, 0L))) // zero symbols, prose
+  }
+
   // ---------- ACL forward push ----------
 
   test("pprPush: two-vertex path, hand-replayed integer pushes") {
