@@ -71,9 +71,20 @@ object Pca {
     val spark = emb.sparkSession
     import spark.implicits._
     val q = quantized(emb).persist()
-    val covDf = q.as("a").join(q.as("b"), "vec_id")
-      .groupBy(col("a.i").as("j"), col("b.i").as("k"))
-      .agg(sum(col("a.xq") * col("b.xq")).as("c"))
+    // covariance WITHOUT a self-join: quantize the array once, chain
+    // two generators so each row fans out to its d² products locally,
+    // and let the single groupBy's map-side combine collapse every
+    // partition to ≤ d² rows before the only shuffle. A vec_id
+    // self-join would shuffle the exploded table twice for the same
+    // arithmetic.
+    val qarr = emb.select(
+      expr("transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS long))")
+        .as("qa"))
+    val covDf = qarr
+      .select(posexplode(col("qa")).as(Seq("j0", "xj")), col("qa"))
+      .select(col("j0"), col("xj"), posexplode(col("qa")).as(Seq("k0", "xk")))
+      .groupBy((col("j0") + 1).as("j"), (col("k0") + 1).as("k"))
+      .agg(sum(col("xj") * col("xk")).as("c"))
     val cov = covDf.collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> BigInt(r.getLong(2))).toMap
     val dims = cov.keys.map(_._1).toSeq.distinct.sorted
