@@ -546,6 +546,15 @@ object SparkEntry {
         .join(g.vertices, "id")
         .select(col("root_key"), col("step").cast("long").as("step"), col("key"))
     }),
+    // node2vec second-order biased walks (return/neighbor/far bias
+    // 2:4:1 ≙ p=2, q=4) — same exact cumulative-slot replay contract
+    "q_walks_n2v" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      RandomWalk.runNode2vec(g, rootIds(g, 4), steps = 8).walks
+        .join(g.vertices.select(col("id").as("root"), col("key").as("root_key")), "root")
+        .join(g.vertices, "id")
+        .select(col("root_key"), col("step").cast("long").as("step"), col("key"))
+    }),
     // Degree histogram in power-of-two buckets (exact bit-length
     // bucketing, no float log)
     "q_deg_hist" -> ((s, dir) =>
@@ -1567,6 +1576,43 @@ object SparkEntry {
         |  SELECT src_key AS rkey FROM esw GROUP BY src_key ORDER BY count(*) DESC, src_key LIMIT 4
         |), w0 AS (
         |  SELECT rkey AS root, rkey AS key FROM rt4
+        |)""".stripMargin +
+      (1 to 8).map(step).mkString + "\n" + union
+  }
+
+  /** node2vec walk replay — walksWSql plus the prev column and the
+   * 2:4:1 second-order bias CASE (same order as the engine: return
+   * first, then prev-adjacency, else far). */
+  private val walksN2vSql: String = {
+    val step = (t: Int) =>
+      s""", q$t AS (
+         |  SELECT w.root, w.key AS cur_key, e.dst_key,
+         |         cast(round(e.w * 1000) AS bigint) *
+         |           (CASE WHEN e.dst_key = w.prev THEN 2
+         |                 WHEN pe.src_key IS NOT NULL THEN 4 ELSE 1 END) AS wq,
+         |         ('0x' || substr(md5(concat('n2', '|', w.key, '|', '$t')), 1, 15))::BIGINT AS h
+         |  FROM w${t - 1} w JOIN esw e ON e.src_key = w.key
+         |  LEFT JOIN esw pe ON pe.src_key = w.prev AND pe.dst_key = e.dst_key
+         |), qq$t AS (
+         |  SELECT root, cur_key, dst_key,
+         |         sum(wq) OVER (PARTITION BY root ORDER BY dst_key) AS cum,
+         |         sum(wq) OVER (PARTITION BY root) AS tot, h
+         |  FROM q$t
+         |), w$t AS (
+         |  SELECT root, key, prev FROM (
+         |    SELECT root, dst_key AS key, cur_key AS prev,
+         |           row_number() OVER (PARTITION BY root ORDER BY cum, dst_key) AS rn
+         |    FROM qq$t WHERE cum > h % tot) x
+         |  WHERE rn = 1
+         |)""".stripMargin
+    val union = (0 to 8).map(t =>
+      s"SELECT root AS root_key, cast($t AS bigint) AS step, key FROM w$t")
+      .mkString("\nUNION ALL\n")
+    prefix + symBody +
+      """, rt4 AS MATERIALIZED (
+        |  SELECT src_key AS rkey FROM esw GROUP BY src_key ORDER BY count(*) DESC, src_key LIMIT 4
+        |), w0 AS (
+        |  SELECT rkey AS root, rkey AS key, cast(NULL AS varchar) AS prev FROM rt4
         |)""".stripMargin +
       (1 to 8).map(step).mkString + "\n" + union
   }
@@ -3529,6 +3575,7 @@ object SparkEntry {
     "q_closeness_all" -> closenessAllSql,
     "q_walks" -> walksSql,
     "q_walks_w" -> walksWSql,
+    "q_walks_n2v" -> walksN2vSql,
     "q_sgpairs" -> sgpairsSql,
     "q_deg_hist" -> degHistSql,
     "q_richclub" -> ("WITH " + prefixBody + symBody +

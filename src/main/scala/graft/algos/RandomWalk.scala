@@ -136,4 +136,81 @@ object RandomWalk {
     frontiers.foreach(_.graftFree())
     Result(walks, steps)
   }
+
+  /**
+   * node2vec SECOND-ORDER biased walk (Grover & Leskovec 2016): the
+   * step distribution depends on the PREVIOUS vertex — return to
+   * prev is damped (1/p), staying in prev's neighborhood is favored
+   * (1), venturing two hops out is damped (1/q). Integer bias
+   * multipliers (default return 2 : neighbor 4 : far 1 ≙ p = 2,
+   * q = 4) keep the cumulative-slot pick exact, so the oracle
+   * replays every step. Step 1 has no prev — every candidate takes
+   * the far bias, i.e. a plain weighted step, both engines alike.
+   *
+   * The one addition over the weighted walk is the prev-adjacency
+   * test: candidate rows are tiny (Σ deg(cur)), so membership is ONE
+   * co-partitioned scan of the edge table against the BROADCAST
+   * candidate set per step — the big table never shuffles, exactly
+   * the frontier shape of the other walk modes.
+   */
+  def runNode2vec(
+      graph: LinkGraph,
+      roots: Seq[Long],
+      steps: Int,
+      retBias: Long = 2,
+      nbrBias: Long = 4,
+      farBias: Long = 1): Result = {
+    val spark = graph.spark
+    import spark.implicits._
+    val rootDf = roots.toDF("id")
+    var cur = graph.vertices.join(broadcast(rootDf), "id")
+      .select(col("id").as("root"), lit(-1L).as("prev"), col("id"), col("key"))
+      .graftCut
+    var out = cur.select(col("root"), lit(0).as("step"), col("id"))
+    var frontiers = List(cur)
+
+    for (t <- 1 to steps) {
+      val nbrs = graph.edgesBySrc
+        .join(broadcast(cur.withColumnRenamed("id", "src")), "src")
+        .select(col("root"), col("prev"), col("src").as("cur_id"),
+          col("key").as("cur_key"), col("dst"), col("weight"))
+      val keyed = graph.vertices
+        .select(col("id").as("dst"), col("key").as("nbr_key"))
+        .join(broadcast(nbrs), "dst")
+      // prev-adjacency flags: scan the co-partitioned edge table once
+      // against the broadcast (prev, dst) candidate pairs
+      val hit = graph.edgesBySrc.select(col("src").as("prev"), col("dst"))
+        .join(broadcast(
+          keyed.select(col("root"), col("prev"), col("dst")).where(col("prev") >= 0)),
+          Seq("prev", "dst"))
+        .select(col("root"), col("dst"), lit(1L).as("isnbr"))
+      val byWalker = Window.partitionBy(col("root"))
+      cur = keyed
+        .join(broadcast(hit), Seq("root", "dst"), "left")
+        .withColumn("bias",
+          when(col("dst") === col("prev"), retBias)
+            .when(col("isnbr").isNotNull, nbrBias)
+            .otherwise(farBias))
+        .withColumn("wq", round(col("weight") * 1000).cast("long") * col("bias"))
+        .withColumn("cum", sum(col("wq")).over(
+          byWalker.orderBy(col("nbr_key"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("th", pmod(
+          conv(substring(md5(concat_ws("|", lit("n2"), col("cur_key"), lit(t))), 1, 15), 16, 10)
+            .cast("long"),
+          sum(col("wq")).over(byWalker)))
+        .where(col("cum") > col("th"))
+        .select(col("root"), col("cur_id").as("prev_cur"),
+          struct(col("cum"), col("nbr_key").as("k"), col("dst").as("i")).as("cand"))
+        .groupBy(col("root"))
+        .agg(min(col("cand")).as("c"), first(col("prev_cur")).as("pc"))
+        .select(col("root"), col("pc").as("prev"), col("c.i").as("id"), col("c.k").as("key"))
+        .graftCut
+      frontiers = cur :: frontiers
+      out = out.unionByName(cur.select(col("root"), lit(t).as("step"), col("id")))
+    }
+    val walks = out.graftCut
+    frontiers.foreach(_.graftFree())
+    Result(walks, steps)
+  }
 }

@@ -180,6 +180,52 @@ class Round3jSpec extends SparkSpec {
     g.unpersist()
   }
 
+  // ---------- node2vec walks ----------
+
+  test("node2vec walk: matches an independent JVM-md5 replay") {
+    val pairs = Seq(
+      (0, 1), (0, 2), (1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 0), (3, 6))
+    val g = graphOf(pairs, symmetric = true)
+    val idx = indexOf(g)
+    val roots = Seq(0, 3).map(i => g.vertices
+      .where(col("key") === keyOf(i)).select(col("id")).first().getLong(0))
+    val got = algos.RandomWalk.runNode2vec(g, roots, steps = 5).walks
+      .collect().map(r => (idx(r.getLong(0)), r.getInt(1)) -> idx(r.getLong(2)))
+      .toMap
+
+    // independent replay: java.security MD5, not Spark's
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val und = pairs.flatMap(p => Seq(p, p.swap)).distinct
+    def nbrs(v: Int) = und.filter(_._1 == v).map(_._2).sortBy(keyOf)
+    val exp = scala.collection.mutable.Map[(Int, Int), Int]()
+    for (r0 <- Seq(0, 3)) {
+      var cur = r0
+      var prev = -1
+      exp((r0, 0)) = cur
+      for (t <- 1 to 5) {
+        val cands = nbrs(cur)
+        val wqs = cands.map { c =>
+          val bias =
+            if (c == prev) 2L
+            else if (prev >= 0 && und.contains((prev, c))) 4L
+            else 1L
+          1000L * bias // all test weights are 1.0
+        }
+        val tot = wqs.sum
+        val h = BigInt(md5hex(s"n2|${keyOf(cur)}|$t").take(15), 16) % tot
+        val cum = wqs.scanLeft(0L)(_ + _).tail
+        val pick = cands(cum.indexWhere(_ > h.toLong))
+        exp((r0, t)) = pick
+        prev = cur
+        cur = pick
+      }
+    }
+    assert(got == exp.toMap)
+    g.unpersist()
+  }
+
   // ---------- PCA ----------
 
   test("pca pc1: dominant-axis cloud projects onto that axis") {
