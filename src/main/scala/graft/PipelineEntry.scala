@@ -222,6 +222,10 @@ object PipelineEntry {
     // prunes hub-attraction edges, components via HashMin)
     "q_knn_clusters" -> ((s, dir) =>
       Similarity.knnClusters(Similarity.embeddings(s, dir))),
+    // ZGL label spreading on the mutual-kNN graph: every 5th vector's
+    // gold label clamped, 3 floored-average rounds, argmax export
+    "q_labelspread" -> ((s, dir) =>
+      Similarity.labelSpread(Similarity.embeddings(s, dir))),
     // asymmetric containment pairs over the MinHash-LSH candidates —
     // the subset-duplicate signal Jaccard misses
     "q_containment" -> ((s, dir) => Dedup.containmentPairs(Dedup.docs(s, dir))),
@@ -1824,6 +1828,62 @@ object PipelineEntry {
        |SELECT id AS vec_id, cast(lbl AS bigint) AS cluster
        |FROM r WHERE it = $cap""".stripMargin
 
+  /** ZGL label-spreading replay: the knnClusters kernel CTEs (cosine
+   * kNN → mutual edges) + 3 unrolled floored-average rounds with the
+   * seed set clamped; argmax (mass desc, label asc) export. */
+  private val labelSpreadSql: String = {
+    val round = (r: Int) =>
+      s""", p$r AS MATERIALIZED (
+         |  SELECT x.id, x.l, x.s // dgm.deg AS m
+         |  FROM (
+         |    SELECT mu.u AS id, s.l, sum(s.m) AS s
+         |    FROM mu JOIN s${r - 1} s ON s.id = mu.w GROUP BY 1, 2) x
+         |  JOIN dgm ON dgm.u = x.id
+         |  WHERE x.s // dgm.deg > 0
+         |), s$r AS MATERIALIZED (
+         |  SELECT * FROM s0
+         |  UNION ALL
+         |  SELECT p.id, p.l, p.m FROM p$r p
+         |  WHERE p.id NOT IN (SELECT id FROM s0)
+         |)""".stripMargin
+    """WITH v AS MATERIALIZED (
+      |  SELECT vec_id, cast(unnest(embedding) AS double) AS x,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), norms AS MATERIALIZED (
+      |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1
+      |), sims AS MATERIALIZED (
+      |  SELECT d.a AS vec_id, d.b AS nbr_id,
+      |         cast(round(d.d / (na.nrm * nb.nrm) * 10000) AS bigint) AS sim_e4
+      |  FROM (
+      |    SELECT a.vec_id AS a, b.vec_id AS b, sum(a.x*b.x) AS d
+      |    FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id
+      |    GROUP BY 1, 2) d
+      |  JOIN norms na ON na.vec_id = d.a
+      |  JOIN norms nb ON nb.vec_id = d.b
+      |), knn AS MATERIALIZED (
+      |  SELECT vec_id, nbr_id FROM (
+      |    SELECT vec_id, nbr_id,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY sim_e4 DESC, nbr_id) AS rank
+      |    FROM sims) x WHERE rank <= 5
+      |), mu AS MATERIALIZED (
+      |  SELECT k1.vec_id AS u, k1.nbr_id AS w FROM knn k1
+      |  JOIN knn k2 ON k2.vec_id = k1.nbr_id AND k2.nbr_id = k1.vec_id
+      |), dgm AS MATERIALIZED (SELECT u, count(*) AS deg FROM mu GROUP BY 1
+      |), s0 AS MATERIALIZED (
+      |  SELECT vec_id AS id, cast(label AS bigint) AS l,
+      |         cast(1000000 AS bigint) AS m
+      |  FROM embeddings WHERE vec_id % 5 = 0)""".stripMargin +
+      (1 to 3).map(round).mkString +
+      """
+        |SELECT id AS vec_id, cast(l AS bigint) AS pred_label, cast(m AS bigint) AS mass
+        |FROM (SELECT id, l, m,
+        |             row_number() OVER (PARTITION BY id ORDER BY m DESC, l) AS rn
+        |      FROM s3) x
+        |WHERE rn = 1""".stripMargin
+  }
+
   /** Mirrors Dedup.containmentPairs: the minhash band candidates'
    * exact intersections, kept when either direction's containment
    * ≥ 0.5 (integer-exact threshold), exports 10⁴·i // sz. */
@@ -2004,6 +2064,7 @@ object PipelineEntry {
     "q_dbscan" -> dbscanSql(),
     "q_source_overlap" -> sourceOverlapSql,
     "q_knn_clusters" -> knnClustersSql(),
+    "q_labelspread" -> labelSpreadSql,
     "q_containment" -> containmentSql,
     "q_curate" -> curateSql)
 }

@@ -619,7 +619,12 @@ object Similarity {
    *
    * @return (vec_id, cluster) — cluster = min member vec_id.
    */
-  def knnClusters(emb: DataFrame, k: Int = 5, numPartitions: Int = 8): DataFrame = {
+  /** Mutual-kNN half edges (src < dst): u and v each rank the other
+   * in their cosine top-k. Shared by [[knnClusters]] and
+   * [[labelSpread]]. Exactness-baseline quadratic kernel (codegen'd
+   * dot); the scale path swaps in the LSH-bucketed candidates, as
+   * for [[dbscan]]. */
+  private def mutualKnnHalf(emb: DataFrame, k: Int): DataFrame = {
     val p = prepared(emb).persist()
     val a = p.select(col("vec_id"), col("v"), col("norm"))
     val b = p.select(col("vec_id").as("nbr_id"), col("v").as("w"), col("norm").as("nrm2"))
@@ -637,14 +642,66 @@ object Similarity {
       .join(knn.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")),
         Seq("vec_id", "nbr_id"), "left_semi")
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"), lit(1.0).as("weight"))
+    knn.unpersist(blocking = false)
+    p.unpersist(blocking = false)
+    mutual
+  }
+
+  def knnClusters(emb: DataFrame, k: Int = 5, numPartitions: Int = 8): DataFrame = {
+    val mutual = mutualKnnHalf(emb, k)
     val nV = emb.agg(max(col("vec_id"))).first().getLong(0) + 1
     val g = graft.LinkGraph.fromIdEdges(mutual, nV, symmetric = true, numPartitions)
     val out = graft.algos.ConnectedComponents.run(g).labels
       .join(emb.select(col("vec_id")), col("id") === col("vec_id"))
       .select(col("vec_id"), col("lbl").cast("long").as("cluster"))
-    knn.unpersist(blocking = false)
-    p.unpersist(blocking = false)
     out
+  }
+
+  /**
+   * ZGL label spreading (Zhu-Ghahramani semi-supervised node
+   * classification) over the mutual-kNN graph: every 5th vector
+   * (vec_id % 5 = 0) keeps its gold label CLAMPED as a one-hot
+   * ×10⁶ mass; unlabeled vectors re-estimate their label
+   * distribution each round as the FLOORED average of their
+   * neighbors' distributions. After `rounds` rounds each vector
+   * reporting any mass exports its argmax label (tie → smaller
+   * label id) — the transductive classifier a curation pipeline uses
+   * to extend sparse human labels across an embedding corpus.
+   *
+   * All-integer trajectory (sums + floor division), so the oracle
+   * replays it exactly. Long-format state (id, label, mass): one
+   * co-partitioned edge join + grouped sum per round, label count
+   * never widens the schema.
+   *
+   * @return (vec_id, pred_label, mass)
+   */
+  def labelSpread(emb: DataFrame, k: Int = 5, rounds: Int = 3): DataFrame = {
+    val half = mutualKnnHalf(emb, k)
+    val mu = half.select(col("src"), col("dst"))
+      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    val deg = mu.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val seeds = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("vec_id").as("id"), col("label").cast("long").as("l"),
+        lit(1000000L).as("m"))
+    val seedIds = seeds.select(col("id"))
+    var st = seeds
+    for (_ <- 1 to rounds) {
+      val unl = mu.join(st.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"), col("l")).agg(sum(col("m")).as("s"))
+        .join(deg, "id")
+        .select(col("id"), col("l"), expr("s div deg").as("m"))
+        .where(col("m") > 0)
+        .join(seedIds, Seq("id"), "left_anti")
+      st = seeds.unionByName(unl)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(desc("m"), asc("l"))
+    // mu stays persisted: the final plan references it 2×/round and
+    // the quadratic kernel must not be recomputed per reference (the
+    // bench's per-query cleanup reclaims it)
+    st.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("id").as("vec_id"), col("l").as("pred_label"), col("m").as("mass"))
   }
 
   /**

@@ -180,6 +180,27 @@ class Round3jSpec extends SparkSpec {
     g.unpersist()
   }
 
+  // ---------- ZGL label spreading ----------
+
+  test("labelSpread: two clusters, hand-replayed floored averaging") {
+    import spark.implicits._
+    // seeds are vec_id % 5 == 0 → ids 0 and 5; k=2 keeps the two
+    // 3-cliques separate
+    val emb = Seq(
+      (0L, Seq(1.00f, 0.00f), 3), (1L, Seq(0.99f, 0.01f), 9),
+      (2L, Seq(0.98f, 0.02f), 9),
+      (5L, Seq(0.00f, 1.00f), 7), (6L, Seq(0.01f, 0.99f), 9),
+      (7L, Seq(0.02f, 0.98f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val got = pipeline.Similarity.labelSpread(emb, k = 2, rounds = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      0L -> ((3L, 1000000L)), 5L -> ((7L, 1000000L)),
+      // rounds: 500000 → 750000 → 875000 (seed mass + peer mass, /2)
+      1L -> ((3L, 875000L)), 2L -> ((3L, 875000L)),
+      6L -> ((7L, 875000L)), 7L -> ((7L, 875000L))))
+  }
+
   // ---------- node2vec walks ----------
 
   test("node2vec walk: matches an independent JVM-md5 replay") {
