@@ -180,6 +180,10 @@ object PipelineEntry {
     // integer-quantized coordinates; per-vector checksum profile)
     "q_sq8" -> ((s, dir) =>
       Similarity.sq8Codes(Similarity.embeddings(s, dir))),
+    // PQ asymmetric-distance search: per-query m-by-k integer LUT
+    // broadcast against the code table; exact Lloyd codebooks
+    "q_pq_adc" -> ((s, dir) =>
+      Similarity.pqAdcTopK(Similarity.embeddings(s, dir))),
     // first principal component of the embedding cloud: distributed
     // exact-integer covariance + driver-side BigInt power iteration
     // (tiny d×d model state), one broadcast projection pass
@@ -1505,7 +1509,10 @@ object PipelineEntry {
   /** Mirrors Similarity.pqCodes: per-subspace slice of the quantized
    * vectors, then the identical Lloyd replay as ivfTrainCtes (same
    * seeds, floor-div means, empty-cluster carry, (d2, cid) ties). */
-  private def pqSql(m: Int = 4, k: Int = 8, lloydIters: Int = 2, dim: Int = 64): String = {
+  /** Shared PQ training CTE chain (per-subspace Lloyd → final
+   * assignment ranks rk$s) — body of [[pqSql]], reused by the ADC
+   * oracle. */
+  private def pqCtes(m: Int, k: Int, lloydIters: Int, dim: Int): String = {
     val sub = dim / m
     val perSub = (0 until m).map { s =>
       val lo = s * sub
@@ -1542,9 +1549,6 @@ object PipelineEntry {
            |  FROM distF$s
            |)""".stripMargin
     }.mkString
-    val finals = (0 until m).map { s =>
-      s"SELECT vec_id, cast($s AS bigint) AS sub, cast(cid AS bigint) AS code, cast(d2 AS bigint) AS d2 FROM rk$s WHERE rn = 1"
-    }.mkString("\nUNION ALL\n")
     s"""WITH vv AS (
        |  SELECT vec_id, cast(unnest(embedding) AS double) AS x,
        |         generate_subscripts(embedding, 1) - 1 AS i
@@ -1554,7 +1558,52 @@ object PipelineEntry {
        |), seeds AS (
        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
        |  FROM (SELECT DISTINCT vec_id FROM vq ORDER BY vec_id LIMIT $k) s
-       |)""".stripMargin + perSub + "\n" + finals
+       |)""".stripMargin + perSub
+  }
+
+  private def pqSql(m: Int = 4, k: Int = 8, lloydIters: Int = 2, dim: Int = 64): String = {
+    val finals = (0 until m).map { s =>
+      s"SELECT vec_id, cast($s AS bigint) AS sub, cast(cid AS bigint) AS code, cast(d2 AS bigint) AS d2 FROM rk$s WHERE rn = 1"
+    }.mkString("\nUNION ALL\n")
+    pqCtes(m, k, lloydIters, dim) + "\n" + finals
+  }
+
+  /** ADC replay: codes from the shared PQ chain, per-query m×k LUT of
+   * exact squared subvector-to-codeword distances, score = Σ lookups,
+   * top-10 per query (mirrors Similarity.pqAdcTopK). */
+  private def pqAdcSql(
+      m: Int = 4, k: Int = 8, lloydIters: Int = 2, dim: Int = 64,
+      nQueries: Int = 5, topK: Int = 10): String = {
+    val sub = dim / m
+    val codes = (0 until m).map { s =>
+      s"SELECT vec_id, cast($s AS bigint) AS sub, cast(cid AS bigint) AS code FROM rk$s WHERE rn = 1"
+    }.mkString("\n  UNION ALL\n  ")
+    val lut = (0 until m).map { s =>
+      s"""SELECT q.vec_id AS qid, cast($s AS bigint) AS sub,
+         |         cast(c.cid AS bigint) AS code,
+         |         sum((v.q - c.q) * (v.q - c.q)) AS pd2
+         |  FROM qs q JOIN vq$s v ON v.vec_id = q.vec_id
+         |  JOIN c${s}_$lloydIters c ON c.i = v.i
+         |  GROUP BY 1, 2, 3""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    pqCtes(m, k, lloydIters, dim) +
+      s""", codes AS MATERIALIZED (
+         |  $codes
+         |), qs AS MATERIALIZED (
+         |  SELECT DISTINCT vec_id FROM vq ORDER BY vec_id LIMIT $nQueries
+         |), lut AS MATERIALIZED (
+         |  $lut
+         |), est AS MATERIALIZED (
+         |  SELECT l.qid, cd.vec_id, sum(l.pd2) AS est_d2
+         |  FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.code = cd.code
+         |  GROUP BY 1, 2
+         |)
+         |SELECT qid, vec_id, cast(est_d2 AS bigint) AS est_d2,
+         |       cast(rank AS bigint) AS rank
+         |FROM (SELECT qid, vec_id, est_d2,
+         |             row_number() OVER (PARTITION BY qid ORDER BY est_d2, vec_id) AS rank
+         |      FROM est) x
+         |WHERE rank <= $topK""".stripMargin
   }
 
   /** Mirrors Similarity.cosineDupPairs at threshold 0.30 (q_embed_dedup). */
@@ -2026,6 +2075,7 @@ object PipelineEntry {
     "q_bloom" -> bloomSql,
     "q_semdedup" -> semDedupSql(),
     "q_pq" -> pqSql(),
+    "q_pq_adc" -> pqAdcSql(),
     "q_bm25" -> bm25Sql,
     "q_hybrid" -> hybridSql,
     "q_editdist" -> editDistSql,

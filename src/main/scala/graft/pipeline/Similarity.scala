@@ -392,7 +392,13 @@ object Similarity {
    * smallest vec_ids' vectors; means floor-divide; empty clusters
    * keep their previous centroid. @return (vec_id, vq, cid, d2, rn)
    * ranked by (d2, cid) — rn = 1 is the assignment. */
-  private def lloydAssign(vecs: DataFrame, k: Int, lloydIters: Int): DataFrame = {
+  private def lloydAssign(vecs: DataFrame, k: Int, lloydIters: Int): DataFrame =
+    lloydAssignCents(vecs, k, lloydIters)._1
+
+  /** [[lloydAssign]] + the trained centroids (tiny driver-side model
+   * state — the ADC lookup tables are built from them). */
+  private def lloydAssignCents(
+      vecs: DataFrame, k: Int, lloydIters: Int): (DataFrame, IndexedSeq[(Int, Seq[Long])]) = {
     val spark = vecs.sparkSession
     import spark.implicits._
     var cents: IndexedSeq[(Int, Seq[Long])] = vecs
@@ -427,7 +433,7 @@ object Similarity {
       // empty clusters keep their previous centroid
       cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
-    ranked(cents)
+    (ranked(cents), cents)
   }
 
   /**
@@ -456,6 +462,73 @@ object Similarity {
         .select(col("vec_id"), lit(s.toLong).as("sub"),
           col("cid").cast("long").as("code"), col("d2"))
     }.reduce(_ unionByName _)
+    out
+  }
+
+  /**
+   * PQ asymmetric-distance search (ADC, Jégou et al. PAMI'11 §IV) —
+   * the QUERY half of the product-quantization story ([[pqCodes]]
+   * trains the codebooks and encodes the corpus): per query, build
+   * the m×k lookup table of exact squared distances from the query's
+   * subvectors to every codeword (m·k = 32 integers — driver-side
+   * model state, broadcast), then score each database vector as the
+   * SUM OF TABLE LOOKUPS selected by its code — never touching the
+   * original floats. At 10^9 vectors the scan reads m·log₂k bits per
+   * vector plus one broadcast join against the 32-row LUT; the exact
+   * re-rank (if wanted) runs only on the returned top-k.
+   *
+   * All-integer end to end (quantized subvectors, exact Lloyd
+   * codebooks, integer LUT) — the oracle retrains and replays the
+   * same distances bit-for-bit.
+   *
+   * @return (qid, vec_id, est_d2, rank) — top `topK` per query by
+   *         (est_d2 asc, vec_id asc)
+   */
+  def pqAdcTopK(
+      emb: DataFrame, m: Int = 4, k: Int = 8, lloydIters: Int = 2,
+      nQueries: Int = 5, topK: Int = 10): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val p = prepared(emb)
+      .withColumn("vq",
+        transform(col("v"), x => round(x.cast("double") * lit(1000000.0)).cast("long")))
+      .persist()
+
+    // per-subspace codes + trained codebooks
+    val trained = (0 until m).map { s =>
+      val svq = p.select(col("vec_id"), slice(col("vq"), s * sub + 1, sub).as("vq"))
+      val (ranked, cents) = lloydAssignCents(svq, k, lloydIters)
+      val codes = ranked.where(col("rn") === 1)
+        .select(col("vec_id"), lit(s.toLong).as("sub"), col("cid").cast("long").as("code"))
+      (codes, cents)
+    }
+    val codes = trained.map(_._1).reduce(_ unionByName _)
+
+    // query subvectors, driver-side (nQueries·dim longs)
+    val qrows = p.orderBy(col("vec_id")).limit(nQueries)
+      .select(col("vec_id"), col("vq")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val lut = for {
+      (qid, vq) <- qrows.toSeq
+      s <- 0 until m
+      qsub = vq.slice(s * sub, (s + 1) * sub)
+      (cid, cq) <- trained(s)._2
+    } yield (qid, s.toLong, cid.toLong,
+      qsub.zip(cq).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val lutDf = lut.toDF("qid", "sub", "code", "pd2")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("est_d2").asc, col("vec_id").asc)
+    val out = codes.join(broadcast(lutDf), Seq("sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pd2")).as("est_d2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("vec_id"), col("est_d2"), col("rank"))
+    p.unpersist(blocking = false)
     out
   }
 

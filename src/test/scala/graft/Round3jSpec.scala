@@ -180,6 +180,26 @@ class Round3jSpec extends SparkSpec {
     g.unpersist()
   }
 
+  // ---------- PQ ADC ----------
+
+  test("pqAdcTopK: a query's self-distance equals its total quantization error") {
+    import spark.implicits._
+    // 12 deterministic 8-dim vectors (m=4 → 2-dim subspaces)
+    val emb = (0L until 12L).map { i =>
+      (i, (0 until 8).map(j => ((i * 7 + j * 3) % 11).toFloat / 11f))
+    }.toDF("vec_id", "embedding")
+    val adc = pipeline.Similarity
+      .pqAdcTopK(emb, m = 4, k = 4, lloydIters = 2, nQueries = 3, topK = 12)
+      .where(col("qid") === col("vec_id"))
+      .select(col("qid"), col("est_d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qerr = pipeline.Similarity.pqCodes(emb, m = 4, k = 4, lloydIters = 2)
+      .groupBy(col("vec_id")).agg(sum(col("d2")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(adc.nonEmpty)
+    adc.foreach { case (q, d) => assert(d == qerr(q), s"query $q") }
+  }
+
   // ---------- ZGL label spreading ----------
 
   test("labelSpread: two clusters, hand-replayed floored averaging") {
