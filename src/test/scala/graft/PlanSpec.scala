@@ -302,6 +302,27 @@ class PlanSpec extends SparkSpec {
       s"expected exactly the one by-key exchange, got ${shuffles(plan)}:\n$plan")
   }
 
+  test("pca covariance: chained generators, ONE shuffle, ZERO join nodes") {
+    import spark.implicits._
+    val emb = (0L until 20L).map(i =>
+      (i, (0 until 8).map(j => ((i + j) % 5).toFloat / 5f))).toDF("vec_id", "embedding")
+    // the covariance data pass exactly as pipeline.Pca builds it
+    val qarr = emb.select(
+      expr("transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS long))")
+        .as("qa"))
+    val cov = qarr
+      .select(posexplode(col("qa")).as(Seq("j0", "xj")), col("qa"))
+      .select(col("j0"), col("xj"), posexplode(col("qa")).as(Seq("k0", "xk")))
+      .groupBy((col("j0") + 1).as("j"), (col("k0") + 1).as("k"))
+      .agg(sum(col("xj") * col("xk")).as("c"))
+    val plan = executed(cov)
+    val nodes = collectNodes(plan)
+    assert(!nodes.exists(_.nodeName.contains("Join")),
+      s"covariance must not plan any join:\n$plan")
+    assert(shuffles(plan) == 1,
+      s"expected exactly the partial-agg exchange, got ${shuffles(plan)}:\n$plan")
+  }
+
   test("rangeJoin: keyless interval join plans as an equi-join on the bucket") {
     import spark.implicits._
     val points = (0L until 200L).map(i => i * 7L).toDF("pt")
