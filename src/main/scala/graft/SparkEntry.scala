@@ -692,6 +692,13 @@ object SparkEntry {
       MaxCut.run(g, rounds = 4).join(g.vertices, "id")
         .select(col("key"), col("side"))
     }),
+    // dominating-set election: each vertex's max-(deg,key) closed
+    // neighbor — the cluster-head heuristic, hub-concentrated
+    "q_domset" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      DegreeStats.dominatorElection(g).join(g.vertices, "id")
+        .select(col("key"), col("dom_key"))
+    }),
     // k_nn(k) degree-correlation curve: mean neighbor degree per
     // degree class (the functional form behind q_assort's scalar)
     "q_knn_curve" -> ((s, dir) =>
@@ -3795,6 +3802,18 @@ object SparkEntry {
     "q_cascade" -> cascadeSql,
     "q_ppr_push" -> pprPushSql,
     "q_maxcut" -> maxcutSql,
+    "q_domset" -> ("WITH " + prefixBody + symBody +
+      """
+        |, dgk AS (
+        |  SELECT src_key AS key, lpad(cast(count(*) AS varchar), 12, '0') || '|' || src_key AS pi
+        |  FROM esw GROUP BY src_key
+        |), nb AS (
+        |  SELECT esw.src_key AS key, max(d.pi) AS mpi
+        |  FROM esw JOIN dgk d ON d.key = esw.dst_key GROUP BY 1
+        |)
+        |SELECT dgk.key AS key,
+        |       substr(greatest(dgk.pi, coalesce(nb.mpi, dgk.pi)), 14) AS dom_key
+        |FROM dgk LEFT JOIN nb ON nb.key = dgk.key""".stripMargin),
     "q_knn_curve" -> ("WITH " + prefixBody + symBody +
       """
         |, od AS (SELECT src_key, count(*) AS d FROM esw GROUP BY 1)

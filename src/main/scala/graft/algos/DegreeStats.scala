@@ -170,6 +170,32 @@ object DegreeStats {
           .as("mean_nbr_deg_e4"))
   }
 
+  /** Dominating-set election (the one-round cluster-head heuristic of
+   * ad-hoc-network clustering): every vertex nominates the maximum
+   * (degree, key) member of its CLOSED neighborhood; the nominated
+   * set dominates by construction (each vertex equals or neighbors
+   * its dominator) and concentrates on hubs. Deterministic via the
+   * fixed-width priority string lpad(deg)∥'|'∥key, whose string max
+   * ≡ (deg, key) lexicographic max in both engines. ONE dense gather
+   * (max-combine) + a co-partitioned merge.
+   *
+   * @return (id, dom_key) — each vertex's elected dominator */
+  def dominatorElection(graph: LinkGraph): DataFrame = {
+    require(graph.symmetric, "dominator election runs on the undirected graph")
+    val state = graph.degrees.join(graph.vertices, "id")
+      .select(col("id"),
+        concat(lpad(col("out_degree").cast("string"), 12, "0"),
+          lit("|"), col("key")).as("pi"))
+      .repartition(graph.numPartitions, col("id"))
+    val msgs = graft.Superstep.gather(
+      graph, state, signal = col("pi"), combine = max,
+      activeEdges = graph.numEdges, activeCount = graph.numVertices)
+    state.join(msgs, Seq("id"), "left")
+      .select(col("id"),
+        substring(greatest(col("pi"), coalesce(col("msg"), col("pi"))), 14, 1000000)
+          .as("dom_key"))
+  }
+
   /** Component-size histogram over CC labels (id, lbl) — same exact
    * power-of-two bucketing; the giant-component census that drives
    * partitioner and sampler decisions on web graphs. ≤ 64 output rows

@@ -180,6 +180,21 @@ class Round3jSpec extends SparkSpec {
     g.unpersist()
   }
 
+  // ---------- dominator election ----------
+
+  test("dominatorElection: star hub dominates; path picks the local max") {
+    // star 0-(1,2,3) plus pendant chain 3-4: hub 0 (deg 3) dominates
+    // 0,1,2,3; vertex 4's closed nbhd {4 (deg 1), 3 (deg 2)} → 3
+    val g = graphOf(Seq((0, 1), (0, 2), (0, 3), (3, 4)), symmetric = true)
+    val idx = indexOf(g)
+    val got = algos.DegreeStats.dominatorElection(g).collect()
+      .map(r => idx(r.getLong(0)) -> r.getString(1)).toMap
+    assert(got == Map(
+      0 -> keyOf(0), 1 -> keyOf(0), 2 -> keyOf(0), 3 -> keyOf(0),
+      4 -> keyOf(3)))
+    g.unpersist()
+  }
+
   // ---------- PQ ADC ----------
 
   test("pqAdcTopK: a query's self-distance equals its total quantization error") {
