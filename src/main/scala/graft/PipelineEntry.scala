@@ -115,6 +115,9 @@ object PipelineEntry {
     "q_kanon" -> ((s, dir) => Profile.kAnonymity(Dedup.docs(s, dir))),
     // code-vs-prose router: code-surface character density per doc
     "q_codefrac" -> ((s, dir) => TextStats.codeLikeness(Dedup.docs(s, dir))),
+    // RAKE keyword extraction: stopword-bounded phrases, deg/freq
+    // scores, top-3 keywords per document
+    "q_rake" -> ((s, dir) => TextStats.rakeKeywords(Dedup.docs(s, dir))),
     // exact corpus length percentiles via the value-histogram trick
     // (one scan, no global sort — see pipeline.Quantiles)
     "q_quantiles" -> ((s, dir) => Quantiles.tokenCountQuantiles(Dedup.docs(s, dir))),
@@ -2008,6 +2011,38 @@ object PipelineEntry {
     "q_repetition" -> repetitionSql,
     "q_vocab" -> vocabSql,
     "q_zipf" -> zipfSql,
+    "q_rake" -> {
+      val stops = graft.pipeline.TextStats.rakeStopwords
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+         |         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, pos, w, (w IN ($stops) OR w = '') AS stop FROM t
+         |), p AS (
+         |  SELECT doc_id, pos, w, stop,
+         |         sum(CASE WHEN stop THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+         |  FROM s
+         |), ph AS (
+         |  SELECT doc_id, pid, w FROM p WHERE NOT stop
+         |), pl AS (
+         |  SELECT doc_id, pid, count(*) AS len FROM ph GROUP BY 1, 2
+         |), sc AS (
+         |  SELECT ph.doc_id, ph.w, count(*) AS freq, sum(pl.len) AS degsum
+         |  FROM ph JOIN pl ON pl.doc_id = ph.doc_id AND pl.pid = ph.pid
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_id, w AS keyword, cast(freq AS bigint) AS freq,
+         |       cast(degsum * 10000 // freq AS bigint) AS rake_e4,
+         |       cast(rank AS bigint) AS rank
+         |FROM (SELECT doc_id, w, freq, degsum,
+         |             row_number() OVER (PARTITION BY doc_id
+         |               ORDER BY degsum * 10000 // freq DESC, w) AS rank
+         |      FROM sc) x
+         |WHERE rank <= 3""".stripMargin
+    },
     "q_codefrac" -> {
       val nSym = ";{}()=<>[]".map(c =>
         s"(length(text) - length(replace(text, '$c', '')))").mkString(" + ")

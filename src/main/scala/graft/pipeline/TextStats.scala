@@ -488,6 +488,53 @@ object TextStats {
           - expr("(84600L * syllables) div words"))
   }
 
+  /** RAKE stopword set — deliberately small and FROZEN: it is part of
+   * the operator's cross-engine contract (the oracle embeds the same
+   * list), not a tunable. */
+  val rakeStopwords: Seq[String] = Seq(
+    "the", "of", "a", "an", "and", "or", "to", "in", "on", "for",
+    "with", "is", "are", "was", "be", "as", "by", "at", "it", "this",
+    "that", "from", "we", "you", "not")
+
+  /**
+   * RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+   * maximal stopword-free token runs; a word's score is
+   * deg(w)/freq(w), where deg sums the lengths of the phrases its
+   * occurrences sit in (words living in long multi-word phrases
+   * outrank equally-frequent words that appear alone). Top-k per
+   * document by (score desc, word asc) — the unsupervised
+   * keyword/tag primitive for corpus browsing and weak labeling.
+   *
+   * No regex anywhere: phrase boundaries come from a running count
+   * of stopword flags (window sum over unique positions — ROWS ≡
+   * RANGE, so both engines agree), and the score is the usual
+   * floor-scaled integer. Scale shape: windows partition BY DOCUMENT;
+   * everything else is grouped aggregation.
+   *
+   * @return (doc_id, keyword, freq, rake_e4, rank)
+   */
+  def rakeKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+      .withColumn("stop", col("w").isin(rakeStopwords: _*) || col("w") === "")
+    val wPh = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ph = toks
+      .withColumn("pid", sum(when(col("stop"), 1L).otherwise(0L)).over(wPh))
+      .where(!col("stop"))
+    val plen = ph.groupBy(col("doc_id"), col("pid")).agg(count(lit(1)).as("len"))
+    val sc = ph.join(plen, Seq("doc_id", "pid"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("degsum"))
+      .withColumn("rake_e4", expr("degsum * 10000 div freq"))
+    val wr = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("rake_e4"), asc("w"))
+    sc.withColumn("rank", row_number().over(wr).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("w").as("keyword"), col("freq"),
+        col("rake_e4"), col("rank"))
+  }
+
   /**
    * Code-likeness screen: the code-vs-prose router every pretraining
    * mix runs before assigning documents to the code or text bucket.

@@ -180,6 +180,24 @@ class Round3jSpec extends SparkSpec {
     g.unpersist()
   }
 
+  // ---------- RAKE ----------
+
+  test("rakeKeywords: phrase-degree scoring, hand-computed") {
+    import spark.implicits._
+    // phrases: [deep graph engine] / [deep learning] / [rocks]
+    val docs = Seq((1L, "deep graph engine and deep learning is rocks"))
+      .toDF("doc_id", "text")
+    val got = pipeline.TextStats.rakeKeywords(docs, k = 5).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // deep: freq 2, degsum 3+2=5 → 25000; graph/engine: 1,3 → 30000;
+    // learning: 1,2 → 20000; rocks: 1,1 → 10000
+    assert(got == Map(
+      "engine" -> ((1L, 30000L, 1L)), "graph" -> ((1L, 30000L, 2L)),
+      "deep" -> ((2L, 25000L, 3L)), "learning" -> ((1L, 20000L, 4L)),
+      "rocks" -> ((1L, 10000L, 5L))))
+  }
+
   // ---------- dominator election ----------
 
   test("dominatorElection: star hub dominates; path picks the local max") {
