@@ -485,6 +485,20 @@ object SparkEntry {
       TriangleCount.perVertex(g).join(g.vertices, "id")
         .select(col("key"), col("degree"), col("triangles"))
     }),
+    // OddBall ego-net anomaly features (Akoglu et al. 2010): ego
+    // nodes/edges from the shared triangle table + the near-clique
+    // density ratio — near-cliques ≈ 10⁴, near-stars ≈ 2·10⁴/n_ego
+    "q_oddball" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = true)
+      TriangleCount.perVertex(g).join(g.vertices, "id")
+        .select(col("key"),
+          (col("degree") + 1).as("n_ego"),
+          (col("degree") + col("triangles")).as("e_ego"),
+          when(col("degree") < 2, 10000L)
+            .otherwise(
+              expr("(2 * (degree + triangles) * 10000) div ((degree + 1) * degree)"))
+            .as("clique_e4"))
+    }),
     // Luby MIS with fixed md5-key priorities (lexicographically-first
     // MIS of that order — deterministic, so oracle-checkable)
     "q_mis" -> ((s, dir) => {
@@ -4163,6 +4177,30 @@ object SparkEntry {
         |)
         |SELECT dg.key AS key, cast(dg.degree AS bigint) AS degree,
         |       cast(coalesce(cnt.triangles, 0) AS bigint) AS triangles
-        |FROM dg LEFT JOIN cnt ON cnt.key = dg.key""".stripMargin)
+        |FROM dg LEFT JOIN cnt ON cnt.key = dg.key""".stripMargin),
+    // OddBall ego-net features: same triangle/degree body, plus the
+    // ego edge count and the near-clique density ratio
+    "q_oddball" -> ("WITH " + prefixBody + symBody +
+      """, ud AS (
+        |  SELECT DISTINCT least(src_key, dst_key) AS a, greatest(src_key, dst_key) AS b FROM e
+        |), tri AS (
+        |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |  FROM ud e1 JOIN ud e2 ON e2.a = e1.b JOIN ud e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), cnt AS (
+        |  SELECT key, count(*) AS triangles FROM (
+        |    SELECT a AS key FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) u
+        |  GROUP BY 1
+        |), dg AS (
+        |  SELECT src_key AS key, count(*) AS degree FROM esw GROUP BY 1
+        |), f AS (
+        |  SELECT dg.key, dg.degree AS d, coalesce(cnt.triangles, 0) AS t
+        |  FROM dg LEFT JOIN cnt ON cnt.key = dg.key
+        |)
+        |SELECT key, cast(d + 1 AS bigint) AS n_ego,
+        |       cast(d + t AS bigint) AS e_ego,
+        |       cast(CASE WHEN d < 2 THEN 10000
+        |                 ELSE (2 * (d + t) * 10000) // ((d + 1) * d) END AS bigint)
+        |         AS clique_e4
+        |FROM f""".stripMargin)
   ) ++ PipelineEntry.oracleSql
 }

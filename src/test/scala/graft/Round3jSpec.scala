@@ -180,6 +180,26 @@ class Round3jSpec extends SparkSpec {
     g.unpersist()
   }
 
+  // ---------- OddBall ego features ----------
+
+  test("oddball features: triangle + chain, hand-computed") {
+    // triangle 0-1-2 plus pendant 2-3
+    val g = graphOf(Seq((0, 1), (1, 2), (0, 2), (2, 3)), symmetric = true)
+    val pv = algos.TriangleCount.perVertex(g).join(g.vertices, "id")
+      .select(col("key"),
+        (col("degree") + 1).as("n_ego"),
+        (col("degree") + col("triangles")).as("e_ego"),
+        when(col("degree") < 2, 10000L)
+          .otherwise(expr("(2 * (degree + triangles) * 10000) div ((degree + 1) * degree)"))
+          .as("clique_e4"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(pv(keyOf(0)) == ((3L, 3L, 10000L))) // ego {0,1,2} is a clique
+    assert(pv(keyOf(2)) == ((4L, 4L, 6666L))) // ego {0,1,2,3}: 4 of 6 edges
+    assert(pv(keyOf(3)) == ((2L, 1L, 10000L))) // pendant: trivial ego
+    g.unpersist()
+  }
+
   // ---------- RAKE ----------
 
   test("rakeKeywords: phrase-degree scoring, hand-computed") {
