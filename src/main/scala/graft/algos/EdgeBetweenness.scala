@@ -17,11 +17,13 @@ import graft.LinkGraph
  *
  * and [[Betweenness]] already publishes everything on the right:
  * its output bc(v) = δ(v) and sigma(v) give dep(v) = (δ(v)+1)/σ(v);
- * [[Bfs]] supplies lvl. So edge betweenness is the vertex run + the
- * (shared-schedule) BFS + ONE co-partitioned edge join — no third
- * frontier loop, no backward pass of its own. Reference anchor: the
- * dependency pair the vertex pass reports (bc.cpp:184-190) is
- * exactly the per-edge credit factored through the DAG.
+ * [[Bfs]] supplies lvl. So edge betweenness is the vertex run + one
+ * more BFS (the same frontier schedule as Brandes' own forward
+ * phase — a fused variant would return the forward levels directly
+ * and drop this pass) + ONE co-partitioned edge join. No extra
+ * backward pass. Reference anchor: the dependency pair the vertex
+ * pass reports (bc.cpp:184-190) is exactly the per-edge credit
+ * factored through the DAG.
  *
  * Non-DAG edges (same level, or spanning >1 level — impossible for
  * BFS levels; equal-level edges are real) carry no shortest-path
