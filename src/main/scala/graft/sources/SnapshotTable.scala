@@ -59,19 +59,63 @@ object SnapshotTable {
 
   private def bloomJson(words: Seq[Long]): String = words.mkString("[", ",", "]")
 
-  /** Latest committed snapshot id (manifest present), if any. */
-  def latest(table: String): Option[Int] = {
+  /** Committed snapshot ids (manifest present), ascending. */
+  private def committedSnaps(table: String): Seq[Int] = {
     val d = Paths.get(table)
-    if (!Files.isDirectory(d)) return None
+    if (!Files.isDirectory(d)) return Seq.empty
     val listing = Files.list(d)
     val names =
       try listing.toArray.toSeq.map(_.toString)
       finally listing.close()
-    val snaps = names
+    names
       .filter(_.matches(".*/snap=\\d+$"))
       .map(p => p.substring(p.lastIndexOf('=') + 1).toInt)
       .filter(s => Files.exists(Paths.get(manifestPath(table, s))))
-    if (snaps.isEmpty) None else Some(snaps.max)
+      .sorted
+  }
+
+  /** Latest committed snapshot id (manifest present), if any. */
+  def latest(table: String): Option[Int] =
+    committedSnaps(table).lastOption
+
+  /**
+   * Snapshot expiration (Iceberg `expire_snapshots`): drop the
+   * manifests of all but the newest `retain` snapshots, then delete
+   * every snapshot DATA directory that no retained manifest
+   * references — and ONLY those. Because [[merge]] and [[compact]]
+   * inherit untouched buckets by `loc` reference, an old snapshot's
+   * directory can back newer manifests; reachability is therefore
+   * computed from the retained manifests' loc sets (reference-
+   * counting GC — naive delete-by-age would corrupt the table).
+   *
+   * After expiry: time travel to an expired snapshot fails (its
+   * manifest is gone); every retained snapshot reads byte-identical.
+   *
+   * @return ids of the expired snapshots
+   */
+  def expireSnapshots(table: String, retain: Int = 2): Seq[Int] = {
+    require(retain >= 1, "must retain at least the current snapshot")
+    val all = committedSnaps(table)
+    if (all.size <= retain) return Seq.empty
+    val (drop, keep) = all.splitAt(all.size - retain)
+    val referenced: Set[String] =
+      keep.flatMap(s => bucketLocs(table, s).map(_._2)).toSet ++
+        keep.map(snapDir(table, _))
+    drop.foreach(s => Files.deleteIfExists(Paths.get(manifestPath(table, s))))
+    // orphan sweep over EVERY snapshot directory on disk (not just the
+    // ones dropped now): a dir whose manifest expired earlier becomes
+    // deletable the moment its last referencing manifest goes
+    val listing = Files.list(Paths.get(table))
+    val dirs =
+      try listing.toArray.toSeq.map(_.toString).filter(_.matches(".*/snap=\\d+$"))
+      finally listing.close()
+    dirs.filterNot(referenced.contains).foreach { d =>
+      val walk = Files.walk(Paths.get(d))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    drop
   }
 
   /**

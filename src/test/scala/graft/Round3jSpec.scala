@@ -180,6 +180,44 @@ class Round3jSpec extends SparkSpec {
     g.unpersist()
   }
 
+  // ---------- snapshot expiry ----------
+
+  test("expireSnapshots: ref-counting GC keeps loc-inherited data alive") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val table = java.nio.file.Files.createTempDirectory("graft-expire").toString
+    val buckets = (0L until 20L).map(i => (i, (i / 5).toInt)).toDF("id", "bucket")
+    val e0 = (0L until 20L).map(i => (i, i + 100L, 1.0)).toDF("src", "dst", "weight")
+    assert(SnapshotTable.commit(e0, buckets, table) == 0)
+    // merge touches only bucket 0 → snap 1 inherits buckets 1-3 from snap 0
+    val up = Seq((3L, 103L, 9.0)).toDF("src", "dst", "weight")
+    assert(SnapshotTable.merge(up, buckets, table) == 1)
+    val e2 = (0L until 20L).map(i => (i, i + 100L, 2.0)).toDF("src", "dst", "weight")
+    assert(SnapshotTable.commit(e2, buckets, table) == 2)
+
+    val before = SnapshotTable.read(spark, table, Some(1))
+      .select("src", "dst", "weight").collect().map(_.toSeq).toSet
+    // retain 2 → snapshot 0's MANIFEST expires, but its data dir is
+    // still referenced by snapshot 1's inherited buckets: must survive
+    assert(SnapshotTable.expireSnapshots(table, retain = 2) == Seq(0))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$table/snap=0/_manifest.json")) ||
+      SnapshotTable.latest(table).contains(2))
+    val after = SnapshotTable.read(spark, table, Some(1))
+      .select("src", "dst", "weight").collect().map(_.toSeq).toSet
+    assert(after == before, "retained snapshot changed after expiry")
+    assert(SnapshotTable.read(spark, table).count() == 20)
+    // time travel to the expired snapshot now fails (manifest gone)
+    intercept[Exception] { SnapshotTable.read(spark, table, Some(0)).count() }
+
+    // expire down to 1: snapshot 1's manifest goes; snap 2 owns all
+    // its data, so snap 0's and snap 1's dirs are now unreferenced
+    assert(SnapshotTable.expireSnapshots(table, retain = 1) == Seq(1))
+    assert(!new java.io.File(s"$table/snap=0").exists(),
+      "unreferenced snapshot 0 data must be deleted once snap 1 is expired")
+    assert(SnapshotTable.read(spark, table).count() == 20)
+  }
+
   // ---------- OddBall ego features ----------
 
   test("oddball features: triangle + chain, hand-computed") {
