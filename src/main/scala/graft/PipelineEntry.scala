@@ -131,6 +131,13 @@ object PipelineEntry {
     "q_sparse_cos" -> ((s, dir) => Vocab.sparseCosinePairs(Dedup.docs(s, dir))),
     // mergeable sketches: integer-exact register/counter tables
     "q_hll" -> ((s, dir) => Sketch.hll(Dedup.docs(s, dir))),
+    // the streaming HLL register maintainer in batch mode: one slice,
+    // empty prior state => emitted changelog rows ARE the batch
+    // register table (StreamingSpec proves the cross-batch monotone
+    // merge); shares q_hll's oracle
+    "q_stream_hll" -> ((s, dir) =>
+      streaming.SketchStream.hllRegisters(Dedup.docs(s, dir)).toDF()
+        .select(col("source"), col("bucket"), col("max_rho"))),
     "q_cms" -> ((s, dir) => Sketch.countMin(Dedup.docs(s, dir))),
     // Bloom membership registers (third mergeable sketch; 60-bit words)
     "q_bloom" -> ((s, dir) => Sketch.bloom(Dedup.docs(s, dir))),
@@ -2069,6 +2076,7 @@ object PipelineEntry {
     "q_tfidf" -> tfidfSql,
     "q_sparse_cos" -> sparseCosSql,
     "q_hll" -> hllSql,
+    "q_stream_hll" -> hllSql,
     "q_hll_pairs" -> hllPairsSql,
     "q_word_pmi" ->
       """WITH tok AS (

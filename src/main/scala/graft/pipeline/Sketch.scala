@@ -40,18 +40,25 @@ object Sketch {
    * 1000-executor job compute global distinct counts with a
    * 256-row exchange.
    */
-  def hll(docs: DataFrame): DataFrame = {
+  /** Pre-aggregation register rows (source, bucket, rho) — one per
+   * token occurrence; shared by the batch [[hll]] and the streaming
+   * register maintainer (streaming/SketchStream). */
+  def hllRegisterRows(docs: DataFrame): DataFrame = {
     val t = docs
       .select(col("source"), explode(split(lower(col("text")), " ")).as("term"))
       .select(col("source"), h60(col("term")).as("h"))
     val w = shiftright(col("h"), hllP) // exact: h is a 60-bit non-negative long
     val rho = when(w === 0, lit(53))
       .otherwise(lit(53) - length(conv(w, 10, 2)))
-    t.select(col("source"), pmod(col("h"), lit(hllM.toLong)).as("bucket"), rho.as("rho"))
-      .groupBy(col("source"), col("bucket"))
-      .agg(max(col("rho")).cast("long").as("max_rho"))
-      .select(col("source"), col("bucket").cast("long").as("bucket"), col("max_rho"))
+    t.select(col("source"), pmod(col("h"), lit(hllM.toLong)).as("bucket"),
+      rho.cast("long").as("rho"))
   }
+
+  def hll(docs: DataFrame): DataFrame =
+    hllRegisterRows(docs)
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("rho")).as("max_rho"))
+      .select(col("source"), col("bucket").cast("long").as("bucket"), col("max_rho"))
 
   /** Driver-side HLL estimator (Flajolet et al. 2007) with the
    * small-range linear-counting correction; registers absent from the

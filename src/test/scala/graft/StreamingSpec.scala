@@ -201,6 +201,47 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(5L, 3L, 8L), s"kept $got")
   }
 
+  test("streaming HLL registers: monotone cross-batch merge, changelog last-value equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batch1 = Seq((1L, "alpha beta gamma delta", "webx"))
+    val batch2 = Seq((2L, "alpha beta epsilon zeta eta", "webx"),
+      (3L, "one two three", "chatx"))
+    val input = MemoryStream[(Long, String, String)]
+    val regs = streaming.SketchStream.hllRegisters(
+      input.toDF().toDF("doc_id", "text", "source"))
+    val q = regs.writeStream
+      .format("memory").queryName("hll_sink").outputMode("append").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // changelog last-value per (source, bucket) == batch registers on
+    // the union of both batches
+    val got = spark.table("hll_sink").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    val all = (batch1 ++ batch2).toDF("doc_id", "text", "source")
+    val expected = pipeline.Sketch.hll(all).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
+  test("streaming HLL in batch mode equals the batch register table") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "webx"), (2L, "beta delta", "webx"),
+      (3L, "one two", "chatx"))
+      .toDF("doc_id", "text", "source")
+    val got = streaming.SketchStream.hllRegisters(docs).collect()
+      .map(r => (r.source, r.bucket) -> r.max_rho).toMap
+    val expected = pipeline.Sketch.hll(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
   test("streaming doc dedup in batch mode equals exact-dedup keepers") {
     import spark.implicits._
     val docs = Seq(
