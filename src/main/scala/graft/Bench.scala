@@ -99,30 +99,42 @@ object Bench {
       if (prSec > 0) gDir.numEdges.toDouble * prIters / prSec else 0.0
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    results += "pagerank_converge" -> prSec
-    results += "cc" -> isolated(timed("cc")(algos.ConnectedComponents.run(gSym))._2)
-    results += "cc_star" -> isolated(timed("cc_star")(algos.CCStar.run(gSym))._2)
-    results += "lp" -> isolated(timed("lp")(algos.LabelPropagation.run(gSym))._2)
-    results += "triangles" -> isolated(timed("triangles")(algos.TriangleCount.count(gSym))._2)
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def renderJson(partial: Boolean): String = {
+      val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      val total = results.values.sum
+      val partialField = if (partial) "\"partial\":true," else ""
+      s"""{$partialField"metric":"pagerank_edges_per_sec_per_iter","value":$edgesPerSecIter,"unit":"edges/sec/iter","pr_iterations":$prIters,"pr_seconds":$prSec,"num_edges":${gDir.numEdges},"num_vertices":${gDir.numVertices},"build_seconds":${buildDirSec + buildSymSec},"total_query_seconds":$total,"queries":$qs,"cpus":$cpus,"sf":"$sfDir"}"""
+    }
+    // Crash-safe incremental dump: rewrite bench_out.json after EVERY
+    // query (atomic rename), so a mid-sweep death loses one cell, not
+    // the whole session (round-2/3 lesson: the JSON landed only at
+    // session end and stdout parsing failed twice).
+    def flush(partial: Boolean): Unit =
+      try {
+        val tmp = java.nio.file.Paths.get("bench_out.json.tmp")
+        java.nio.file.Files.write(tmp, renderJson(partial).getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get("bench_out.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case _: Throwable => () }
+    def record(name: String, sec: Double): Unit = { results += name -> sec; flush(partial = true) }
+
+    record("pagerank_converge", prSec)
+    record("cc", isolated(timed("cc")(algos.ConnectedComponents.run(gSym))._2))
+    record("cc_star", isolated(timed("cc_star")(algos.CCStar.run(gSym))._2))
+    record("lp", isolated(timed("lp")(algos.LabelPropagation.run(gSym))._2))
+    record("triangles", isolated(timed("triangles")(algos.TriangleCount.count(gSym))._2))
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val s = isolated(timed(name)(
         try fn(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); -1L })._2)
-      name -> s
+      record(name, s)
     }
-    results ++= queryTimes
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.values.sum
-    val json =
-      s"""{"metric":"pagerank_edges_per_sec_per_iter","value":$edgesPerSecIter,"unit":"edges/sec/iter","pr_iterations":$prIters,"pr_seconds":$prSec,"num_edges":${gDir.numEdges},"num_vertices":${gDir.numVertices},"build_seconds":${buildDirSec + buildSymSec},"total_query_seconds":$total,"queries":$qs,"cpus":$cpus,"sf":"$sfDir"}"""
+    val json = renderJson(partial = false)
     println(json)
-    // Belt-and-braces: also leave the JSON on disk in case the stdout
-    // line gets lost in logger noise (both prior rounds parsed null).
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_out.json"),
-      json.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    flush(partial = false)
     spark.stop()
   }
 }

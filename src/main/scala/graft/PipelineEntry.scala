@@ -209,6 +209,12 @@ object PipelineEntry {
     // decode the 44-byte PCM header back from the bytes
     "q_wav" -> ((s, dir) =>
       Multimodal.decodeWav(Multimodal.wavTable(Dedup.docs(s, dir)))),
+    // REAL raster codec path: synthesize genuine 24-bit BMPs (padded
+    // bottom-up rows), decode dimensions + exact per-channel pixel
+    // sums back from the bytes (stride and padding from the parsed
+    // header) — replaces the hash-fake image story with a real codec
+    "q_bmp" -> ((s, dir) =>
+      Multimodal.decodeBmp(Multimodal.bmpTable(Dedup.docs(s, dir)))),
     // eval-set n-gram decontamination (n=3 exercises the 30-70-token
     // synthetic docs; production would run 8-13)
     "q_decontam" -> ((s, dir) => Decontam.contamination(Dedup.docs(s, dir))),
@@ -459,6 +465,67 @@ object PipelineEntry {
        |       cast((${rd32(41)} * 1000) // ${rd32(29)} AS bigint) AS duration_ms,
        |       md5(substring(hx, 89, 1000000000)) AS payload_md5
        |FROM w""".stripMargin
+  }
+
+  /** BMP synthesize-and-decode replay (Multimodal.bmpTable/decodeBmp):
+   * build the identical file hex (header fields little-endian, text
+   * bytes repeated across the padded raster), then parse it back —
+   * header reads, stride arithmetic, per-pixel channel sums — all in
+   * exact integer arithmetic. */
+  private val bmpSql: String = {
+    def le32(x: String): String =
+      s"concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex((($x) // 256) % 256), 2, '0')," +
+        s" lpad(hex((($x) // 65536) % 256), 2, '0'), lpad(hex((($x) // 16777216) % 256), 2, '0'))"
+    def rd32(p: Int): String =
+      s"('0x' || substring(hx, ${(p + 3) * 2 - 1}, 2) || substring(hx, ${(p + 2) * 2 - 1}, 2)" +
+        s" || substring(hx, ${(p + 1) * 2 - 1}, 2) || substring(hx, ${p * 2 - 1}, 2))::BIGINT"
+    def rd16(p: Int): String =
+      s"('0x' || substring(hx, ${(p + 1) * 2 - 1}, 2) || substring(hx, ${p * 2 - 1}, 2))::BIGINT"
+    val off = "(h.data_off + (idx.i // h.width) * h.row_size + (idx.i % h.width) * 3)"
+    s"""WITH p AS (
+       |  SELECT doc_id AS media_id, doc_id % 5 + 2 AS w, doc_id % 4 + 2 AS h,
+       |         hex(encode(text)) AS th
+       |  FROM documents
+       |), r AS (
+       |  SELECT media_id, w, h, ((3 * w + 3) // 4) * 4 * h AS img_size,
+       |         ((3 * w + 3) // 4) * 4 AS row_size, th
+       |  FROM p
+       |), b AS (
+       |  SELECT media_id, upper(concat(
+       |    '424D', ${le32("img_size + 54")}, '00000000', ${le32("54")},
+       |    ${le32("40")}, ${le32("w")}, ${le32("h")}, '0100', '1800', ${le32("0")},
+       |    ${le32("img_size")}, ${le32("2835")}, ${le32("2835")}, ${le32("0")}, ${le32("0")},
+       |    substring(repeat(th, cast((img_size * 2) // length(th) + 1 AS int)),
+       |              1, cast(img_size * 2 AS int)))) AS hx
+       |  FROM r
+       |), hd AS (
+       |  SELECT media_id, hx,
+       |         CASE WHEN substring(hx, 1, 4) = '424D' AND ${rd16(27)} = 1
+       |                   AND ${rd16(29)} = 24 AND ${rd32(31)} = 0 THEN 1 ELSE 0 END AS valid,
+       |         ${rd32(11)} AS data_off, ${rd32(19)} AS width, ${rd32(23)} AS height
+       |  FROM b
+       |), hd2 AS (
+       |  SELECT *, ((3 * width + 3) // 4) * 4 AS row_size FROM hd
+       |), idx AS (SELECT unnest(range(64)) AS i
+       |), px AS (
+       |  SELECT h.media_id,
+       |         ('0x' || substring(h.hx, cast($off * 2 + 1 AS int), 2))::BIGINT AS bb,
+       |         ('0x' || substring(h.hx, cast($off * 2 + 3 AS int), 2))::BIGINT AS gg,
+       |         ('0x' || substring(h.hx, cast($off * 2 + 5 AS int), 2))::BIGINT AS rr
+       |  FROM hd2 h JOIN idx ON idx.i < h.width * h.height
+       |  WHERE h.valid = 1
+       |), ag AS (
+       |  SELECT media_id, count(*) AS n_pixels, sum(bb) AS sum_b,
+       |         sum(gg) AS sum_g, sum(rr) AS sum_r
+       |  FROM px GROUP BY 1
+       |)
+       |SELECT h.media_id, cast(h.valid AS bigint) AS valid,
+       |       cast(h.width AS bigint) AS width, cast(h.height AS bigint) AS height,
+       |       cast(coalesce(a.n_pixels, 0) AS bigint) AS n_pixels,
+       |       cast(coalesce(a.sum_b, 0) AS bigint) AS sum_b,
+       |       cast(coalesce(a.sum_g, 0) AS bigint) AS sum_g,
+       |       cast(coalesce(a.sum_r, 0) AS bigint) AS sum_r
+       |FROM hd2 h LEFT JOIN ag a USING (media_id)""".stripMargin
   }
 
   /** Mirrors Dedup.editDistancePairs over the same cand CTE (byte ≡
@@ -2123,6 +2190,7 @@ object PipelineEntry {
     "q_hybrid" -> hybridSql,
     "q_editdist" -> editDistSql,
     "q_wav" -> wavSql,
+    "q_bmp" -> bmpSql,
     "q_wsample" ->
       """WITH p AS (
         |  SELECT doc_id, source, n_chars,

@@ -127,8 +127,89 @@ object ScalingBench {
     spark.stop()
   }
 
+  /** MULTI-JVM scaling mode — the executor-level evidence the thread
+   * proxy cannot give: `local-cluster[E, C, M]` forks E REAL executor
+   * JVMs (separate heaps, separate GC, task results and shuffle
+   * blocks crossing process boundaries over loopback RPC) from the
+   * Spark distribution at $SPARK_HOME, with this repo's classes on
+   * `spark.executor.extraClassPath`. The north rule's "N vs 4N
+   * executors" runs as 1 executor × C cores vs 4 executors × C cores,
+   * same per-executor memory at both levels (how a real cluster
+   * scales: 4N executors bring 4× total memory). Interleaved A/B,
+   * fresh cluster per cell, min-stat — the [[main]] protocol.
+   *
+   * Usage: `SPARK_HOME=/opt/spark sbt "runMain graft.ScalingBench jvm
+   *   [numConvs] [turnsPerConv] [iters] [repeats] [loExecs] [hiExecs]
+   *   [coresPerExec] [memMB] [partsPerCore]"`
+   * (prebuild cache is created on demand, same as [[main]]).
+   */
+  private def jvmMain(args: Array[String]): Unit = {
+    require(sys.env.contains("SPARK_HOME"),
+      "local-cluster mode forks executors from the Spark dist — set SPARK_HOME")
+    val numConvs = args.lift(1).map(_.toLong).getOrElse(2000000L)
+    val turnsPerConv = args.lift(2).map(_.toInt).getOrElse(20)
+    val iters = args.lift(3).map(_.toInt).getOrElse(5)
+    val repeats = args.lift(4).map(_.toInt).getOrElse(3)
+    val loExecs = args.lift(5).map(_.toInt).getOrElse(1)
+    val hiExecs = args.lift(6).map(_.toInt).getOrElse(4)
+    val coresPerExec = args.lift(7).map(_.toInt).getOrElse(4)
+    val memMB = args.lift(8).map(_.toInt).getOrElse(12288)
+    val partsPerCore = args.lift(9).map(_.toInt).getOrElse(1)
+    val cacheDir = s"/tmp/graft_scale_${numConvs}x$turnsPerConv"
+    require(new java.io.File(s"$cacheDir/degrees/_SUCCESS").exists(),
+      s"prebuild cache missing at $cacheDir — run the thread-mode main once first")
+
+    def clusterSession(execs: Int, parts: Int, tag: String): SparkSession = {
+      val b = SparkSession.builder()
+        .master(s"local-cluster[$execs,$coresPerExec,$memMB]")
+        .appName(s"graft-scaling-jvm-$tag")
+        .config("spark.sql.shuffle.partitions", parts)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.file.transferTo", "false")
+        .config("spark.shuffle.sort.bypassMergeThreshold", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.cleaner.periodicGC.interval", "60s")
+        .config("spark.executor.extraClassPath",
+          s"${sys.props("user.dir")}/target/scala-2.13/classes")
+      val s = sys.env.get("GRAFT_LOCAL_DIR")
+        .fold(b)(d => b.config("spark.local.dir", d))
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+
+    var numEdges = 0L
+    val times = scala.collection.mutable.Map[Int, List[Double]]().withDefaultValue(Nil)
+    for (r <- 1 to repeats; execs <- Seq(loExecs, hiExecs)) {
+      val parts = execs * coresPerExec * partsPerCore
+      val spark = clusterSession(execs, parts, s"$execs-$r")
+      val g = loadGraph(spark, cacheDir, parts)
+      numEdges = g.numEdges
+      algos.PageRank.run(g, iterations = iters) // untimed warmup
+      val t0 = System.nanoTime()
+      algos.PageRank.run(g, iterations = iters)
+      val s = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scale-jvm] rep $r execs=$execs: $s%.2f s")
+      times(execs) = s :: times(execs)
+      spark.stop(); fresh()
+    }
+
+    def median(xs: List[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+    val tLo = times(loExecs).min
+    val tHi = times(hiExecs).min
+    val eLo = numEdges.toDouble * iters / tLo
+    val eHi = numEdges.toDouble * iters / tHi
+    val efficiency = (eHi / eLo) / (hiExecs.toDouble / loExecs)
+    val runsLo = times(loExecs).reverse.map(t => f"$t%.2f").mkString("[", ",", "]")
+    val runsHi = times(hiExecs).reverse.map(t => f"$t%.2f").mkString("[", ",", "]")
+    println(
+      f"""{"metric":"jvm_scaling_efficiency","value":$efficiency%.3f,"edges":$numEdges,"iters_per_run":$iters,"cores_per_exec":$coresPerExec,"mem_mb_per_exec":$memMB,"parts_per_core":$partsPerCore,"protocol":"local-cluster multi-JVM executors; interleaved A/B, fresh cluster per cell, 1 warmup + 1 timed run; min over repeats","levels":{"execs=$loExecs":{"sec_runs":$runsLo,"sec_min":$tLo%.2f,"sec_median":${median(times(loExecs))}%.2f,"edges_per_sec_iter":$eLo%.0f},"execs=$hiExecs":{"sec_runs":$runsHi,"sec_min":$tHi%.2f,"sec_median":${median(times(hiExecs))}%.2f,"edges_per_sec_iter":$eHi%.0f}}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("cell")) return cellMain(args)
+    if (args.headOption.contains("jvm")) return jvmMain(args)
     // 2M convs × 20 turns → 52M edges: large enough that per-superstep
     // compute dominates the fixed driver cost at both levels (at 7.8M
     // edges the measurement is overhead-dominated — BASELINE.md)

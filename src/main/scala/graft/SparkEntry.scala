@@ -306,6 +306,11 @@ object SparkEntry {
       val g = Graphs.get(s, dir, symmetric = true)
       Truss.keyed(g, k = 3)
     }),
+    // FULL truss decomposition — per-edge max-k membership (the edge
+    // twin of q_coreness): increasing-k peels, each from the previous
+    // truss fixpoint (trusses nest)
+    "q_trussness" -> ((s, dir) =>
+      Truss.trussnessKeyed(Graphs.get(s, dir, symmetric = true))),
     "q_bfs" -> ((s, dir) => {
       val g = Graphs.get(s, dir, symmetric = true)
       Bfs.run(g, rootId(g)).tree.join(g.vertices, "id")
@@ -726,6 +731,20 @@ object SparkEntry {
         .join(g.vertices, "id")
         .select(col("key"), col("p"), col("r"))
     }),
+    // INCREMENTAL PageRank (warm-start signed residual push): 10 cold
+    // rounds on the adjacency-only subgraph simulate the pre-existing
+    // batch, then the tool edges "arrive" — retraction un-absorbs the
+    // affected sources and retracts their historical deliveries, and
+    // 6 signed-push rounds repair the estimate on the full graph.
+    // Exact ×2^40 integer trajectory; the oracle replays all 17 bulk
+    // ops bit-for-bit (the q_ppr_push contract — a float fixpoint is
+    // trajectory-dependent and could not be hash-checked).
+    "q_pagerank_inc" -> ((s, dir) => {
+      val g = Graphs.get(s, dir, symmetric = false)
+      PageRankInc.run(g, col("weight") === 2.0).state
+        .join(g.vertices, "id")
+        .select(col("key"), col("p"), col("r"))
+    }),
     // GraphSAGE mean-pool layer (no learned weights): per (vertex,
     // dim) own feature + floored neighbor mean, long format so one
     // edge join serves all dims
@@ -771,18 +790,14 @@ object SparkEntry {
         .join(g.vertices, "id")
         .select(col("key"), col("seed_key"), col("dist"))
     }),
-    // DAG longest-path depth (critical path) on the DIRECTED graph —
-    // the max-plus twin of SSSP's relaxation (turn chains + tool hops
-    // form a DAG by construction)
-    "q_critpath" -> ((s, dir) => {
-      val g = Graphs.get(s, dir, symmetric = false)
-      DagDepth.run(g).depth.join(g.vertices, "id")
-        .select(col("key"), col("d").as("depth"))
-    }),
-    // tree-contracted critical path: pointer-jumping resolves the
-    // in-degree-1 forest in O(log L) rounds, max-plus relaxes only the
-    // contracted roots — SAME fixpoint as q_critpath, so a green row
-    // against the shared oracle proves the schedule change exactly
+    // DAG longest-path depth (critical path): only the tree-contracted
+    // schedule rides the driver map — the uncontracted per-level
+    // baseline (DagDepth.run) returns the SAME fixpoint ~19× slower
+    // (O(depth) cut jobs vs O(log L)) and lives on as the sbt-tested
+    // reference schedule (PropertySpec DP equivalence + Round3bSpec
+    // resume), not a timed duplicate in the 220-query sweep.
+    // Pointer-jumping resolves the in-degree-1 forest in O(log L)
+    // rounds, max-plus relaxes only the contracted roots.
     "q_critpath_fast" -> ((s, dir) => {
       val g = Graphs.get(s, dir, symmetric = false)
       DagDepth.runContracted(g).depth.join(g.vertices, "id")
@@ -1393,6 +1408,74 @@ object SparkEntry {
       (1 to 6).map(round).mkString +
       """
         |SELECT key, cast(p AS bigint) AS p, cast(r AS bigint) AS r FROM s6""".stripMargin
+  }
+
+  /** Incremental-PageRank replay (algos.PageRankInc): 10 unrolled
+   * cold push rounds on the adjacency-only subgraph, the retraction
+   * bulk op, then 6 signed push rounds on the full graph — every
+   * division sign-split so `//` (floor) only ever sees nonnegative
+   * operands and agrees with Spark's truncating `div`. */
+  private val pagerankIncSql: String = {
+    // one bulk push round: prev state -> s$i over edges $ed / degrees $dg
+    val round = (i: Int, ed: String, dg: String) =>
+      s""", a$i AS MATERIALIZED (
+         |  SELECT s.key, s.p + s.r AS p2, x2.share,
+         |         x1.rem - x2.share * d.d AS lft,
+         |         s.sent + x2.share AS sent2
+         |  FROM s${i - 1} s JOIN $dg d ON d.key = s.key,
+         |       LATERAL (SELECT CASE WHEN s.r >= 0 THEN (17 * s.r) // 20
+         |                            ELSE -((17 * (-s.r)) // 20) END AS rem) x1,
+         |       LATERAL (SELECT CASE WHEN x1.rem >= 0 THEN x1.rem // d.d
+         |                            ELSE -((-x1.rem) // d.d) END AS share) x2
+         |  WHERE d.d > 0 AND abs(s.r) >= 1048576 * d.d
+         |        AND (s.r >= 0 OR $i > 11)
+         |), g$i AS MATERIALIZED (
+         |  SELECT $ed.dst_key AS key, sum(a.share) AS m
+         |  FROM a$i a JOIN $ed ON $ed.src_key = a.key GROUP BY 1
+         |), s$i AS MATERIALIZED (
+         |  SELECT s.key,
+         |         CASE WHEN a.key IS NOT NULL THEN a.p2
+         |              WHEN d.d = 0 AND abs(s.r) >= 1048576
+         |                   AND (s.r >= 0 OR $i > 11) THEN s.p + s.r
+         |              ELSE s.p END AS p,
+         |         (CASE WHEN a.key IS NOT NULL THEN a.lft
+         |               WHEN d.d = 0 AND abs(s.r) >= 1048576
+         |                    AND (s.r >= 0 OR $i > 11) THEN 0
+         |               ELSE s.r END) + coalesce(g.m, 0) AS r,
+         |         CASE WHEN a.key IS NOT NULL THEN a.sent2 ELSE s.sent END AS sent
+         |  FROM s${i - 1} s
+         |  JOIN $dg d ON d.key = s.key
+         |  LEFT JOIN a$i a ON a.key = s.key
+         |  LEFT JOIN g$i g ON g.key = s.key
+         |)""".stripMargin
+    prefix +
+      """, eold AS MATERIALIZED (SELECT src_key, dst_key FROM e WHERE kind = 'adj')
+        |, dgo AS MATERIALIZED (
+        |  SELECT v.key, coalesce(o.c, 0) AS d FROM v LEFT JOIN (
+        |    SELECT src_key AS key, count(*) AS c FROM eold GROUP BY 1) o ON o.key = v.key
+        |), dgn AS MATERIALIZED (
+        |  SELECT v.key, coalesce(o.c, 0) AS d FROM v LEFT JOIN (
+        |    SELECT src_key AS key, count(*) AS c FROM e GROUP BY 1) o ON o.key = v.key
+        |), s0 AS MATERIALIZED (
+        |  SELECT key, cast(0 AS bigint) AS p, cast(164926744166 AS bigint) AS r,
+        |         cast(0 AS bigint) AS sent FROM v)""".stripMargin +
+      (1 to 10).map(round(_, "eold", "dgo")).mkString +
+      // retraction: affected sources un-absorb + retract deliveries
+      """, aff AS MATERIALIZED (SELECT DISTINCT src_key AS key FROM e WHERE kind = 'tool')
+        |, ret AS MATERIALIZED (
+        |  SELECT eold.dst_key AS key, sum(-s.sent) AS m
+        |  FROM s10 s JOIN aff ON aff.key = s.key JOIN eold ON eold.src_key = s.key
+        |  GROUP BY 1
+        |), s11 AS MATERIALIZED (
+        |  SELECT s.key,
+        |         CASE WHEN aff.key IS NOT NULL THEN 0 ELSE s.p END AS p,
+        |         (CASE WHEN aff.key IS NOT NULL THEN s.r + s.p ELSE s.r END)
+        |           + coalesce(ret.m, 0) AS r,
+        |         CASE WHEN aff.key IS NOT NULL THEN 0 ELSE s.sent END AS sent
+        |  FROM s10 s LEFT JOIN aff ON aff.key = s.key LEFT JOIN ret ON ret.key = s.key
+        |)""".stripMargin +
+      (12 to 17).map(round(_, "e", "dgn")).mkString +
+      "\nSELECT key, cast(p AS bigint) AS p, cast(r AS bigint) AS r FROM s17"
   }
 
   /** MAX-CUT local search, 4 unrolled independent-flip rounds —
@@ -2406,6 +2489,42 @@ object SparkEntry {
       |)
       |SELECT a AS u_key, b AS v_key, cast(sup AS bigint) AS support
       |FROM fsup WHERE a < b""".stripMargin
+
+  /** Full truss-decomposition replay: one trussSql-style peel per
+   * k = 3..4 (the 3-core is empty here — corenessSql proves the
+   * ceiling — so every 4-truss edge would need a 3-core and l4 stays
+   * empty, proving trussness ≤ 3), each peel starting from the
+   * previous truss fixpoint exactly as the engine's nested peel;
+   * membership CASE downward, floor 2. Fixpoint-or-empty at the it
+   * cap, the corenessSql/trussSql convention. */
+  private val trussnessSql: String = {
+    val peel = (k: Int, base: String) =>
+      s""", r$k(a, b, it) AS (
+         |  SELECT a, b, 0 FROM $base
+         |  UNION ALL
+         |  SELECT e.a, e.b, e.it + 1
+         |  FROM r$k e
+         |  JOIN r$k w1 ON w1.a = e.a AND w1.it = e.it
+         |  JOIN r$k w2 ON w2.a = e.b AND w2.b = w1.b AND w2.it = e.it
+         |  WHERE e.it < 11
+         |  GROUP BY e.a, e.b, e.it
+         |  HAVING count(*) >= ${k - 2}
+         |), l$k AS MATERIALIZED (
+         |  SELECT a, b FROM r$k WHERE it = 11
+         |)""".stripMargin
+    "WITH RECURSIVE " + prefixBody + symBody +
+      ", l2 AS MATERIALIZED (SELECT src_key AS a, dst_key AS b FROM esw)" +
+      peel(3, "l2") + peel(4, "l3") +
+      """
+        |SELECT e.a AS u_key, e.b AS v_key,
+        |       cast(CASE WHEN l4.a IS NOT NULL THEN 4
+        |                 WHEN l3.a IS NOT NULL THEN 3
+        |                 ELSE 2 END AS bigint) AS trussness
+        |FROM l2 e
+        |LEFT JOIN l3 ON l3.a = e.a AND l3.b = e.b
+        |LEFT JOIN l4 ON l4.a = e.a AND l4.b = e.b
+        |WHERE e.a < e.b""".stripMargin
+  }
 
   /** Betweenness from the max-degree root (bc.cpp:24-196 semantics):
    * forward = ONE level-synchronous recursion carrying the full
@@ -3815,6 +3934,7 @@ object SparkEntry {
     "q_salsa" -> salsaSql,
     "q_cascade" -> cascadeSql,
     "q_ppr_push" -> pprPushSql,
+    "q_pagerank_inc" -> pagerankIncSql,
     "q_maxcut" -> maxcutSql,
     "q_domset" -> ("WITH " + prefixBody + symBody +
       """
@@ -3840,6 +3960,7 @@ object SparkEntry {
     "q_kcore" -> kcoreSql,
     "q_coreness" -> corenessSql,
     "q_truss" -> trussSql,
+    "q_trussness" -> trussnessSql,
     "q_matching" -> matchingSql,
     "q_matching_w" -> matchingWSql,
     "q_coarsen" -> coarsenSql,
@@ -4079,7 +4200,6 @@ object SparkEntry {
     "q_cc_inc" -> ccSql,
     "q_lp" -> ccSql,
     "q_voronoi" -> voronoiSql,
-    "q_critpath" -> critpathSql,
     "q_critpath_fast" -> critpathSql,
     "q_scc" -> sccSql,
     "q_simrank" -> simrankSql,

@@ -132,12 +132,19 @@ object Betweenness {
     }
 
     val allDeps = done.reduce(_ unionByName _)
-    val sigmas = levels.reduce(_ unionByName _)
+    val sigmas = levels.reverse.zipWithIndex.map { case (lv, l) =>
+      lv.select(col("id"), col("sigma"), lit(l).as("lvl"))
+    }.reduce(_ unionByName _)
     // Emit the reference's per-vertex report pair (dependencies,
     // num_paths) — bc.cpp:184-190 prints both; σ is an exact integer
-    // so it doubles as a hash-exact oracle column.
+    // so it doubles as a hash-exact oracle column. dep and the BFS
+    // level ride along so downstream consumers (EdgeBetweenness) use
+    // the EXACT backward-pass dependency instead of re-deriving it
+    // from bc — the (bc+1)/σ inversion loses low double bits for
+    // large dep·σ.
     val bc = allDeps.join(sigmas, "id")
-      .select(col("id"), col("sigma"), (col("dep") * col("sigma") - 1.0).as("bc"))
+      .select(col("id"), col("sigma"), (col("dep") * col("sigma") - 1.0).as("bc"),
+        col("dep"), col("lvl"))
       .graftCut
     ckpt.foreach { c =>
       val cumulative = levels.reverse.zipWithIndex.map { case (lvl, l) =>

@@ -88,6 +88,10 @@ object Cascade {
         .join(active.select(col("id")), Seq("id"), "left_anti")
         .select(col("id"), lit(round).as("act_round"))
         .graftCutCount
+      // the superseded frontier cut (last round's newActive) is done;
+      // skip round 1, where frontier IS the seed `active` cut that
+      // the union below still reads
+      if (frontier ne active) frontier.graftFree()
       frontier = newActive
       frontierCount = n
       if (n > 0) {
@@ -97,6 +101,13 @@ object Cascade {
         prevActive.graftFree()
       }
     }
+    // free every auxiliary cut before returning: the trailing
+    // frontier (empty or maxRounds-truncated), the cumulative
+    // counts, and the threshold table — `active` is already
+    // materialized, nothing recomputes through them
+    if (frontier ne active) frontier.graftFree()
+    if (cum ne null) cum.graftFree()
+    thresh.graftFree()
     active
   }
 }

@@ -16,14 +16,14 @@ import graft.LinkGraph
  *   ebc(u→v) = σ(u)/σ(v) · (1 + δ(v)) = σ(u) · dep(v)
  *
  * and [[Betweenness]] already publishes everything on the right:
- * its output bc(v) = δ(v) and sigma(v) give dep(v) = (δ(v)+1)/σ(v);
- * [[Bfs]] supplies lvl. So edge betweenness is the vertex run + one
- * more BFS (the same frontier schedule as Brandes' own forward
- * phase — a fused variant would return the forward levels directly
- * and drop this pass) + ONE co-partitioned edge join. No extra
- * backward pass. Reference anchor: the dependency pair the vertex
- * pass reports (bc.cpp:184-190) is exactly the per-edge credit
- * factored through the DAG.
+ * the fused vertex run returns σ(v), the backward-pass dep(v)
+ * EXACTLY as computed (not re-derived from bc — inverting
+ * (bc+1)/σ loses low double bits for large dep·σ), and the forward
+ * BFS level. So edge betweenness is the vertex run + ONE
+ * co-partitioned edge join — no second BFS, no extra backward pass.
+ * Reference anchor: the dependency pair the vertex pass reports
+ * (bc.cpp:184-190) is exactly the per-edge credit factored through
+ * the DAG.
  *
  * Non-DAG edges (same level, or spanning >1 level — impossible for
  * BFS levels; equal-level edges are real) carry no shortest-path
@@ -33,17 +33,13 @@ object EdgeBetweenness {
 
   /** @return (src, dst, ebc: double) over shortest-path-DAG edges */
   def run(graph: LinkGraph, rootId: Long): DataFrame = {
-    val bc = Betweenness.run(graph, rootId).bc // (id, sigma, bc=δ)
-    val lvl = Bfs.run(graph, rootId).tree // (id, parent, level)
-      .select(col("id"), col("level"))
+    val bc = Betweenness.run(graph, rootId).bc // (id, sigma, bc, dep, lvl)
 
-    val srcState = bc.join(lvl, "id")
+    val srcState = bc
       .select(col("id").as("src"), col("sigma").as("s_sigma"),
-        col("level").as("s_lvl"))
-    val dstState = bc.join(lvl, "id")
-      .select(col("id").as("dst"),
-        ((col("bc") + lit(1.0)) / col("sigma")).as("dep"),
-        col("level").as("d_lvl"))
+        col("lvl").as("s_lvl"))
+    val dstState = bc
+      .select(col("id").as("dst"), col("dep"), col("lvl").as("d_lvl"))
 
     graph.edgesBySrc
       .join(srcState, "src") // co-partitioned on src

@@ -76,6 +76,10 @@ object MaxCut {
         prev.graftFree()
         candCut.graftFree()
         prev = side
+      } else {
+        // no positive-gain candidate this round: the (empty) cut
+        // still holds a cached partition set — free it
+        candCut.graftFree()
       }
     }
     side.select(col("id"), col("side"))

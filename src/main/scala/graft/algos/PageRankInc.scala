@@ -1,0 +1,194 @@
+package graft.algos
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.syntax._
+import graft.{LinkGraph, Superstep}
+
+/**
+ * INCREMENTAL PageRank — warm-start maintenance under edge arrivals,
+ * the freshness operator for a 10^12-turn ingest where re-running the
+ * full power iteration per arrival batch is the one thing you cannot
+ * afford. Gauss-Southwell signed residual push on the [[PprPush]]
+ * machinery, applied to the GLOBAL (reference-semantics, unnormalized)
+ * PageRank system
+ *
+ *   raw = b + α·Wᵀ raw,   b = 0.15·1,  α = 17/20,
+ *   W = out-degree-normalized adjacency over NON-dangling sources
+ *   (dangling mass kept in place — pagerank.cpp:86-98 semantics),
+ *
+ * in exact ×2^40 integer arithmetic so the DuckDB oracle replays the
+ * whole trajectory bit-for-bit (the [[PprPush]] exactness contract;
+ * a float fixpoint is trajectory-dependent and could not share ANY
+ * oracle exactly).
+ *
+ * Protocol (all bulk-synchronous, deterministic, order-independent):
+ *  - Phase 1 (`r1` rounds): cold push on the OLD graph (arrival
+ *    edges filtered out — same subgraph trick as
+ *    [[ConnectedComponents.incremental]]; the filter preserves the
+ *    src clustering so gathers stay co-partitioned). Push at an
+ *    active vertex v (r ≥ T·deg, T = 2^20): absorb p += r, emit
+ *    share = (17r div 20) div deg per out-edge, keep the floor
+ *    leftover in r; dangling v absorbs r and emits nothing. `sent`
+ *    accumulates the cumulative per-edge share — the retraction
+ *    needs it.
+ *  - Retraction (one bulk op) when the arrival edges land: every
+ *    affected SOURCE u (out-degree changed) un-absorbs (r += p,
+ *    p = 0) and retracts its historical deliveries (r(x) −= sent(u)
+ *    for every OLD out-neighbor x, sent(u) = 0). The corrections are
+ *    SIGNED residuals that propagate exactly like mass.
+ *  - Phase 2 (`r2` rounds): signed push on the NEW graph
+ *    (|r| ≥ T·max(deg,1); all divisions sign-split so Spark's
+ *    truncating `div` ≡ DuckDB's floor `//` — they agree only on
+ *    nonnegative operands).
+ *
+ * The 100 TB contract is phase 2's locality: after phase 1 converges,
+ * every residual is below threshold, so only the retraction sites and
+ * the vertices their corrections push above threshold ever activate —
+ * touched rows per round ≪ |V| for a small arrival batch (the
+ * activeHistory the spec pins), while a cold re-run touches every
+ * edge every iteration.
+ */
+object PageRankInc {
+
+  val scale: Long = 1L << 40
+  val threshold: Long = 1L << 20
+  /** teleport mass b = 0.15·scale, floored once (exact integer). */
+  val teleportMass: Long = 3L * scale / 20L
+
+  final case class Result(
+      state: DataFrame, // (id, p, r, sent)
+      phase1Rounds: Int,
+      phase2Rounds: Int,
+      phase1Active: Seq[Long],
+      phase2Active: Seq[Long])
+
+  /**
+   * @param graph       the FULL directed graph (old + arrived edges)
+   * @param newEdgePred predicate over (src, dst, weight) rows of
+   *                    `graph.edgesBySrc` selecting the arrivals
+   */
+  def run(graph: LinkGraph, newEdgePred: Column, r1: Int = 10, r2: Int = 6): Result = {
+    // ---- old subgraph (same vertex dict + partitioning, arrivals out)
+    val oldEdges = graph.edgesBySrc.where(!newEdgePred)
+    val oldByDst = graph.edgesByDst.where(!newEdgePred)
+    val oldOutD = oldEdges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("out_degree"))
+    val oldDegrees = graph.degrees.select(col("id"), col("in_degree"))
+      .join(oldOutD, Seq("id"), "left")
+      .select(col("id"), coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        col("in_degree"))
+      .repartition(graph.numPartitions, col("id"))
+    val nOld = oldEdges.count()
+    val oldGraph = graph.copy(
+      edgesBySrc = oldEdges, edgesByDst = oldByDst,
+      degrees = oldDegrees, numEdges = nOld)
+
+    // ---- initial state: p = 0, r = b, sent = 0 everywhere
+    var state: DataFrame = graph.vertices
+      .select(col("id"), lit(0L).as("p"), lit(teleportMass).as("r"), lit(0L).as("sent"))
+      .repartition(graph.numPartitions, col("id"))
+      .graftCut
+
+    // Once a phase goes idle (no active residual) every remaining
+    // round is the identity in BOTH engines (the oracle's empty a$i
+    // passes state through), so the engine skips them — large round
+    // budgets cost nothing after convergence.
+    val h1 = scala.collection.mutable.ArrayBuffer[Long]()
+    var idle = false
+    for (_ <- 1 to r1 if !idle) {
+      state = round(oldGraph, state, signed = false, h1)
+      idle = h1.last == 0
+    }
+
+    // ---- retraction: affected sources = sources of arrival edges
+    val affected = graph.edgesBySrc.where(newEdgePred)
+      .select(col("src").as("id")).distinct()
+    val aState = state.join(affected, "id") // (id, p, r, sent) of U
+    val (aCut, nAff) = aState.graftCutCount
+    if (nAff > 0) {
+      // corrections to OLD out-neighbors: −sent(u) each
+      val mass = Superstep.massOrBound(oldGraph, aCut.select(col("id")), nAff)
+      val corr = Superstep.gather(
+        oldGraph, aCut.select(col("id"), col("sent")),
+        signal = -col("sent"), combine = sum,
+        activeEdges = mass, activeCount = nAff)
+      val prev = state
+      state = state
+        .join(aCut.select(col("id"), lit(true).as("aff")), Seq("id"), "left")
+        .join(corr, Seq("id"), "left")
+        .select(col("id"),
+          when(col("aff"), lit(0L)).otherwise(col("p")).as("p"),
+          (when(col("aff"), col("r") + col("p")).otherwise(col("r"))
+            + coalesce(col("msg"), lit(0L))).as("r"),
+          when(col("aff"), lit(0L)).otherwise(col("sent")).as("sent"))
+        .repartition(graph.numPartitions, col("id"))
+        .graftCut
+      prev.graftFree()
+    }
+    aCut.graftFree()
+
+    // ---- phase 2: signed push on the full graph
+    val h2 = scala.collection.mutable.ArrayBuffer[Long]()
+    idle = false
+    for (_ <- 1 to r2 if !idle) {
+      state = round(graph, state, signed = true, h2)
+      idle = h2.last == 0
+    }
+
+    Result(state, r1, r2, h1.toSeq, h2.toSeq)
+  }
+
+  /** One bulk push round; mutates nothing, returns the next state cut
+   * (frees the previous). `signed` widens the active test to |r| and
+   * sign-splits the divisions. */
+  private def round(
+      g: LinkGraph,
+      state: DataFrame,
+      signed: Boolean,
+      history: scala.collection.mutable.ArrayBuffer[Long]): DataFrame = {
+    val dg = g.degrees.select(col("id"), col("out_degree").as("d"))
+    val rmag = if (signed) abs(col("r")) else col("r")
+    val st = state.join(dg, "id")
+      .withColumn("active", rmag >= lit(threshold) * greatest(col("d"), lit(1L)))
+    // push legs of the active non-dangling rows (sign-split floors:
+    // engines agree only on nonnegative operands)
+    val act = st.where(col("active") && col("d") > 0)
+      .select(col("id"), col("p"), col("r"), col("d"), col("sent"),
+        expr("CASE WHEN r >= 0 THEN (17 * r) div 20 ELSE -((17 * -r) div 20) END").as("rem"))
+      .select(col("id"),
+        (col("p") + col("r")).as("p2"),
+        expr("CASE WHEN rem >= 0 THEN rem div d ELSE -((-rem) div d) END").as("share"),
+        col("rem"), col("d"), col("sent"))
+      .select(col("id"), col("p2"), col("share"),
+        (col("rem") - col("share") * col("d")).as("lft"),
+        (col("sent") + col("share")).as("sent2"))
+    val (actCut, nAct) = act.graftCutCount
+    history += nAct
+    if (nAct == 0) { actCut.graftFree(); return state }
+    val mass = Superstep.massOrBound(g, actCut.select(col("id")), nAct)
+    val msgs = Superstep.gather(
+      g, actCut.select(col("id"), col("share")),
+      signal = col("share"), combine = sum,
+      activeEdges = mass, activeCount = nAct)
+    // merge: active non-dangling take (p2, lft, sent2); active
+    // dangling absorb (p+r, 0); inactive pass through; everyone adds
+    // incoming corrections
+    val next = st
+      .join(actCut.select(col("id"), col("p2"), col("lft"), col("sent2")), Seq("id"), "left")
+      .join(msgs, Seq("id"), "left")
+      .select(col("id"),
+        when(col("p2").isNotNull, col("p2"))
+          .when(col("active"), col("p") + col("r")) // active dangling
+          .otherwise(col("p")).as("p"),
+        (when(col("p2").isNotNull, col("lft"))
+          .when(col("active"), lit(0L))
+          .otherwise(col("r")) + coalesce(col("msg"), lit(0L))).as("r"),
+        when(col("sent2").isNotNull, col("sent2")).otherwise(col("sent")).as("sent"))
+      .repartition(g.numPartitions, col("id"))
+      .graftCut
+    state.graftFree()
+    next
+  }
+}

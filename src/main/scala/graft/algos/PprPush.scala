@@ -67,7 +67,9 @@ object PprPush {
       val (actCut, nAct) = act.graftCutCount
       if (nAct == 0) {
         // fixpoint: remaining rounds are no-ops (oracle unrolls them
-        // as identities)
+        // as identities); the just-built active cut holds no rows we
+        // need — free it or it stays cached for the session
+        actCut.graftFree()
         prev = state
       } else {
         val mass = Superstep.massOrBound(

@@ -88,6 +88,79 @@ object Truss {
     Result(last, rounds)
   }
 
+  /**
+   * FULL truss decomposition: trussness(e) = max k with e in the
+   * k-truss (every surviving edge is trivially in the 2-truss, so the
+   * floor is 2 — the edge-level twin of [[KCore.coreness]], the
+   * hierarchy miner's tool: peeling communities by cohesion level
+   * without picking k up front).
+   *
+   * Increasing-k peels, each starting from the PREVIOUS k's fixpoint
+   * edge set — k-trusses nest, so the (k−1)-truss is a valid start
+   * and the k=3 pass dominates the cost; later passes peel strictly
+   * shrinking edge sets. Peel count = truss degeneracy + 1 (tiny on
+   * power-law graphs, like the core degeneracy). Same wedge-join
+   * support kernel as [[run]].
+   *
+   * @return (a, b, trussness) over the degree-oriented edge rows
+   */
+  def trussness(graph: LinkGraph, maxK: Int = 64, maxRoundsPerK: Int = 12): DataFrame = {
+    require(graph.symmetric, "truss decomposition is defined on the undirected graph")
+    var (cur, n) = TriangleCount.orient(graph)
+      .repartition(graph.numPartitions, col("a"))
+      .graftCutCount
+    var out = cur.select(col("a"), col("b"), lit(2L).as("trussness")).graftCut
+    var k = 3
+    while (n > 0 && k <= maxK) {
+      val need = (k - 2).toLong
+      var converged = false
+      var rounds = 0
+      while (!converged && n > 0 && rounds < maxRoundsPerK) {
+        val wedges = cur.as("e1").join(
+          cur.select(col("a").as("b"), col("b").as("c")).as("e2"), "b")
+        val tris = wedges.join(
+          cur.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+        val sup = tris.select(explode(array(
+          struct(col("a").as("x"), col("b").as("y")),
+          struct(col("b").as("x"), col("c").as("y")),
+          struct(col("a").as("x"), col("c").as("y")))).as("e"))
+          .select(col("e.x").as("a"), col("e.y").as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+        val (kept, m) = cur
+          .join(sup.where(col("support") >= need).select(col("a"), col("b")),
+            Seq("a", "b"), "left_semi")
+          .graftCutCount
+        rounds += 1
+        // kept ⊆ cur, so equal counts ⇒ equal sets (fixpoint)
+        if (m == n) { converged = true; kept.graftFree() }
+        else { cur.graftFree(); cur = kept; n = m }
+      }
+      if (n > 0) {
+        val prev = out
+        out = out
+          .join(cur.select(col("a"), col("b"), lit(true).as("inc")), Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            when(col("inc"), lit(k.toLong)).otherwise(col("trussness")).as("trussness"))
+          .graftCut
+        prev.graftFree()
+      }
+      k += 1
+    }
+    cur.graftFree()
+    out
+  }
+
+  /** Driver-query export of [[trussness]]: (u_key, v_key, trussness). */
+  def trussnessKeyed(graph: LinkGraph): DataFrame = {
+    val vk = (n: String) =>
+      graph.vertices.select(col("id").as(n), col("key").as(n + "k"))
+    trussness(graph).join(vk("a"), "a").join(vk("b"), "b")
+      .select(
+        least(col("ak"), col("bk")).as("u_key"),
+        greatest(col("ak"), col("bk")).as("v_key"),
+        col("trussness"))
+  }
+
   /** Driver-query export: key-oriented (u_key, v_key, support). */
   def keyed(graph: LinkGraph, k: Int = 3): DataFrame = {
     val r = run(graph, k)

@@ -57,23 +57,65 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH band-bucket candidate pairs (doc_a < doc_b, deduped) — the
-   * linear-cost generator shared by the Jaccard, containment, and
-   * edit-distance verifiers. */
-  private def bandCandidates(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** Default per-band-bucket size cap for the LSH candidate join —
+   * far above any bucket this corpus shape produces (so sf-scale
+   * results are exactly the uncapped results), but a hard bound at
+   * 100 TB where one viral boilerplate text would otherwise put k
+   * docs in one bucket and emit k² candidate rows. */
+  val defaultMaxBandBucket = 1000L
+
+  /** (doc_id, q=band index, bh=band hash) — one row per (doc, band),
+   * the bucket key space of the LSH candidate join. */
+  private def bandKeys(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     val sig = minhashSignature(sh, numHashes)
     val bandCols: Seq[Column] = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
       md5(concat_ws("|", cols: _*)).as(s"band$b")
     }
-    val banded = sig.select(col("doc_id") +: bandCols: _*)
-    (0 until bands).map { b =>
-      val l = banded.select(col("doc_id").as("doc_a"), col(s"band$b").as("bh"))
-      val r = banded.select(col("doc_id").as("doc_b"), col(s"band$b").as("bh"))
-      l.join(r, "bh").where(col("doc_a") < col("doc_b")).select(col("doc_a"), col("doc_b"))
-    }.reduce(_ unionByName _).distinct()
+    // one projection computes every band, then an unpivot — the
+    // signature agg runs once per scan, not once per band
+    sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), expr(
+        s"stack($bands, ${(0 until bands).map(b => s"$b, band$b").mkString(", ")}) as (q, bh)"))
   }
+
+  /** LSH band-bucket candidate pairs (doc_a < doc_b, deduped) — the
+   * linear-cost generator shared by the Jaccard, containment, and
+   * edit-distance verifiers.
+   *
+   * Buckets larger than `maxBucket` are DROPPED before the self-join
+   * (the quadratic kernel is bounded at any corpus scale; recall is
+   * lost only on degenerate boilerplate buckets — measure the dropped
+   * mass with [[bandBucketOverflow]] before raising the cap). Same
+   * guard as `Similarity.bucketed(maxBucket)`. */
+  private[graft] def bandCandidates(sh: DataFrame, numHashes: Int, bands: Int,
+      maxBucket: Long = defaultMaxBandBucket): DataFrame = {
+    val keys = bandKeys(sh, numHashes, bands)
+    val ok = keys.groupBy(col("q"), col("bh"))
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= maxBucket)
+      .select(col("q"), col("bh"))
+    val kept = keys.join(ok, Seq("q", "bh"), "left_semi")
+    kept.as("l").join(kept.as("r"), Seq("q", "bh"))
+      .where(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Dropped-mass report for the [[bandCandidates]] cap: the band
+   * buckets above `maxBucket` with their sizes — what the cap cost in
+   * recall, the number a pipeline owner reads before raising it.
+   * Empty ⇔ the capped candidate set is exactly the uncapped one.
+   *
+   * @return (q, bh, bsz) for every over-cap bucket
+   */
+  def bandBucketOverflow(docs: DataFrame, numHashes: Int = 12, bands: Int = 4,
+      maxBucket: Long = defaultMaxBandBucket, shingleN: Int = 3): DataFrame =
+    bandKeys(shingles(docs, shingleN), numHashes, bands)
+      .groupBy(col("q"), col("bh"))
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > maxBucket)
 
   /**
    * Edit-distance-verified near-duplicate pairs: LSH band candidates
@@ -361,19 +403,8 @@ object Dedup {
       bands: Int = 4,
       minContE4: Long = 5000,
       shingleN: Int = 3): DataFrame = {
-    val rows = numHashes / bands
     val sh = shingles(docs, shingleN).persist()
-    val sig = minhashSignature(sh, numHashes)
-    val bandCols: Seq[Column] = (0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
-      md5(concat_ws("|", cols: _*)).as(s"band$b")
-    }
-    val banded = sig.select(col("doc_id") +: bandCols: _*)
-    val candidates = (0 until bands).map { b =>
-      val l = banded.select(col("doc_id").as("doc_a"), col(s"band$b").as("bh"))
-      val r = banded.select(col("doc_id").as("doc_b"), col(s"band$b").as("bh"))
-      l.join(r, "bh").where(col("doc_a") < col("doc_b")).select(col("doc_a"), col("doc_b"))
-    }.reduce(_ unionByName _).distinct()
+    val candidates = bandCandidates(sh, numHashes, bands)
     val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
@@ -393,10 +424,20 @@ object Dedup {
   }
 
   /** Exact pairwise word-n-gram Jaccard within a blocking key (same
-   * `source`) — the quadratic baseline, bounded by block size. */
-  def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+   * `source`) — the quadratic BASELINE, bounded by block size, for
+   * validating the approximate paths at small scale. NOT the 100 TB
+   * path: a single huge source block is quadratic — at corpus scale
+   * use [[allPairsJoin]] (lossless, prefix-filtered, no blocking key)
+   * or [[minhashPairs]] (approximate, capped). `maxBlock` drops
+   * source blocks above the cap so a degenerate block cannot melt the
+   * join (default keeps the baseline exact). */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.0,
+      maxBlock: Long = Long.MaxValue): DataFrame = {
     val sh = shingles(docs, n)
+    val okSrc = docs.groupBy(col("source")).agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= maxBlock).select(col("source"))
     val blocked = docs.select(col("doc_id"), col("source"))
+      .join(broadcast(okSrc), Seq("source"), "left_semi")
     val a = sh.join(blocked, "doc_id")
       .select(col("doc_id").as("doc_a"), col("source"), col("shingle"))
     val b = sh.join(blocked, "doc_id")

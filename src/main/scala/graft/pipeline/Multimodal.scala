@@ -103,6 +103,86 @@ object Multimodal {
         md5(substring(col("hx"), 89, 1000000000)).as("payload_md5"))
   }
 
+  // ---------------------------------------------------------------
+  // REAL codec path #2: 24-bit uncompressed BMP (raster). Same
+  // hex-slicing technique as WAV: the container synthesizes genuine
+  // BMP files (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up
+  // 4-byte-aligned pixel rows) and the decoder parses dimensions and
+  // per-channel pixel sums BACK FROM THE BYTES — offsets, row stride,
+  // and padding skip all computed from the parsed header, not from
+  // the synthesis parameters. Whole-stage-codegen'd, no UDF.
+  // ---------------------------------------------------------------
+
+  /** Synthesize REAL 24-bit BMP blobs from documents: width 2..6 and
+   * height 2..5 vary by doc_id; pixel bytes are the text bytes
+   * repeated to fill the padded raster (padding bytes carry stream
+   * bytes too — legal BMP; the DECODER must skip them by stride). */
+  def bmpTable(docs: DataFrame): DataFrame = {
+    val w = pmod(col("doc_id"), lit(5L)) + 2L
+    val h = pmod(col("doc_id"), lit(4L)) + 2L
+    val rowSize = expr("((3 * w + 3) div 4) * 4")
+    val bmp = docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        w.as("w"), h.as("h"))
+      .withColumn("row_size", rowSize)
+      .withColumn("img_size", col("row_size") * col("h"))
+      .withColumn("th", upper(hex(col("payload"))))
+      .withColumn("pix_hex", expr(
+        "substring(repeat(th, cast((img_size * 2) div length(th) + 1 as int)), 1, cast(img_size * 2 as int))"))
+    val hdrHex = upper(concat(
+      lit("424D"), le32Hex(col("img_size") + 54L), // "BM", file size
+      lit("00000000"), le32Hex(lit(54L)), // reserved, pixel-data offset
+      le32Hex(lit(40L)), le32Hex(col("w")), le32Hex(col("h")), // DIB, w, h
+      lit("0100"), lit("1800"), le32Hex(lit(0L)), // planes, 24 bpp, BI_RGB
+      le32Hex(col("img_size")),
+      le32Hex(lit(2835L)), le32Hex(lit(2835L)), // 72 dpi
+      le32Hex(lit(0L)), le32Hex(lit(0L))))
+    bmp.select(col("doc_id").as("media_id"),
+      unhex(concat(hdrHex, col("pix_hex"))).as("bmp"))
+  }
+
+  /** Decode the BMP FROM THE BYTES: magic/planes/bpp/compression
+   * validity, header dimensions, and EXACT per-channel pixel sums —
+   * one row per pixel via the parsed stride (row padding skipped),
+   * little-endian B,G,R bytes rebuilt from the hex image. Integer-
+   * exact throughout, so the oracle replay is hash-identical. */
+  def decodeBmp(bmps: DataFrame): DataFrame = {
+    def le32(p: Int): org.apache.spark.sql.Column = expr(
+      s"cast(conv(concat(substring(hx, ${(p + 3) * 2 - 1}, 2), substring(hx, ${(p + 2) * 2 - 1}, 2)," +
+        s" substring(hx, ${(p + 1) * 2 - 1}, 2), substring(hx, ${p * 2 - 1}, 2)), 16, 10) as bigint)")
+    def le16(p: Int): org.apache.spark.sql.Column = expr(
+      s"cast(conv(concat(substring(hx, ${(p + 1) * 2 - 1}, 2), substring(hx, ${p * 2 - 1}, 2)), 16, 10) as bigint)")
+    val hdr = bmps
+      .select(col("media_id"), upper(hex(col("bmp"))).as("hx"))
+      .select(col("media_id"), col("hx"),
+        (substring(col("hx"), 1, 4) === "424D" && // "BM"
+          le16(27) === 1L && le16(29) === 24L && // planes, bpp
+          le32(31) === 0L).cast("long").as("valid"), // BI_RGB
+        le32(11).as("data_off"), le32(19).as("width"), le32(23).as("height"))
+      .withColumn("row_size", expr("((3 * width + 3) div 4) * 4"))
+    val px = hdr.where(col("valid") === 1L)
+      .select(col("media_id"), col("hx"), col("data_off"), col("width"),
+        col("row_size"),
+        explode(sequence(lit(0L), col("width") * col("height") - 1L)).as("i"))
+      .withColumn("off", // 0-based byte offset of the pixel's B byte
+        expr("data_off + (i div width) * row_size + (i % width) * 3"))
+      .select(col("media_id"),
+        expr("cast(conv(substring(hx, cast(off * 2 + 1 as int), 2), 16, 10) as bigint)").as("b"),
+        expr("cast(conv(substring(hx, cast(off * 2 + 3 as int), 2), 16, 10) as bigint)").as("g"),
+        expr("cast(conv(substring(hx, cast(off * 2 + 5 as int), 2), 16, 10) as bigint)").as("r"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_pixels"),
+        sum(col("b")).as("sum_b"), sum(col("g")).as("sum_g"),
+        sum(col("r")).as("sum_r"))
+    hdr.select(col("media_id"), col("valid"), col("width"), col("height"))
+      .join(px, Seq("media_id"), "left")
+      .select(col("media_id"), col("valid"), col("width"), col("height"),
+        coalesce(col("n_pixels"), lit(0L)).as("n_pixels"),
+        coalesce(col("sum_b"), lit(0L)).as("sum_b"),
+        coalesce(col("sum_g"), lit(0L)).as("sum_g"),
+        coalesce(col("sum_r"), lit(0L)).as("sum_r"))
+  }
+
   /** STUB DECODE — deterministic fake: dimensions/duration derived
    * from three disjoint 40-bit segments of the blob's md5, not a real
    * codec (see class doc). md5 segments (vs xxhash64) keep the fake

@@ -87,6 +87,13 @@ object Pca {
       .agg(sum(col("xj") * col("xk")).as("c"))
     val cov = covDf.collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> BigInt(r.getLong(2))).toMap
+    if (cov.isEmpty) {
+      // empty embeddings table: no covariance, no PC1 — return the
+      // empty projection (the oracle's answer) instead of letting
+      // powerIterate's max() throw on the empty dim set
+      q.unpersist(blocking = false)
+      return Seq.empty[(Long, Long)].toDF("vec_id", "pc1_q")
+    }
     val dims = cov.keys.map(_._1).toSeq.distinct.sorted
     val w = powerIterate(cov, dims, rounds)
 

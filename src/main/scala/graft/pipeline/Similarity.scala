@@ -489,6 +489,10 @@ object Similarity {
       nQueries: Int = 5, topK: Int = 10): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // empty corpus: no dimension to probe and no queries — return the
+    // empty top-k (the oracle's answer) instead of .first() throwing
+    if (emb.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)].toDF("qid", "vec_id", "est_d2", "rank")
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
@@ -697,7 +701,7 @@ object Similarity {
    * [[labelSpread]]. Exactness-baseline quadratic kernel (codegen'd
    * dot); the scale path swaps in the LSH-bucketed candidates, as
    * for [[dbscan]]. */
-  private def mutualKnnHalf(emb: DataFrame, k: Int): DataFrame = {
+  private[graft] def mutualKnnHalf(emb: DataFrame, k: Int): DataFrame = {
     val p = prepared(emb).persist()
     val a = p.select(col("vec_id"), col("v"), col("norm"))
     val b = p.select(col("vec_id").as("nbr_id"), col("v").as("w"), col("norm").as("nrm2"))

@@ -98,9 +98,16 @@ object SnapshotTable {
     val all = committedSnaps(table)
     if (all.size <= retain) return Seq.empty
     val (drop, keep) = all.splitAt(all.size - retain)
+    // normalize both sides of the reachability check: manifests may
+    // record `loc` under a different spelling of the table path
+    // (relative vs absolute, trailing slash, symlinked parent) than
+    // this call's `table` — raw string comparison would then treat a
+    // referenced snapshot dir as orphaned and DELETE live data
+    def canon(p: String): String =
+      Paths.get(p).toAbsolutePath.normalize.toString
     val referenced: Set[String] =
-      keep.flatMap(s => bucketLocs(table, s).map(_._2)).toSet ++
-        keep.map(snapDir(table, _))
+      (keep.flatMap(s => bucketLocs(table, s).map(_._2)) ++
+        keep.map(snapDir(table, _))).map(canon).toSet
     drop.foreach(s => Files.deleteIfExists(Paths.get(manifestPath(table, s))))
     // orphan sweep over EVERY snapshot directory on disk (not just the
     // ones dropped now): a dir whose manifest expired earlier becomes
@@ -109,7 +116,7 @@ object SnapshotTable {
     val dirs =
       try listing.toArray.toSeq.map(_.toString).filter(_.matches(".*/snap=\\d+$"))
       finally listing.close()
-    dirs.filterNot(referenced.contains).foreach { d =>
+    dirs.filterNot(d => referenced.contains(canon(d))).foreach { d =>
       val walk = Files.walk(Paths.get(d))
       try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.deleteIfExists(p))
