@@ -170,6 +170,9 @@ object ScalingBench {
         .config("spark.shuffle.sort.bypassMergeThreshold", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.cleaner.periodicGC.interval", "60s")
+        // the local-cluster M is the WORKER's capacity, not the
+        // executor heap — size the executor JVM explicitly
+        .config("spark.executor.memory", s"${memMB}m")
         .config("spark.executor.extraClassPath",
           s"${sys.props("user.dir")}/target/scala-2.13/classes")
       val s = sys.env.get("GRAFT_LOCAL_DIR")
