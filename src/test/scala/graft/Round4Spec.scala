@@ -187,6 +187,31 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  // ---------- snapshot-expiry path normalization ----------
+
+  test("expireSnapshots survives a respelled table path (no false-orphan GC)") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val table = java.nio.file.Files.createTempDirectory("graft-respell").toString
+    val buckets = (0L until 12L).map(i => (i, (i / 4).toInt)).toDF("id", "bucket")
+    val e0 = (0L until 12L).map(i => (i, i + 100L, 1.0)).toDF("src", "dst", "weight")
+    val e1 = (0L until 12L).map(i => (i, i + 100L, 2.0)).toDF("src", "dst", "weight")
+    assert(SnapshotTable.commit(e0, buckets, table) == 0)
+    assert(SnapshotTable.commit(e1, buckets, table) == 1)
+    val keep = SnapshotTable.read(spark, table, Some(1))
+      .select("src", "dst", "weight").collect().map(_.toSeq).toSet
+    // expire through a DIFFERENT spelling of the same directory: the
+    // manifests recorded `loc` under the canonical path, the orphan
+    // sweep lists under the respelled one — raw string comparison
+    // would mark every referenced dir orphaned and delete live data
+    val name = java.nio.file.Paths.get(table).getFileName.toString
+    val respelled = s"$table/../$name"
+    assert(SnapshotTable.expireSnapshots(respelled, retain = 1) == Seq(0))
+    val after = SnapshotTable.read(spark, table, Some(1))
+      .select("src", "dst", "weight").collect().map(_.toSeq).toSet
+    assert(after == keep, "retained snapshot lost data after respelled-path expiry")
+  }
+
   // ---------- lineage-cut leak guards ----------
 
   test("PprPush/MaxCut/Cascade free every auxiliary cut") {
