@@ -339,4 +339,20 @@ class PlanSpec extends SparkSpec {
       n.nodeName.contains("SortMergeJoin") || n.nodeName.contains("ShuffledHashJoin")),
       s"expected an equi-join on the time bucket:\n$plan")
   }
+
+  test("bandCandidates: shuffle count independent of band count (unpivoted join)") {
+    import spark.implicits._
+    // round-4 refactor: ONE stack-unpivoted (q, bh)-keyed self-join
+    // replaces the per-band join+union, so the physical shuffle count
+    // must NOT grow with `bands` (the old shape paid 2 join sides per
+    // band); the cap's size filter adds its one aggregation, also
+    // band-count-independent
+    val docs = (0L until 40L).map(i =>
+      (i, s"t${i % 7} alpha beta gamma delta epsilon zeta eta theta i$i", "en", "web", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sh = pipeline.Dedup.shingles(docs)
+    val s2 = shuffles(executed(pipeline.Dedup.bandCandidates(sh, 12, 2)))
+    val s6 = shuffles(executed(pipeline.Dedup.bandCandidates(sh, 12, 6)))
+    assert(s2 == s6, s"shuffles grew with bands: $s2 (2 bands) vs $s6 (6 bands)")
+  }
 }
