@@ -215,6 +215,13 @@ object PipelineEntry {
     // header) — replaces the hash-fake image story with a real codec
     "q_bmp" -> ((s, dir) =>
       Multimodal.decodeBmp(Multimodal.bmpTable(Dedup.docs(s, dir)))),
+    // REAL video codec path: synthesize genuine uncompressed RIFF/AVI
+    // containers (hdrl/strl headers + per-frame 00db chunks of padded
+    // bottom-up BGR rasters), decode dimensions, frame count/timing,
+    // per-chunk magics and exact per-frame channel sums back from the
+    // bytes — completes the real-codec triple (audio, image, video)
+    "q_avi" -> ((s, dir) =>
+      Multimodal.decodeAvi(Multimodal.aviTable(Dedup.docs(s, dir)))),
     // eval-set n-gram decontamination (n=3 exercises the 30-70-token
     // synthetic docs; production would run 8-13)
     "q_decontam" -> ((s, dir) => Decontam.contamination(Dedup.docs(s, dir))),
@@ -282,21 +289,30 @@ object PipelineEntry {
   private def minhashBody(mat: Boolean): String = {
     val m = if (mat) " MATERIALIZED" else ""
     val mhs = (0 until 12).map(i => s"min(md5(concat('$i:', shingle))) AS mh$i").mkString(",\n    ")
-    val bandJoin = (0 until 4).map { b =>
-      val lc = (b * 3 until (b + 1) * 3).map(i => s"l.mh$i").mkString(", ")
-      val rc = (b * 3 until (b + 1) * 3).map(i => s"r.mh$i").mkString(", ")
-      s"""SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |    FROM sig l JOIN sig r
-         |    ON concat_ws('|', $lc) = concat_ws('|', $rc) AND l.doc_id < r.doc_id""".stripMargin
+    // Band-bucket keys (q = band index, bh = concatenated signature
+    // slice) with the SAME per-bucket size cap as the engine's
+    // Dedup.bandCandidates — a bucket above the cap is dropped from
+    // candidate generation in BOTH engines, so the exact-replay
+    // contract holds at any scale factor, not just below the cap.
+    val bandUnion = (0 until 4).map { b =>
+      val cs = (b * 3 until (b + 1) * 3).map(i => s"mh$i").mkString(", ")
+      s"SELECT doc_id, $b AS q, concat_ws('|', $cs) AS bh FROM sig"
     }.mkString("\n    UNION ALL\n    ")
+    val cap = graft.pipeline.Dedup.defaultMaxBandBucket
     s""", sig AS$m (
        |  SELECT doc_id,
        |    $mhs
        |  FROM sh GROUP BY doc_id
+       |), bkeys AS$m (
+       |  $bandUnion
+       |), bok AS$m (
+       |  SELECT q, bh FROM bkeys GROUP BY 1, 2 HAVING count(*) <= $cap
        |), cand AS$m (
-       |  SELECT DISTINCT doc_a, doc_b FROM (
-       |    $bandJoin
-       |  ) u
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bkeys l
+       |  JOIN bok o ON o.q = l.q AND o.bh = l.bh
+       |  JOIN bkeys r ON r.q = l.q AND r.bh = l.bh
+       |  WHERE l.doc_id < r.doc_id
        |), szs AS$m (
        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
        |), inter AS$m (
@@ -526,6 +542,106 @@ object PipelineEntry {
        |       cast(coalesce(a.sum_g, 0) AS bigint) AS sum_g,
        |       cast(coalesce(a.sum_r, 0) AS bigint) AS sum_r
        |FROM hd2 h LEFT JOIN ag a USING (media_id)""".stripMargin
+  }
+
+  /** AVI synthesize-and-decode replay (Multimodal.aviTable/decodeAvi):
+   * build the identical container hex (RIFF + hdrl/strl headers +
+   * per-frame 00db chunks), then parse it back — header reads, chunk
+   * walk by the first chunk's own size field, stride arithmetic,
+   * per-frame per-channel pixel sums — exact integer throughout. */
+  private val aviSql: String = {
+    def le32(x: String): String =
+      s"concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex((($x) // 256) % 256), 2, '0')," +
+        s" lpad(hex((($x) // 65536) % 256), 2, '0'), lpad(hex((($x) // 16777216) % 256), 2, '0'))"
+    def le16(x: String): String =
+      s"concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex((($x) // 256) % 256), 2, '0'))"
+    def rd32(p: Int): String =
+      s"('0x' || substring(hx, ${(p + 3) * 2 - 1}, 2) || substring(hx, ${(p + 2) * 2 - 1}, 2)" +
+        s" || substring(hx, ${(p + 1) * 2 - 1}, 2) || substring(hx, ${p * 2 - 1}, 2))::BIGINT"
+    def rd16(p: Int): String =
+      s"('0x' || substring(hx, ${(p + 1) * 2 - 1}, 2) || substring(hx, ${p * 2 - 1}, 2))::BIGINT"
+    val off = "(f.doff + (pidx.i // f.width) * f.row_size + (pidx.i % f.width) * 3)"
+    s"""WITH p AS (
+       |  SELECT doc_id AS media_id,
+       |         doc_id % 3 + 2 AS w, doc_id % 2 + 2 AS h, doc_id % 3 + 2 AS nf,
+       |         CASE doc_id % 3 WHEN 0 THEN 33333 WHEN 1 THEN 40000 ELSE 66667 END AS usf,
+       |         hex(encode(text)) AS th
+       |  FROM documents
+       |), r AS (
+       |  SELECT media_id, w, h, nf, usf,
+       |         ((3 * w + 3) // 4) * 4 * h AS fs, th
+       |  FROM p
+       |), r2 AS (
+       |  SELECT *, substring(repeat(th, cast((nf * fs * 2) // length(th) + 1 AS int)),
+       |                      1, cast(nf * fs * 2 AS int)) AS pix_hex
+       |  FROM r
+       |), b AS (
+       |  SELECT media_id, upper(concat(
+       |    '52494646', ${le32("216 + nf * (fs + 8)")}, '41564920',
+       |    '4C495354', ${le32("192")}, '6864726C',
+       |    '61766968', ${le32("56")},
+       |    ${le32("usf")}, ${le32("0")}, ${le32("0")}, ${le32("0")},
+       |    ${le32("nf")}, ${le32("0")}, ${le32("1")}, ${le32("fs")}, ${le32("w")}, ${le32("h")},
+       |    ${le32("0")}, ${le32("0")}, ${le32("0")}, ${le32("0")},
+       |    '4C495354', ${le32("116")}, '7374726C',
+       |    '73747268', ${le32("56")},
+       |    '76696473', '44494220', ${le32("0")}, ${le16("0")}, ${le16("0")},
+       |    ${le32("0")}, ${le32("1")}, ${le32("25")}, ${le32("0")}, ${le32("nf")}, ${le32("fs")},
+       |    ${le32("10000")}, ${le32("0")}, ${le16("0")}, ${le16("0")}, ${le16("w")}, ${le16("h")},
+       |    '73747266', ${le32("40")},
+       |    ${le32("40")}, ${le32("w")}, ${le32("h")}, ${le16("1")}, ${le16("24")}, ${le32("0")},
+       |    ${le32("fs")}, ${le32("2835")}, ${le32("2835")}, ${le32("0")}, ${le32("0")},
+       |    '4C495354', ${le32("4 + nf * (fs + 8)")}, '6D6F7669',
+       |    array_to_string(list_transform(range(0, nf), i -> concat('30306462', ${le32("fs")},
+       |      substring(pix_hex, cast(i * fs * 2 + 1 AS int), cast(fs * 2 AS int)))), ''))) AS hx
+       |  FROM r2
+       |), hd AS (
+       |  SELECT media_id, hx,
+       |         CASE WHEN substring(hx, 1, 8) = '52494646' AND substring(hx, 17, 8) = '41564920'
+       |                   AND substring(hx, 41, 8) = '6864726C' AND substring(hx, 49, 8) = '61766968'
+       |                   AND substring(hx, 217, 8) = '76696473' AND ${rd32(169)} = 40
+       |                   AND ${rd16(185)} = 1 AND ${rd16(187)} = 24 AND ${rd32(189)} = 0
+       |                   AND substring(hx, 441, 8) = '6D6F7669' THEN 1 ELSE 0 END AS valid,
+       |         ${rd32(33)} AS us_per_frame, ${rd32(49)} AS n_frames,
+       |         ${rd32(65)} AS width, ${rd32(69)} AS height, ${rd32(229)} AS fs
+       |  FROM b
+       |), hd2 AS (
+       |  SELECT *, ((3 * width + 3) // 4) * 4 AS row_size FROM hd
+       |), fidx AS (SELECT unnest(range(8)) AS i
+       |), pidx AS (SELECT unnest(range(64)) AS i
+       |), fr AS (
+       |  SELECT h.media_id, h.hx, h.width, h.height, h.row_size, h.fs,
+       |         h.us_per_frame, h.n_frames, fidx.i AS frame_idx,
+       |         224 + fidx.i * (h.fs + 8) AS coff
+       |  FROM hd2 h JOIN fidx ON fidx.i < h.n_frames
+       |  WHERE h.valid = 1 AND h.n_frames >= 1 AND h.width >= 1 AND h.height >= 1
+       |), fr2 AS (
+       |  SELECT *, CASE WHEN substring(hx, cast(coff * 2 + 1 AS int), 8) = '30306462'
+       |                 THEN 1 ELSE 0 END AS frame_ok,
+       |         coff + 8 AS doff
+       |  FROM fr
+       |), px AS (
+       |  SELECT f.media_id, f.frame_idx,
+       |         ('0x' || substring(f.hx, cast($off * 2 + 1 AS int), 2))::BIGINT AS bb,
+       |         ('0x' || substring(f.hx, cast($off * 2 + 3 AS int), 2))::BIGINT AS gg,
+       |         ('0x' || substring(f.hx, cast($off * 2 + 5 AS int), 2))::BIGINT AS rr
+       |  FROM fr2 f JOIN pidx ON pidx.i < f.width * f.height
+       |  WHERE f.frame_ok = 1
+       |), ag AS (
+       |  SELECT media_id, frame_idx, count(*) AS n_pixels, sum(bb) AS sum_b,
+       |         sum(gg) AS sum_g, sum(rr) AS sum_r
+       |  FROM px GROUP BY 1, 2
+       |)
+       |SELECT f.media_id, cast(f.frame_idx AS bigint) AS frame_idx,
+       |       cast(f.width AS bigint) AS width, cast(f.height AS bigint) AS height,
+       |       cast(f.n_frames AS bigint) AS n_frames,
+       |       cast(f.us_per_frame AS bigint) AS us_per_frame,
+       |       cast(f.frame_ok AS bigint) AS frame_ok,
+       |       cast(coalesce(a.n_pixels, 0) AS bigint) AS n_pixels,
+       |       cast(coalesce(a.sum_b, 0) AS bigint) AS sum_b,
+       |       cast(coalesce(a.sum_g, 0) AS bigint) AS sum_g,
+       |       cast(coalesce(a.sum_r, 0) AS bigint) AS sum_r
+       |FROM fr2 f LEFT JOIN ag a ON a.media_id = f.media_id AND a.frame_idx = f.frame_idx""".stripMargin
   }
 
   /** Mirrors Dedup.editDistancePairs over the same cand CTE (byte ≡
@@ -2191,6 +2307,7 @@ object PipelineEntry {
     "q_editdist" -> editDistSql,
     "q_wav" -> wavSql,
     "q_bmp" -> bmpSql,
+    "q_avi" -> aviSql,
     "q_wsample" ->
       """WITH p AS (
         |  SELECT doc_id, source, n_chars,

@@ -71,14 +71,47 @@ object ScalingBench {
     s
   }
 
-  private def fresh(): Unit = {
+  private[graft] def fresh(): Unit = {
     org.apache.spark.sql.classic.SparkSession.clearActiveSession()
     org.apache.spark.sql.classic.SparkSession.clearDefaultSession()
   }
 
+  /** Build the id-encoded edge-table cache once (phase 0 of every
+   * scaling/stress run): deterministic synthetic transcripts →
+   * key edges → dict-encoded (src, dst, weight) + degree table, both
+   * parquet at a size-keyed path. Returns the cache dir. */
+  private[graft] def ensureCache(numConvs: Long, turnsPerConv: Int): String = {
+    val cacheDir = s"/tmp/graft_scale_${numConvs}x$turnsPerConv"
+    if (!new java.io.File(s"$cacheDir/degrees/_SUCCESS").exists()) {
+      val spark = session(32, 32, "prebuild")
+      val tr = Transcripts.synthetic(spark, numConvs, turnsPerConv, numTools = 5000)
+      val keyEdges = EdgeBuilder.keyEdges(tr)
+      val dict = VertexDict.build(keyEdges, 64)
+      val e = keyEdges
+        .join(dict.select(col("key").as("src_key"), col("id").as("src")), "src_key")
+        .join(dict.select(col("key").as("dst_key"), col("id").as("dst")), "dst_key")
+        .select(col("src"), col("dst"), col("weight").cast("double").as("weight"))
+        .where(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(min(col("weight")).as("weight"))
+      e.write.mode("overwrite").parquet(s"$cacheDir/edges")
+      val saved = spark.read.parquet(s"$cacheDir/edges")
+      val outD = saved.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_degree"))
+      val inD = saved.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_degree"))
+      dict.select(col("id"))
+        .join(outD, Seq("id"), "left").join(inD, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+          coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+        .write.mode("overwrite").parquet(s"$cacheDir/degrees")
+      spark.stop(); fresh()
+    }
+    cacheDir
+  }
+
   /** Load the cached id-encoded edge table into a LinkGraph (dual
-   * persists + degrees), mirroring LinkGraph.fromKeyEdges post-dict. */
-  private def loadGraph(spark: SparkSession, dir: String, parts: Int): LinkGraph = {
+   * persists + degrees), mirroring LinkGraph.fromKeyEdges post-dict.
+   * Shared with [[StressBench]]. */
+  private[graft] def loadGraph(spark: SparkSession, dir: String, parts: Int): LinkGraph = {
     val edges = spark.read.parquet(s"$dir/edges")
     val edgesBySrc = edges
       .repartition(parts, col("src"))
@@ -224,32 +257,7 @@ object ScalingBench {
     val hi = args.lift(5).map(_.toInt).getOrElse(32)
     val partsPerCore = args.lift(6).map(_.toInt).getOrElse(1)
     val levels = Seq(lo, hi)
-    val cacheDir = s"/tmp/graft_scale_${numConvs}x$turnsPerConv"
-
-    // ---- phase 0: build the id-encoded edge table once ----
-    if (!new java.io.File(s"$cacheDir/degrees/_SUCCESS").exists()) {
-      val spark = session(32, 32, "prebuild")
-      val tr = Transcripts.synthetic(spark, numConvs, turnsPerConv, numTools = 5000)
-      val keyEdges = EdgeBuilder.keyEdges(tr)
-      val dict = VertexDict.build(keyEdges, 64)
-      val e = keyEdges
-        .join(dict.select(col("key").as("src_key"), col("id").as("src")), "src_key")
-        .join(dict.select(col("key").as("dst_key"), col("id").as("dst")), "dst_key")
-        .select(col("src"), col("dst"), col("weight").cast("double").as("weight"))
-        .where(col("src") =!= col("dst"))
-        .groupBy(col("src"), col("dst")).agg(min(col("weight")).as("weight"))
-      e.write.mode("overwrite").parquet(s"$cacheDir/edges")
-      val saved = spark.read.parquet(s"$cacheDir/edges")
-      val outD = saved.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_degree"))
-      val inD = saved.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_degree"))
-      dict.select(col("id"))
-        .join(outD, Seq("id"), "left").join(inD, Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("out_degree"), lit(0L)).as("out_degree"),
-          coalesce(col("in_degree"), lit(0L)).as("in_degree"))
-        .write.mode("overwrite").parquet(s"$cacheDir/degrees")
-      spark.stop(); fresh()
-    }
+    val cacheDir = ensureCache(numConvs, turnsPerConv)
 
     // ---- interleaved cells ----
     var numEdges = 0L

@@ -47,6 +47,26 @@ object SparkEntry {
     "q_edges" -> ((s, dir) =>
       EdgeBuilder.keyEdges(Transcripts.fromEvents(s, dir))
         .select(col("src_key"), col("dst_key"), col("kind"))),
+    // §2.1 native-source parity: synthesize the reference's packed
+    // LE-uint32 binary edge file from the events table (deterministic
+    // capped fixture — the ONE bounded collect this needs), load it
+    // back through GeminiEdgeList.load (binaryRecords byte-range
+    // split, the MPI-rank analogue of core/graph.hpp:788-795), build
+    // the directed LinkGraph, report non-isolated per-vertex degrees.
+    // The oracle re-derives the same degrees straight from events —
+    // any byte-layout or endianness drift in the codec breaks it.
+    "q_gemini_load" -> ((s, dir) => {
+      val pairs = s.read.parquet(s"$dir/events.parquet")
+        .orderBy(col("event_id")).limit(100000)
+        .select(col("user_id").cast("long"), pmod(col("event_id"), lit(997L)))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_gemini_${Integer.toHexString(dir.hashCode)}.bin").getPath
+      sources.GeminiEdgeList.writeFixture(pairs, path)
+      val g = sources.GeminiEdgeList.load(s, path, 2048L, symmetric = false)
+      g.degrees.where(col("out_degree") + col("in_degree") > 0)
+        .select(col("id"), col("out_degree"), col("in_degree"))
+    }),
     // the incremental (Structured Streaming) builder, executed in
     // batch mode over the same input — same oracle as q_edges, since
     // stream ≡ batch is the operator's contract (StreamingSpec)
@@ -3887,6 +3907,20 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin),
     "q_transcripts" -> (prefix + "\nSELECT conv_id, turn_idx, role, text, tool FROM t"),
     "q_edges" -> (prefix + "\nSELECT src_key, dst_key, kind FROM e"),
+    // replay of the binary edge-list round-trip: the fixture is a pure
+    // function of events (capped, ordered), the loader dedupes (src,
+    // dst) and drops self-loops (finishBuild), degrees count both legs
+    "q_gemini_load" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id AS src, event_id % 997 AS dst
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 100000)
+        |  WHERE user_id <> event_id % 997
+        |), od AS (SELECT src AS id, count(*) AS c FROM e GROUP BY 1
+        |), idg AS (SELECT dst AS id, count(*) AS c FROM e GROUP BY 1)
+        |SELECT coalesce(od.id, idg.id) AS id,
+        |       cast(coalesce(od.c, 0) AS bigint) AS out_degree,
+        |       cast(coalesce(idg.c, 0) AS bigint) AS in_degree
+        |FROM od FULL JOIN idg ON od.id = idg.id""".stripMargin,
     "q_stream_edges" -> (prefix + "\nSELECT src_key, dst_key, kind FROM e"),
     // Spark's window() and DuckDB's time_bucket both align tumbling
     // hour windows on hour boundaries; epoch seconds make the compare

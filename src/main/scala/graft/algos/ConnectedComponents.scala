@@ -154,7 +154,19 @@ object ConnectedComponents {
   def incremental(
       graph: LinkGraph,
       newEdgePred: org.apache.spark.sql.Column,
-      maxIterations: Int = 10000): Result = {
+      maxIterations: Int = 10000): Result =
+    incrementalTimed(graph, newEdgePred, maxIterations).result
+
+  /** `phase1Seconds` = the cold component build on the old edge set
+   * (what a bench cell pays to SIMULATE the pre-existing batch);
+   * `phase2Seconds` = the warm merge ripple from the arrival
+   * endpoints — the operator's real RECURRING cost per batch. */
+  final case class IncResult(result: Result, phase1Seconds: Double, phase2Seconds: Double)
+
+  def incrementalTimed(
+      graph: LinkGraph,
+      newEdgePred: org.apache.spark.sql.Column,
+      maxIterations: Int = 10000): IncResult = {
     require(graph.symmetric, "CC expects a symmetrized graph (cc.cpp:121)")
     // Phase-1 graph = the same vertex dictionary + partitioning with
     // the new edges filtered out (filter preserves the src clustering,
@@ -173,7 +185,9 @@ object ConnectedComponents {
     // case. The fixpoint is the same min-id-per-component labeling
     // (q_cc_fast shares q_cc's oracle), which is all the warm start
     // needs: labels constant per old component.
+    val t0 = System.nanoTime()
     val phase1 = CCStar.run(oldGraph)
+    val t1 = System.nanoTime()
 
     val newEdges = graph.edgesBySrc.where(newEdgePred)
     val touched = newEdges.select(col("src").as("id"))
@@ -182,8 +196,11 @@ object ConnectedComponents {
     val warmFrontier = phase1.labels.join(touched, "id")
     val phase2 = run(graph, maxIterations = maxIterations,
       initLabels = Some(phase1.labels), initFrontier = Some(warmFrontier))
+    val t2 = System.nanoTime()
     phase1.labels.graftFree()
-    Result(phase2.labels, phase1.rounds + phase2.iterations,
-      phase2.activeHistory)
+    IncResult(
+      Result(phase2.labels, phase1.rounds + phase2.iterations,
+        phase2.activeHistory),
+      (t1 - t0) / 1e9, (t2 - t1) / 1e9)
   }
 }

@@ -57,12 +57,18 @@ object PageRankInc {
   /** teleport mass b = 0.15·scale, floored once (exact integer). */
   val teleportMass: Long = 3L * scale / 20L
 
+  /** `phase1Seconds` = the cold push on the old graph (what a bench
+   * cell pays to SIMULATE the pre-existing batch); `phase2Seconds` =
+   * retraction + signed repair push — the operator's real RECURRING
+   * cost per arrival batch (the 100 TB contract: ≪ phase 1). */
   final case class Result(
       state: DataFrame, // (id, p, r, sent)
       phase1Rounds: Int,
       phase2Rounds: Int,
       phase1Active: Seq[Long],
-      phase2Active: Seq[Long])
+      phase2Active: Seq[Long],
+      phase1Seconds: Double,
+      phase2Seconds: Double)
 
   /**
    * @param graph       the FULL directed graph (old + arrived edges)
@@ -91,16 +97,23 @@ object PageRankInc {
       .repartition(graph.numPartitions, col("id"))
       .graftCut
 
-    // Once a phase goes idle (no active residual) every remaining
+    // Once a phase goes idle (no active row at all — neither a
+    // pushing non-dangling nor an absorbing dangling) every remaining
     // round is the identity in BOTH engines (the oracle's empty a$i
-    // passes state through), so the engine skips them — large round
-    // budgets cost nothing after convergence.
+    // passes state through and its dangling-absorb CASE matches no
+    // row), so the engine skips them — large round budgets cost
+    // nothing after convergence. `round` counts active danglings in
+    // the idle test precisely so this claim holds: the oracle absorbs
+    // active danglings unconditionally each unrolled round, even in
+    // rounds where no non-dangling vertex pushes.
     val h1 = scala.collection.mutable.ArrayBuffer[Long]()
     var idle = false
+    val t0 = System.nanoTime()
     for (_ <- 1 to r1 if !idle) {
       state = round(oldGraph, state, signed = false, h1)
       idle = h1.last == 0
     }
+    val t1 = System.nanoTime()
 
     // ---- retraction: affected sources = sources of arrival edges
     val affected = graph.edgesBySrc.where(newEdgePred)
@@ -136,8 +149,10 @@ object PageRankInc {
       state = round(graph, state, signed = true, h2)
       idle = h2.last == 0
     }
+    val t2 = System.nanoTime()
 
-    Result(state, r1, r2, h1.toSeq, h2.toSeq)
+    Result(state, r1, r2, h1.toSeq, h2.toSeq,
+      (t1 - t0) / 1e9, (t2 - t1) / 1e9)
   }
 
   /** One bulk push round; mutates nothing, returns the next state cut
@@ -165,8 +180,25 @@ object PageRankInc {
         (col("rem") - col("share") * col("d")).as("lft"),
         (col("sent") + col("share")).as("sent2"))
     val (actCut, nAct) = act.graftCutCount
+    if (nAct == 0) {
+      // No non-dangling push this round — but the oracle's unrolled
+      // round STILL absorbs every active dangling (p += r, r = 0,
+      // no incoming). Mirror it: idle only when BOTH counts are 0.
+      actCut.graftFree()
+      val nDang = st.where(col("active")).count() // active ⇒ d == 0 here
+      history += nDang
+      if (nDang == 0) return state
+      val next = st
+        .select(col("id"),
+          when(col("active"), col("p") + col("r")).otherwise(col("p")).as("p"),
+          when(col("active"), lit(0L)).otherwise(col("r")).as("r"),
+          col("sent"))
+        .repartition(g.numPartitions, col("id"))
+        .graftCut
+      state.graftFree()
+      return next
+    }
     history += nAct
-    if (nAct == 0) { actCut.graftFree(); return state }
     val mass = Superstep.massOrBound(g, actCut.select(col("id")), nAct)
     val msgs = Superstep.gather(
       g, actCut.select(col("id"), col("share")),

@@ -126,6 +126,13 @@ object PersonalizedPageRank {
       iterations: Int = 5,
       d: Double = 0.85): DataFrame = {
     require(seeds.nonEmpty && iterations >= 1)
+    // The DENSE export (final crossJoin below) materializes K·|V|
+    // rows — the deliberate MSBFS-state trade: linear in K, fine for
+    // the top-hub use case (K in the tens/hundreds), NOT for K ~ |V|.
+    // Hard cap so a caller cannot accidentally build a |V|² frame.
+    require(seeds.size <= 1024,
+      s"runBatch is K·|V| in state/export; got K=${seeds.size} seeds (cap 1024) — " +
+        "for larger K, shard the seed set across calls")
     val spark = graph.spark
     import spark.implicits._
     val degs = graph.degrees.select(col("id"), col("out_degree"))

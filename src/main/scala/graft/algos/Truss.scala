@@ -104,7 +104,7 @@ object Truss {
    *
    * @return (a, b, trussness) over the degree-oriented edge rows
    */
-  def trussness(graph: LinkGraph, maxK: Int = 64, maxRoundsPerK: Int = 12): DataFrame = {
+  def trussness(graph: LinkGraph, maxK: Int = 64, maxRoundsPerK: Int = 11): DataFrame = {
     require(graph.symmetric, "truss decomposition is defined on the undirected graph")
     var (cur, n) = TriangleCount.orient(graph)
       .repartition(graph.numPartitions, col("a"))
@@ -135,6 +135,14 @@ object Truss {
         if (m == n) { converged = true; kept.graftFree() }
         else { cur.graftFree(); cur = kept; n = m }
       }
+      // The DuckDB replay applies exactly maxRoundsPerK (= 11) peel
+      // passes per k; a peel that exits on the round cap without a
+      // fixpoint can over-label survivors (both engines agree on the
+      // capped set, but the TRUE trussness may be lower) — surface it.
+      if (!converged && n > 0)
+        Console.err.println(
+          s"[graft] Truss.trussness: k=$k peel hit the $maxRoundsPerK-round cap " +
+            s"without a fixpoint ($n edges remain) — labels at k>=$k are cap-bounded")
       if (n > 0) {
         val prev = out
         out = out
@@ -146,6 +154,10 @@ object Truss {
       }
       k += 1
     }
+    if (n > 0 && k > maxK)
+      Console.err.println(
+        s"[graft] Truss.trussness: $n edges survive the k=$maxK peel — " +
+          s"their true trussness exceeds maxK and is reported as $maxK")
     cur.graftFree()
     out
   }

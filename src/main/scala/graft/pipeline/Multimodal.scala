@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
  *
  * The Spark-side plumbing is REAL — binary columns, metadata struct
  * schema, per-batch column expressions, partitioning — and fully
- * tested. The codec itself is STUBBED with a deterministic fake
- * (this container ships no image/audio libraries): "decoding" derives
- * width/height/duration from a hash of the bytes, and "features" are
- * positional byte hashes. Swapping in a real codec means replacing
- * the marked expressions with a `mapPartitions` (JVM codec) or
+ * tested. All three modalities now run through REAL codecs written
+ * as whole-stage-codegen'd hex-slicing expressions (no UDF): RIFF/WAV
+ * audio ([[wavTable]]/[[decodeWav]]), 24-bit BMP raster
+ * ([[bmpTable]]/[[decodeBmp]]), and uncompressed RIFF/AVI video
+ * ([[aviTable]]/[[decodeAvi]]). Only the generic [[decode]] /
+ * [[features]] / [[frameSample]] entry points keep a deterministic
+ * hash STUB (this container ships no compressed-codec libraries);
+ * swapping in e.g. a JPEG/H.264 codec means replacing the marked
+ * expressions with a `mapPartitions` (JVM codec) or
  * `mapInPandas`/`mapInArrow` (Python codec) of the SAME row schema —
  * no other part of the pipeline changes.
  */
@@ -181,6 +185,147 @@ object Multimodal {
         coalesce(col("sum_b"), lit(0L)).as("sum_b"),
         coalesce(col("sum_g"), lit(0L)).as("sum_g"),
         coalesce(col("sum_r"), lit(0L)).as("sum_r"))
+  }
+
+  // ---------------------------------------------------------------
+  // REAL codec path #3: uncompressed 24-bpp RIFF/AVI (video). The
+  // container synthesizes genuine minimal AVI files — RIFF header,
+  // LIST hdrl (avih main header + LIST strl with a "vids"/"DIB "
+  // strh and a BITMAPINFOHEADER strf), LIST movi with one `00db`
+  // chunk per frame of bottom-up 4-byte-aligned BGR rows — and the
+  // decoder parses dimensions, frame count, frame timing, per-chunk
+  // magics/sizes, and EXACT per-frame per-channel pixel sums back
+  // from the bytes. The canonical layout is fixed-offset (header is
+  // always 224 bytes: 12 RIFF + 200 LIST hdrl + 12 LIST-movi head),
+  // so every field read is hex-slicing at a computed offset, the
+  // same whole-stage-codegen'd technique as WAV/BMP — no UDF.
+  // Replaces the last hash-fake: image, audio AND video now run
+  // through real codecs.
+  // ---------------------------------------------------------------
+
+  /** Synthesize REAL uncompressed AVI blobs from documents: width
+   * 2..4, height 2..3, frame count 2..4 and frame timing vary by
+   * doc_id; frame pixel bytes are the text bytes repeated across the
+   * padded rasters (padding bytes carry stream bytes — legal; the
+   * DECODER must skip them by stride). */
+  def aviTable(docs: DataFrame): DataFrame = {
+    val w = pmod(col("doc_id"), lit(3L)) + 2L
+    val h = pmod(col("doc_id"), lit(2L)) + 2L
+    val nf = pmod(col("doc_id"), lit(3L)) + 2L
+    val usf = element_at( // µs per frame: 30 / 25 / 15 fps
+      array(lit(33333L), lit(40000L), lit(66667L)),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    val base = docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        w.as("w"), h.as("h"), nf.as("nf"), usf.as("usf"))
+      .withColumn("row_size", expr("((3 * w + 3) div 4) * 4"))
+      .withColumn("fs", col("row_size") * col("h")) // bytes per frame
+      .withColumn("th", upper(hex(col("payload"))))
+      .withColumn("pix_hex", expr( // nf * fs raster bytes, hex image
+        "substring(repeat(th, cast((nf * fs * 2) div length(th) + 1 as int)), 1, cast(nf * fs * 2 as int))"))
+    val avih = concat( // 56-byte main header payload
+      le32Hex(col("usf")), le32Hex(lit(0L)), le32Hex(lit(0L)), // usPerFrame, maxBps, padding
+      le32Hex(lit(0L)), // flags: no index chunk is written, so none claimed
+      le32Hex(col("nf")), le32Hex(lit(0L)), le32Hex(lit(1L)), // totalFrames, initial, streams
+      le32Hex(col("fs")), le32Hex(col("w")), le32Hex(col("h")), // suggestedBuf, width, height
+      le32Hex(lit(0L)), le32Hex(lit(0L)), le32Hex(lit(0L)), le32Hex(lit(0L))) // reserved[4]
+    val strh = concat( // 56-byte stream header payload
+      lit("76696473"), lit("44494220"), // "vids", "DIB "
+      le32Hex(lit(0L)), le16Hex(lit(0L)), le16Hex(lit(0L)), // flags, prio, lang
+      le32Hex(lit(0L)), le32Hex(lit(1L)), // initialFrames, scale
+      le32Hex(lit(25L)), le32Hex(lit(0L)), // rate, start
+      le32Hex(col("nf")), le32Hex(col("fs")), // length, suggestedBuf
+      le32Hex(lit(10000L)), le32Hex(lit(0L)), // quality, sampleSize
+      le16Hex(lit(0L)), le16Hex(lit(0L)), le16Hex(col("w")), le16Hex(col("h"))) // rcFrame
+    val strf = concat( // 40-byte BITMAPINFOHEADER
+      le32Hex(lit(40L)), le32Hex(col("w")), le32Hex(col("h")),
+      le16Hex(lit(1L)), le16Hex(lit(24L)), le32Hex(lit(0L)), // planes, bpp, BI_RGB
+      le32Hex(col("fs")), le32Hex(lit(2835L)), le32Hex(lit(2835L)),
+      le32Hex(lit(0L)), le32Hex(lit(0L)))
+    // movi payload: one "00db" chunk per frame, its slice of pix_hex
+    val movi = expr(
+      "array_join(transform(sequence(0L, nf - 1L), i -> concat('30306462', " +
+        "concat(lpad(hex(fs % 256), 2, '0'), lpad(hex((fs div 256) % 256), 2, '0'), " +
+        "lpad(hex((fs div 65536) % 256), 2, '0'), lpad(hex((fs div 16777216) % 256), 2, '0')), " +
+        "substring(pix_hex, cast(i * fs * 2 + 1 as int), cast(fs * 2 as int)))), '')")
+    val hdrHex = upper(concat(
+      lit("52494646"), le32Hex(lit(216L) + col("nf") * (col("fs") + 8L)), lit("41564920"), // RIFF, size, "AVI "
+      lit("4C495354"), le32Hex(lit(192L)), lit("6864726C"), // LIST 192 "hdrl"
+      lit("61766968"), le32Hex(lit(56L)), avih, // avih chunk
+      lit("4C495354"), le32Hex(lit(116L)), lit("7374726C"), // LIST 116 "strl"
+      lit("73747268"), le32Hex(lit(56L)), strh, // strh chunk
+      lit("73747266"), le32Hex(lit(40L)), strf, // strf chunk
+      lit("4C495354"), le32Hex(lit(4L) + col("nf") * (col("fs") + 8L)), lit("6D6F7669"))) // LIST movi
+    base.select(col("doc_id").as("media_id"),
+      unhex(concat(hdrHex, upper(movi))).as("avi"))
+  }
+
+  /** Decode the AVI FROM THE BYTES: RIFF/hdrl/vids/movi magics and
+   * BI_RGB 24-bpp validity, header dimensions + frame count + frame
+   * timing, per-frame `00db` chunk magic/size checks at offsets
+   * walked from the first chunk's own size field, and EXACT per-frame
+   * per-channel pixel sums via the parsed stride (row padding
+   * skipped). One output row per (media_id, frame_idx); an invalid
+   * container yields no rows. Integer-exact → hash-replayable. */
+  def decodeAvi(avis: DataFrame): DataFrame = {
+    def le32(p: Int): org.apache.spark.sql.Column = expr(
+      s"cast(conv(concat(substring(hx, ${(p + 3) * 2 - 1}, 2), substring(hx, ${(p + 2) * 2 - 1}, 2)," +
+        s" substring(hx, ${(p + 1) * 2 - 1}, 2), substring(hx, ${p * 2 - 1}, 2)), 16, 10) as bigint)")
+    def le16(p: Int): org.apache.spark.sql.Column = expr(
+      s"cast(conv(concat(substring(hx, ${(p + 1) * 2 - 1}, 2), substring(hx, ${p * 2 - 1}, 2)), 16, 10) as bigint)")
+    val hdr = avis
+      .select(col("media_id"), upper(hex(col("avi"))).as("hx"))
+      .select(col("media_id"), col("hx"),
+        (substring(col("hx"), 1, 8) === "52494646" && // "RIFF"
+          substring(col("hx"), 17, 8) === "41564920" && // "AVI "
+          substring(col("hx"), 41, 8) === "6864726C" && // "hdrl"
+          substring(col("hx"), 49, 8) === "61766968" && // "avih"
+          substring(col("hx"), 217, 8) === "76696473" && // strh "vids"
+          le32(169) === 40L && le16(185) === 1L && le16(187) === 24L && // strf: biSize, planes, bpp
+          le32(189) === 0L && // BI_RGB
+          substring(col("hx"), 441, 8) === "6D6F7669").cast("long").as("valid"), // "movi"
+        le32(33).as("us_per_frame"), le32(49).as("n_frames"),
+        le32(65).as("width"), le32(69).as("height"),
+        le32(229).as("fs")) // first frame chunk's OWN size field
+      .withColumn("row_size", expr("((3 * width + 3) div 4) * 4"))
+    // n_frames >= 1 guard: Spark's sequence(0, -1) DESCENDS, it is
+    // not empty — a zero-frame container must not explode to [0, -1]
+    val frames = hdr.where(col("valid") === 1L && col("n_frames") >= 1L &&
+        col("width") >= 1L && col("height") >= 1L)
+      .select(col("media_id"), col("hx"), col("width"), col("height"),
+        col("row_size"), col("fs"), col("us_per_frame"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1L)).as("frame_idx"))
+      // 0-based offset of this frame's chunk, walked by chunk size
+      .withColumn("coff", expr("224 + frame_idx * (fs + 8)"))
+      .withColumn("frame_ok", expr(
+        "cast(substring(hx, cast(coff * 2 + 1 as int), 8) = '30306462' as long)")) // "00db"
+      .withColumn("doff", col("coff") + 8L) // frame pixel data start
+    // Single pipeline, no frames⋈pixels self-join: explode_outer of a
+    // frame_ok-gated index array keeps bad-chunk frames as one row
+    // with a null index (→ zero sums), so the per-frame aggregation
+    // is the only shuffle in the decode.
+    frames
+      .withColumn("i", explode_outer(when(col("frame_ok") === 1L,
+        sequence(lit(0L), col("width") * col("height") - 1L))))
+      .withColumn("off",
+        expr("doff + (i div width) * row_size + (i % width) * 3"))
+      .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+        col("n_frames"), col("us_per_frame"), col("frame_ok"),
+        expr("cast(conv(substring(hx, cast(off * 2 + 1 as int), 2), 16, 10) as bigint)").as("b"),
+        expr("cast(conv(substring(hx, cast(off * 2 + 3 as int), 2), 16, 10) as bigint)").as("g"),
+        expr("cast(conv(substring(hx, cast(off * 2 + 5 as int), 2), 16, 10) as bigint)").as("r"))
+      .groupBy(col("media_id"), col("frame_idx"))
+      .agg(first(col("width")).as("width"), first(col("height")).as("height"),
+        first(col("n_frames")).as("n_frames"),
+        first(col("us_per_frame")).as("us_per_frame"),
+        first(col("frame_ok")).as("frame_ok"),
+        count(col("b")).as("n_pixels"),
+        coalesce(sum(col("b")), lit(0L)).as("sum_b"),
+        coalesce(sum(col("g")), lit(0L)).as("sum_g"),
+        coalesce(sum(col("r")), lit(0L)).as("sum_r"))
+      .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+        col("n_frames"), col("us_per_frame"), col("frame_ok"),
+        col("n_pixels"), col("sum_b"), col("sum_g"), col("sum_r"))
   }
 
   /** STUB DECODE — deterministic fake: dimensions/duration derived

@@ -698,16 +698,34 @@ object Similarity {
    */
   /** Mutual-kNN half edges (src < dst): u and v each rank the other
    * in their cosine top-k. Shared by [[knnClusters]] and
-   * [[labelSpread]]. Exactness-baseline quadratic kernel (codegen'd
-   * dot); the scale path swaps in the LSH-bucketed candidates, as
-   * for [[dbscan]]. */
-  private[graft] def mutualKnnHalf(emb: DataFrame, k: Int): DataFrame = {
-    val p = prepared(emb).persist()
-    val a = p.select(col("vec_id"), col("v"), col("norm"))
-    val b = p.select(col("vec_id").as("nbr_id"), col("v").as("w"), col("norm").as("nrm2"))
+   * [[labelSpread]].
+   *
+   * `planes = 0` (default): exactness-baseline quadratic kernel
+   * (codegen'd dot) — the DuckDB-replayable mode every driver query
+   * runs. `planes > 0`: the 100 TB scale mode — candidates restricted
+   * to [[bucketed]] same-bucket pairs (linear in Σ bucket², bounded by
+   * `maxBucket`), identical ranking/mutuality downstream. Recall < 1
+   * ⇒ approximate kNN graph (edges only lost, never invented), so
+   * clusters can only split, never wrongly merge. */
+  private[graft] def mutualKnnHalf(emb: DataFrame, k: Int,
+      planes: Int = 0, maxBucket: Long = 10000L): DataFrame = {
+    val p = (if (planes > 0) bucketed(emb, planes, maxBucket)
+             else prepared(emb)).persist()
+    val joinedRaw =
+      if (planes > 0) {
+        val a0 = p.select(col("bucket"), col("vec_id"), col("v"), col("norm"))
+        val b0 = p.select(col("bucket"), col("vec_id").as("nbr_id"),
+          col("v").as("w"), col("norm").as("nrm2"))
+        a0.join(b0, Seq("bucket")).where(col("vec_id") =!= col("nbr_id"))
+      } else {
+        val a0 = p.select(col("vec_id"), col("v"), col("norm"))
+        val b0 = p.select(col("vec_id").as("nbr_id"), col("v").as("w"),
+          col("norm").as("nrm2"))
+        a0.join(b0, col("vec_id") =!= col("nbr_id"))
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("sim_e4").desc, col("nbr_id").asc)
-    val knn = a.join(b, col("vec_id") =!= col("nbr_id"))
+    val knn = joinedRaw
       .select(col("vec_id"), col("nbr_id"),
         round(dot(col("v"), col("w")) / (col("norm") * col("nrm2")) * 10000)
           .cast("long").as("sim_e4"))
@@ -724,8 +742,9 @@ object Similarity {
     mutual
   }
 
-  def knnClusters(emb: DataFrame, k: Int = 5, numPartitions: Int = 8): DataFrame = {
-    val mutual = mutualKnnHalf(emb, k)
+  def knnClusters(emb: DataFrame, k: Int = 5, numPartitions: Int = 8,
+      planes: Int = 0, maxBucket: Long = 10000L): DataFrame = {
+    val mutual = mutualKnnHalf(emb, k, planes, maxBucket)
     val nV = emb.agg(max(col("vec_id"))).first().getLong(0) + 1
     val g = graft.LinkGraph.fromIdEdges(mutual, nV, symmetric = true, numPartitions)
     val out = graft.algos.ConnectedComponents.run(g).labels
@@ -752,8 +771,9 @@ object Similarity {
    *
    * @return (vec_id, pred_label, mass)
    */
-  def labelSpread(emb: DataFrame, k: Int = 5, rounds: Int = 3): DataFrame = {
-    val half = mutualKnnHalf(emb, k)
+  def labelSpread(emb: DataFrame, k: Int = 5, rounds: Int = 3,
+      planes: Int = 0, maxBucket: Long = 10000L): DataFrame = {
+    val half = mutualKnnHalf(emb, k, planes, maxBucket)
     val mu = half.select(col("src"), col("dst"))
       .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
@@ -793,13 +813,14 @@ object Similarity {
    * is noise (cluster −1). No centroids, no k — the density dual of
    * [[semDedup]]'s centroid clustering.
    *
-   * Exactness baseline: the neighbor graph is the full quadratic
-   * kernel (same codegen'd dot as [[cosineTopK]]), so the DuckDB
-   * oracle replays it bit-for-bit. The scale path swaps the pair
-   * generator for [[cosineDupPairs]]' LSH-bucketed candidates (recall
-   * < 1 ⇒ approximate DBSCAN — fewer cores, never wrong merges of
-   * far points); everything downstream (degree gate, CC, border
-   * attach) is unchanged and linear.
+   * `planes = 0` (default): exactness baseline — the neighbor graph
+   * is the full quadratic kernel (same codegen'd dot as
+   * [[cosineTopK]]), so the DuckDB oracle replays it bit-for-bit.
+   * `planes > 0`: the 100 TB scale mode — the pair generator becomes
+   * the [[bucketed]] same-bucket join (recall < 1 ⇒ approximate
+   * DBSCAN — fewer cores, never wrong merges of far points);
+   * everything downstream (degree gate, CC, border attach) is
+   * unchanged and linear.
    *
    * @return (vec_id, cluster, role, n_nbrs) — role ∈ core|border|noise
    */
@@ -807,11 +828,24 @@ object Similarity {
       emb: DataFrame,
       simThresholdE4: Long = 3300,
       minPts: Int = 3,
-      numPartitions: Int = 8): DataFrame = {
-    val p = prepared(emb).persist()
-    val a = p.select(col("vec_id").as("va"), col("v"), col("norm").as("na"))
-    val b = p.select(col("vec_id").as("vb"), col("v").as("w"), col("norm").as("nb"))
-    val pairs = a.join(b, col("va") < col("vb"))
+      numPartitions: Int = 8,
+      planes: Int = 0,
+      maxBucket: Long = 10000L): DataFrame = {
+    val p = (if (planes > 0) bucketed(emb, planes, maxBucket)
+             else prepared(emb)).persist()
+    val pairsRaw =
+      if (planes > 0) {
+        val a = p.select(col("bucket"), col("vec_id").as("va"), col("v"),
+          col("norm").as("na"))
+        val b = p.select(col("bucket"), col("vec_id").as("vb"),
+          col("v").as("w"), col("norm").as("nb"))
+        a.join(b, Seq("bucket")).where(col("va") < col("vb"))
+      } else {
+        val a = p.select(col("vec_id").as("va"), col("v"), col("norm").as("na"))
+        val b = p.select(col("vec_id").as("vb"), col("v").as("w"), col("norm").as("nb"))
+        a.join(b, col("va") < col("vb"))
+      }
+    val pairs = pairsRaw
       .where(round(dot(col("v"), col("w")) / (col("na") * col("nb")) * 10000)
         .cast("long") >= simThresholdE4)
       .select(col("va"), col("vb"))

@@ -46,6 +46,18 @@ object GeminiEdgeList {
       }.toDF("src", "dst", "weight")
   }
 
+  /** Deterministic test-fixture writer for the native format: packs
+   * (src, dst) pairs as little-endian uint32 records at `path` — the
+   * exact on-disk layout of /root/reference/README.md:24-26.
+   * FIXTURE-ONLY (caller caps the row count): the engine never writes
+   * this format at scale; it exists so the binary LOADER gets an
+   * oracle-checked driver query without external binary data. */
+  def writeFixture(rows: Array[(Long, Long)], path: String): Unit = {
+    val bb = ByteBuffer.allocate(rows.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    rows.foreach { case (s, d) => bb.putInt(s.toInt); bb.putInt(d.toInt) }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bb.array())
+  }
+
   /** Full parity with the reference loaders: binary file + CLI-style
    * `|V|` → built LinkGraph (load_directed /
    * load_undirected_from_directed, core/graph.hpp:771-1338, :349-756). */

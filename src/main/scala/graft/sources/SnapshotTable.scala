@@ -104,7 +104,9 @@ object SnapshotTable {
     // this call's `table` — raw string comparison would then treat a
     // referenced snapshot dir as orphaned and DELETE live data
     def canon(p: String): String =
-      Paths.get(p).toAbsolutePath.normalize.toString
+      try Paths.get(p).toRealPath().toString // resolves symlinks too
+      catch { case _: java.io.IOException =>
+        Paths.get(p).toAbsolutePath.normalize.toString }
     val referenced: Set[String] =
       (keep.flatMap(s => bucketLocs(table, s).map(_._2)) ++
         keep.map(snapDir(table, _))).map(canon).toSet
