@@ -242,6 +242,10 @@ object PipelineEntry {
     // DBSCAN density clustering over embeddings: cosine eps-graph,
     // degree-gated cores, HashMin CC clusters, min-id border attach
     "q_dbscan" -> ((s, dir) => Similarity.dbscan(Similarity.embeddings(s, dir))),
+    // LSH-bucketed SCALE mode of DBSCAN, oracle-checked: bucketed pair
+    // generator, identical density/CC/border machinery downstream
+    "q_dbscan_scale" -> ((s, dir) =>
+      Similarity.dbscan(Similarity.embeddings(s, dir), planes = 6)),
     // cross-source shingle-overlap matrix (contamination/provenance
     // report; shingle-keyed join, fan-out bounded by #sources²)
     "q_source_overlap" -> ((s, dir) => Dedup.sourceOverlap(Dedup.docs(s, dir))),
@@ -249,6 +253,12 @@ object PipelineEntry {
     // prunes hub-attraction edges, components via HashMin)
     "q_knn_clusters" -> ((s, dir) =>
       Similarity.knnClusters(Similarity.embeddings(s, dir))),
+    // the LSH-bucketed SCALE mode of the same operator, oracle-checked
+    // (not just spec-pinned): candidates restricted to same-bucket
+    // pairs of the quantized-integer hyperplane LSH (q_ann_lsh's
+    // bucket formula), bucket cap mirrored in the oracle
+    "q_knn_scale" -> ((s, dir) =>
+      Similarity.knnClusters(Similarity.embeddings(s, dir), planes = 6)),
     // ZGL label spreading on the mutual-kNN graph: every 5th vector's
     // gold label clamped, 3 floored-average rounds, argmax export
     "q_labelspread" -> ((s, dir) =>
@@ -1942,21 +1952,51 @@ object PipelineEntry {
    * subgraph (plateau-to-cap recursion — every core re-emits each
    * step, so `it = CAP` is the fixpoint), min-cluster border attach.
    * Cap 30 ≫ the core-graph diameter at this density. */
-  private def dbscanSql(cap: Int = 30): String =
+  /** `planes = 0`: exact all-pairs neighbor graph (the engine's
+   * default mode). `planes > 0`: the LSH-bucketed SCALE mode — the
+   * pair generator becomes the same-bucket join over the
+   * quantized-integer hyperplane buckets (q_ann_lsh formula, bucket
+   * cap mirrored); everything downstream identical. */
+  private def dbscanSql(cap: Int = 30, planes: Int = 0, maxBucket: Long = 10000L): String = {
+    val bucketCtes = if (planes == 0) "" else
+      s"""proj AS MATERIALIZED (
+         |  SELECT vec_id, pl,
+         |         sum(cast(round(x * 1000000) AS bigint) *
+         |             (CASE WHEN (((i - 1) * 2654435761 + pl * 40503) % 1000003) % 2 = 0 THEN 1 ELSE -1 END)) AS p
+         |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, ${planes - 1})) AS pl) pp
+         |  GROUP BY 1, 2
+         |), bk0 AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         cast(sum(CASE WHEN p >= 0 THEN (1::BIGINT << pl) ELSE 0 END) AS bigint) AS bucket
+         |  FROM proj GROUP BY vec_id
+         |), bok AS MATERIALIZED (
+         |  SELECT bucket FROM bk0 GROUP BY 1 HAVING count(*) <= $maxBucket
+         |), bk AS MATERIALIZED (
+         |  SELECT b.vec_id, b.bucket FROM bk0 b JOIN bok o ON o.bucket = b.bucket
+         |), """.stripMargin
+    val candJoin =
+      if (planes == 0)
+        """SELECT a.vec_id AS a, b.vec_id AS b, sum(a.x*b.x) AS d
+          |      FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+          |      GROUP BY 1, 2""".stripMargin
+      else
+        """SELECT ba.vec_id AS a, bb.vec_id AS b, sum(a.x*b.x) AS d
+          |      FROM bk ba JOIN bk bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+          |      JOIN v a ON a.vec_id = ba.vec_id
+          |      JOIN v b ON b.vec_id = bb.vec_id AND b.i = a.i
+          |      GROUP BY 1, 2""".stripMargin
     s"""WITH RECURSIVE v AS MATERIALIZED (
        |  SELECT vec_id, cast(unnest(embedding) AS double) AS x,
        |         generate_subscripts(embedding, 1) AS i
        |  FROM embeddings
-       |), norms AS MATERIALIZED (
+       |), ${bucketCtes}norms AS MATERIALIZED (
        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1
        |), pairs AS MATERIALIZED (
        |  SELECT a, b FROM (
        |    SELECT d.a, d.b,
        |           cast(round(d.d / (na.nrm * nb.nrm) * 10000) AS bigint) AS sim_e4
        |    FROM (
-       |      SELECT a.vec_id AS a, b.vec_id AS b, sum(a.x*b.x) AS d
-       |      FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
-       |      GROUP BY 1, 2) d
+       |      $candJoin) d
        |    JOIN norms na ON na.vec_id = d.a
        |    JOIN norms nb ON nb.vec_id = d.b) s
        |  WHERE sim_e4 >= 3300
@@ -2001,6 +2041,7 @@ object PipelineEntry {
        |LEFT JOIN fin f ON f.vec_id = e.vec_id
        |LEFT JOIN border b ON b.vec_id = e.vec_id
        |LEFT JOIN deg ON deg.vec_id = e.vec_id""".stripMargin
+  }
 
   /** Mirrors Dedup.sourceOverlap: distinct (source, 3-gram shingle),
    * pairwise shared counts, containment vs the smaller side. */
@@ -2057,6 +2098,66 @@ object PipelineEntry {
        |           row_number() OVER (PARTITION BY vec_id
        |                              ORDER BY sim_e4 DESC, nbr_id) AS rank
        |    FROM sims) x WHERE rank <= 5
+       |), mu AS MATERIALIZED (
+       |  SELECT k1.vec_id AS u, k1.nbr_id AS w FROM knn k1
+       |  JOIN knn k2 ON k2.vec_id = k1.nbr_id AND k2.nbr_id = k1.vec_id
+       |), r(it, id, lbl) AS (
+       |  SELECT 0, vec_id, vec_id FROM embeddings
+       |  UNION ALL
+       |  SELECT r.it + 1, r.id, least(r.lbl, coalesce(min(r2.lbl), r.lbl))
+       |  FROM r LEFT JOIN mu ON mu.u = r.id LEFT JOIN r r2 ON r2.id = mu.w
+       |  WHERE r.it < $cap GROUP BY r.it, r.id, r.lbl
+       |)
+       |SELECT id AS vec_id, cast(lbl AS bigint) AS cluster
+       |FROM r WHERE it = $cap""".stripMargin
+
+  /** Mirror of Similarity.knnClusters(planes = 6) — the LSH-bucketed
+   * SCALE mode as an oracle-checked row: the knnClustersSql kernel
+   * with the quadratic all-pairs candidate generator swapped for the
+   * same-bucket join (quantized-integer hyperplane signs, exactly the
+   * q_ann_lsh formula; engine i is 0-based hence the (i - 1)), and
+   * the engine's bucket-size cap mirrored as a HAVING. Vectors whose
+   * bucket is dropped (or that are mutual-kNN isolated) label
+   * themselves — same as the engine's identity-id HashMin. */
+  private def knnScaleSql(
+      planes: Int = 6, k: Int = 5, maxBucket: Long = 10000L, cap: Int = 60): String =
+    s"""WITH RECURSIVE v AS MATERIALIZED (
+       |  SELECT vec_id, cast(unnest(embedding) AS double) AS x,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), proj AS MATERIALIZED (
+       |  SELECT vec_id, pl,
+       |         sum(cast(round(x * 1000000) AS bigint) *
+       |             (CASE WHEN (((i - 1) * 2654435761 + pl * 40503) % 1000003) % 2 = 0 THEN 1 ELSE -1 END)) AS p
+       |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, ${planes - 1})) AS pl) pp
+       |  GROUP BY 1, 2
+       |), bk0 AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         cast(sum(CASE WHEN p >= 0 THEN (1::BIGINT << pl) ELSE 0 END) AS bigint) AS bucket
+       |  FROM proj GROUP BY vec_id
+       |), bok AS MATERIALIZED (
+       |  SELECT bucket FROM bk0 GROUP BY 1 HAVING count(*) <= $maxBucket
+       |), bk AS MATERIALIZED (
+       |  SELECT b.vec_id, b.bucket FROM bk0 b JOIN bok o ON o.bucket = b.bucket
+       |), norms AS MATERIALIZED (
+       |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1
+       |), sims AS MATERIALIZED (
+       |  SELECT d.a AS vec_id, d.b AS nbr_id,
+       |         cast(round(d.d / (na.nrm * nb.nrm) * 10000) AS bigint) AS sim_e4
+       |  FROM (
+       |    SELECT ba.vec_id AS a, bb.vec_id AS b, sum(va.x * vb.x) AS d
+       |    FROM bk ba JOIN bk bb ON ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id
+       |    JOIN v va ON va.vec_id = ba.vec_id
+       |    JOIN v vb ON vb.vec_id = bb.vec_id AND vb.i = va.i
+       |    GROUP BY 1, 2) d
+       |  JOIN norms na ON na.vec_id = d.a
+       |  JOIN norms nb ON nb.vec_id = d.b
+       |), knn AS MATERIALIZED (
+       |  SELECT vec_id, nbr_id FROM (
+       |    SELECT vec_id, nbr_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY sim_e4 DESC, nbr_id) AS rank
+       |    FROM sims) x WHERE rank <= $k
        |), mu AS MATERIALIZED (
        |  SELECT k1.vec_id AS u, k1.nbr_id AS w FROM knn k1
        |  JOIN knn k2 ON k2.vec_id = k1.nbr_id AND k2.nbr_id = k1.vec_id
@@ -2340,8 +2441,10 @@ object PipelineEntry {
     "q_rarity" -> raritySql,
     "q_lm_score" -> lmScoreSql,
     "q_dbscan" -> dbscanSql(),
+    "q_dbscan_scale" -> dbscanSql(planes = 6),
     "q_source_overlap" -> sourceOverlapSql,
     "q_knn_clusters" -> knnClustersSql(),
+    "q_knn_scale" -> knnScaleSql(),
     "q_labelspread" -> labelSpreadSql,
     "q_containment" -> containmentSql,
     "q_curate" -> curateSql)

@@ -112,7 +112,7 @@ object StressBench {
     val cacheDir =
       if (needGraph) ScalingBench.ensureCache(numConvs, turnsPerConv) else ""
 
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-stress")
       .config("spark.sql.shuffle.partitions", parts)
@@ -123,6 +123,10 @@ object StressBench {
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.sql.ui.retainedExecutions", "10")
+    // GRAFT_LOCAL_DIR=/dev/shm/…: tmpfs shuffle, the ScalingBench
+    // protocol (single shared disk is not the resource under test)
+    val spark = sys.env.get("GRAFT_LOCAL_DIR")
+      .fold(builder)(d => builder.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
